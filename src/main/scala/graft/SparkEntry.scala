@@ -16,12 +16,19 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     operators.Aggs.topkGroups(spark, "/root/testdata/sf0.001")
 
+  private def modules = Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])](
+    (operators.Relational.queries, operators.Relational.oracle),
+    (operators.Joins.queries,      operators.Joins.oracle),
+    (operators.Aggs.queries,       operators.Aggs.oracle),
+    (operators.Windows.queries,    operators.Windows.oracle)
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Aggs.queries
+    modules.map(_._1).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Aggs.oracle
+    modules.map(_._2).reduce(_ ++ _)
 }

@@ -6,16 +6,16 @@ import graft.Tables
 
 /** Aggregation operators (SURVEY.md §2.4).
   *
-  * All group-bys are plain hash aggregations: Spark plans partial (map-side)
+  * All group-bys are hash aggregations: Spark plans partial (map-side)
   * + final aggregation automatically, so at cluster scale only the already-
   * combined partials cross the shuffle. Outputs are totally ordered with a
-  * unique tiebreak and doubles are rounded (§7.4 determinism ruleset).
+  * unique tiebreak and double aggregates are rounded (§7.4 determinism).
   */
 object Aggs {
 
   /** Top-10 users by event count — the reference's flagship
-    * "top contributing users" shape. Shuffle: one hash-agg on user_id,
-    * then TakeOrderedAndProject (no global sort materialization). */
+    * "top contributing users" shape. Hash-agg on user_id then
+    * TakeOrderedAndProject (bounded heap per task, no global sort). */
   def topkGroups(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy("user_id")
@@ -23,8 +23,112 @@ object Aggs {
       .orderBy(col("cnt").desc, col("user_id").asc)
       .limit(10)
 
+  /** Global scalar aggregates over the fact table. */
+  def aggGlobal(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      count(lit(1)).as("cnt"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("min_ship"),
+      date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("max_ship"),
+      round(sum(col("l_extendedprice")), 2).as("sum_price"),
+      round(avg(col("l_quantity")), 2).as("avg_qty"))
+
+  /** TPC-H Q1: the canonical partial-aggregation showcase. */
+  def aggGroupby(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
+
+  /** COUNT(DISTINCT) per group — plans as expand + two-phase agg. */
+  def aggDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type").asc)
+
+  /** HAVING: number of users with exactly one event. */
+  def aggHaving(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") === 1)
+      .agg(count(lit(1)).as("n_single_users"))
+
+  /** ROLLUP over the region→nation hierarchy (grouping-sets surface).
+    * NULL subtotal rows are sorted NULLS FIRST explicitly on both
+    * engines (Spark and DuckDB default differently — §7.4.2). */
+  def aggRollup(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = broadcast(Tables.nation(s, d))
+    val r = broadcast(Tables.region(s, d))
+    c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** CUBE over (event_type, day). */
+  def aggCube(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+      .cube(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+
+  /** PIVOT with an explicit value list (plan determinism — never let
+    * Spark discover pivot values at runtime). */
+  def aggPivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+      .groupBy(col("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum(col("value")), 2))
+      .orderBy(col("day").asc)
+
+  /** HLL sketch — engines' sketches differ, so declared without oracle. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count(lit(1)).as("cnt"))
+
+  /** Custom typed UDAF (Aggregator): quantity-weighted average price per
+    * brand. Oracle is the algebraic identity sum(p*q)/sum(q). */
+  def udafWavg(s: SparkSession, d: String): DataFrame = {
+    val wavg = udaf(graft.functions.WeightedAvg)
+    val li = Tables.lineitem(s, d)
+    val p  = broadcast(Tables.part(s, d))
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 2)
+        .as("wavg_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("p_brand").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_topk_groups" -> topkGroups
+    "q_topk_groups"     -> topkGroups,
+    "q_agg_global"      -> aggGlobal,
+    "q_agg_groupby"     -> aggGroupby,
+    "q_agg_distinct"    -> aggDistinct,
+    "q_agg_having"      -> aggHaving,
+    "q_agg_rollup"      -> aggRollup,
+    "q_agg_cube"        -> aggCube,
+    "q_agg_pivot"       -> aggPivot,
+    "q_approx_distinct" -> approxDistinct,
+    "q_udaf_wavg"       -> udafWavg
   )
 
   val oracle: Map[String, String] = Map(
@@ -33,6 +137,69 @@ object Aggs {
         |FROM events
         |GROUP BY user_id
         |ORDER BY cnt DESC, user_id ASC
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+    "q_agg_global" ->
+      """SELECT count(*) AS cnt,
+        |       count(DISTINCT l_orderkey) AS n_orders,
+        |       strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
+        |       strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship,
+        |       round(sum(l_extendedprice), 2) AS sum_price,
+        |       round(avg(l_quantity), 2) AS avg_qty
+        |FROM lineitem""".stripMargin,
+    "q_agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |       round(avg(l_quantity), 2) AS avg_qty,
+        |       round(avg(l_extendedprice), 2) AS avg_price,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag ASC, l_linestatus ASC""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |       count(*) AS n_events
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type ASC""".stripMargin,
+    "q_agg_having" ->
+      """SELECT count(*) AS n_single_users
+        |FROM (SELECT user_id FROM events
+        |      GROUP BY user_id HAVING count(*) = 1)""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |       round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |       count(*) AS cnt
+        |FROM events
+        |GROUP BY CUBE(event_type, day)
+        |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin,
+    "q_agg_pivot" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |       round(sum(CASE WHEN event_type = 'click'    THEN value END), 2) AS click,
+        |       round(sum(CASE WHEN event_type = 'error'    THEN value END), 2) AS error,
+        |       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+        |       round(sum(CASE WHEN event_type = 'signup'   THEN value END), 2) AS signup,
+        |       round(sum(CASE WHEN event_type = 'view'     THEN value END), 2) AS view
+        |FROM events
+        |GROUP BY day
+        |ORDER BY day ASC""".stripMargin,
+    "q_udaf_wavg" ->
+      """SELECT p_brand,
+        |       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2)
+        |         AS wavg_price,
+        |       count(*) AS cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand ASC""".stripMargin
   )
 }

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Join operators — every flavor (SURVEY.md §2.3).
+  *
+  * Scale notes: dimension tables (region/nation, and customer at moderate
+  * SF) are broadcast so the fact-table scan never shuffles for them; the
+  * fact-fact equi join (lineitem⋈orders) shuffles both sides on the join
+  * key, which at 100 TB is the bucketing/bucketed-table candidate. The
+  * range ("theta") join keeps an equi key so it plans as hash/SMJ with the
+  * range as residual filter — a pure theta join would be a cartesian and is
+  * banned. As-of is expressed as a lag window: one shuffle on the partition
+  * key, no self-join blow-up.
+  */
+object Joins {
+
+  /** Plain inner equi join orders⋈customer. */
+  def joinInner(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+        col("c_mktsegment"), col("o_totalprice"))
+      .orderBy(col("o_orderkey").asc)
+      .limit(500)
+  }
+
+  /** 5-way star join (TPC-H Q5 flavor): revenue per region/nation.
+    * nation+region are explicit broadcasts; AQE may also broadcast
+    * customer at bench scale. */
+  def joinBroadcast(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o  = Tables.orders(s, d)
+    val c  = Tables.customer(s, d)
+    val n  = broadcast(Tables.nation(s, d))
+    val r  = broadcast(Tables.region(s, d))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("r_name").asc, col("n_name").asc)
+  }
+
+  /** Left outer with aggregate-before-join: the orders side is pre-shrunk
+    * to one row per customer, so the join never multiplies rows — the
+    * right pattern at 100 TB (join the aggregate, not the fact table). */
+  def joinLeft(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val cnt = Tables.orders(s, d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    c.join(cnt, c("c_custkey") === cnt("o_custkey"), "left_outer")
+      .select(col("c_custkey"),
+        coalesce(col("cnt"), lit(0L)).as("n_orders"))
+      .orderBy(col("c_custkey").asc)
+  }
+
+  /** EXISTS — left semi join (no row multiplication, build side only
+    * needs the key column). */
+  def joinSemi(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey").asc)
+  }
+
+  /** NOT EXISTS — left anti join. */
+  def joinAnti(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey").asc)
+  }
+
+  /** Equi + range (interval) join: lineitems shipped within 90 days of
+    * their order date. The orderkey equi key keeps this a hash/SMJ join;
+    * the date range is a residual predicate. */
+  def joinTheta(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o  = Tables.orders(s, d)
+    li.join(o,
+        li("l_orderkey") === o("o_orderkey") &&
+        to_date(li("l_shipdate")).between(
+          to_date(o("o_orderdate")),
+          date_add(to_date(o("o_orderdate")), 90)))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("ym").asc)
+  }
+
+  /** As-of self-join ≡ lag window when both sides are the same stream:
+    * per event, the same user's immediately-preceding event. One shuffle
+    * on user_id, no O(n²) pairing. */
+  def joinAsof(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("prev_event_id", lag(col("event_id"), 1).over(w))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .select(col("event_id"), col("user_id"), col("prev_event_id"),
+        col("gap_us"))
+      .orderBy(col("event_id").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_inner"     -> joinInner,
+    "q_join_broadcast" -> joinBroadcast,
+    "q_join_left"      -> joinLeft,
+    "q_join_semi"      -> joinSemi,
+    "q_join_anti"      -> joinAnti,
+    "q_join_theta"     -> joinTheta,
+    "q_join_asof"      -> joinAsof
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_custkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey ASC
+        |LIMIT 500""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS cnt,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name ASC, n_name ASC""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, coalesce(cnt, 0) AS n_orders
+        |FROM customer
+        |LEFT JOIN (SELECT o_custkey, count(*) AS cnt
+        |           FROM orders GROUP BY o_custkey) o
+        |  ON c_custkey = o.o_custkey
+        |ORDER BY c_custkey ASC""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey ASC""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey ASC""".stripMargin,
+    "q_join_theta" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        | AND CAST(l_shipdate AS DATE)
+        |     BETWEEN CAST(o_orderdate AS DATE)
+        |         AND CAST(o_orderdate AS DATE) + 90
+        |GROUP BY ym
+        |ORDER BY ym ASC""".stripMargin,
+    "q_join_asof" ->
+      """SELECT event_id, user_id,
+        |       lag(event_id) OVER w AS prev_event_id,
+        |       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY event_id ASC""".stripMargin
+  )
+}

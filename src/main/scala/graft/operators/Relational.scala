@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scans, filters, sorts, limits and set operations (SURVEY.md §2.1/2.2/2.6/2.7).
+  *
+  * These are the operators Catalyst optimizes hardest: projections and
+  * predicates are pushed into the parquet scan (visible as PushedFilters /
+  * ReadSchema in the formatted plan), ORDER BY + LIMIT becomes
+  * TakeOrderedAndProject (no full sort materialization — each task keeps a
+  * bounded heap, the driver merges k×partitions rows), and set ops plan as
+  * hash aggregates/joins that scale out with shuffle partitioning.
+  */
+object Relational {
+
+  /** Full scan with a 4-column projection: the scan should read only these
+    * columns (column pruning reaches the parquet footer). */
+  def scanProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+        col("l_extendedprice"))
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+        col("l_partkey").asc, col("l_suppkey").asc)
+      .limit(100)
+
+  /** Deterministic k-th-row systematic sample (reference: sample.py writes
+    * every k-th element). `% k = 0` instead of df.sample() so both engines
+    * select identical rows. */
+  def sampleSystematic(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+        col("l_partkey").asc, col("l_suppkey").asc)
+
+  /** Compound predicate; everything here folds to parquet-pushable
+    * conjuncts (no float equality — ranges only, per SURVEY §7.5). */
+  def filterPred(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(
+        col("l_shipdate").between("1996-01-01", "1997-12-31") &&
+        col("l_quantity") < 30 &&
+        col("l_returnflag") =!= "N" &&
+        col("l_discount").between(0.02, 0.07))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_discount"),
+        col("l_returnflag"))
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+        col("l_partkey").asc, col("l_suppkey").asc)
+      .limit(500)
+
+  /** CASE WHEN bucketing of order totals into bands. */
+  def caseExpr(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("band",
+        when(col("o_totalprice") < 50000, "low")
+          .when(col("o_totalprice") < 150000, "mid")
+          .otherwise("high"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("band").asc)
+
+  /** Global top-100 by price — plans as TakeOrderedAndProject. */
+  def sortLimit(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc, col("l_partkey").asc, col("l_suppkey").asc)
+      .limit(100)
+
+  private def uids(s: SparkSession, d: String, typ: String): DataFrame =
+    Tables.events(s, d).filter(col("event_type") === typ).select("user_id")
+
+  /** UNION (distinct) of purchaser and error-reporter user ids. */
+  def setUnion(s: SparkSession, d: String): DataFrame =
+    uids(s, d, "purchase").union(uids(s, d, "error"))
+      .distinct().orderBy(col("user_id").asc)
+
+  def setIntersect(s: SparkSession, d: String): DataFrame =
+    uids(s, d, "purchase").intersect(uids(s, d, "click"))
+      .orderBy(col("user_id").asc)
+
+  def setExcept(s: SparkSession, d: String): DataFrame =
+    uids(s, d, "view").except(uids(s, d, "purchase"))
+      .orderBy(col("user_id").asc)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_project"      -> scanProject,
+    "q_sample_systematic" -> sampleSystematic,
+    "q_filter_pred"       -> filterPred,
+    "q_case_expr"         -> caseExpr,
+    "q_sort_limit"        -> sortLimit,
+    "q_set_union"         -> setUnion,
+    "q_set_intersect"     -> setIntersect,
+    "q_set_except"        -> setExcept
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |       strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+        |       l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_orderkey ASC, l_linenumber ASC, l_partkey ASC, l_suppkey ASC
+        |LIMIT 100""".stripMargin,
+    "q_sample_systematic" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey % 50 = 0
+        |ORDER BY l_orderkey ASC, l_linenumber ASC, l_partkey ASC, l_suppkey ASC""".stripMargin,
+    "q_filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+        |       l_discount, l_returnflag
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        |  AND l_quantity < 30
+        |  AND l_returnflag <> 'N'
+        |  AND l_discount BETWEEN 0.02 AND 0.07
+        |ORDER BY l_orderkey ASC, l_linenumber ASC, l_partkey ASC, l_suppkey ASC
+        |LIMIT 500""".stripMargin,
+    "q_case_expr" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+        |            WHEN o_totalprice < 150000 THEN 'mid'
+        |            ELSE 'high' END AS band,
+        |       count(*) AS cnt
+        |FROM orders
+        |GROUP BY band
+        |ORDER BY band ASC""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC,
+        |         l_partkey ASC, l_suppkey ASC
+        |LIMIT 100""".stripMargin,
+    "q_set_union" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |UNION
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id ASC""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'click'
+        |ORDER BY user_id ASC""".stripMargin,
+    "q_set_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id ASC""".stripMargin
+  )
+}

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Window functions (SURVEY.md §2.5): ranking, running frames, lag/lead,
+  * range frames, ntile + analytic first/last.
+  *
+  * Each window is one shuffle on its partition key followed by an
+  * in-partition sort — at cluster scale the partition key choice (user_id,
+  * customer) is what keeps state bounded per task. All orderings carry a
+  * unique tiebreak so rank/lag assignment is deterministic.
+  */
+object Windows {
+
+  /** Top-3 orders per customer with row_number/rank/dense_rank. */
+  def winRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rn"), col("rnk"), col("drnk"))
+      .orderBy(col("o_custkey").asc, col("rn").asc)
+  }
+
+  /** Running sum + running count per user (rows frame). */
+  def winRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("run_sum", round(sum(col("value")).over(w), 2))
+      .withColumn("run_cnt", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("run_sum"), col("run_cnt"))
+      .orderBy(col("event_id").asc)
+  }
+
+  /** lag/lead: previous/next event id and gap per user. */
+  def winLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("next_event_id", lead(col("event_id"), 1).over(w))
+      .select(col("event_id"), col("user_id"), col("gap_us"),
+        col("next_event_id"))
+      .orderBy(col("event_id").asc)
+  }
+
+  /** RANGE frame on a numeric key: trailing-hour average value per
+    * event_type (frame = 3600 seconds preceding .. current).
+    *
+    * `value` is 2-decimal quantized, so tiny-frame averages land exactly on
+    * half-cent rounding boundaries where engines disagree. Aggregate exact
+    * integer cents instead and derive the average by integer-fed division —
+    * bit-identical across engines, no rounding needed. */
+  def winRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("epoch_s").asc)
+      .rangeBetween(-3600L, 0L)
+    Tables.events(s, d)
+      .withColumn("epoch_s", expr("unix_micros(ts) div 1000000"))
+      .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .withColumn("trail_cents", sum(col("cents")).over(w))
+      .withColumn("trail_cnt", count(lit(1)).over(w))
+      .withColumn("trail_avg",
+        col("trail_cents").cast("double") / lit(100) / col("trail_cnt"))
+      .select(col("event_id"), col("event_type"), col("epoch_s"),
+        col("trail_cents"), col("trail_cnt"), col("trail_avg"))
+      .orderBy(col("event_id").asc)
+  }
+
+  /** ntile quartiles of customer balance + analytic first/last value over
+    * a running frame. */
+  def winNtile(s: SparkSession, d: String): DataFrame = {
+    val ord = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.customer(s, d)
+      .withColumn("quartile", ntile(4).over(ord).cast("long"))
+      .withColumn("run_min_bal", first(col("c_acctbal")).over(run))
+      .withColumn("run_max_bal", last(col("c_acctbal")).over(run))
+      .select(col("c_custkey"), col("c_acctbal"), col("quartile"),
+        col("run_min_bal"), col("run_max_bal"))
+      .orderBy(col("c_custkey").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_rank"        -> winRank,
+    "q_win_running"     -> winRunning,
+    "q_win_lag"         -> winLag,
+    "q_win_range_frame" -> winRangeFrame,
+    "q_win_ntile"       -> winNtile
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_win_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER w AS rn,
+        |         rank()       OVER w AS rnk,
+        |         dense_rank() OVER w AS drnk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |) WHERE rn <= 3
+        |ORDER BY o_custkey ASC, rn ASC""".stripMargin,
+    "q_win_running" ->
+      """SELECT event_id, user_id,
+        |       round(sum(value) OVER w, 2) AS run_sum,
+        |       count(*) OVER w AS run_cnt
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id ASC""".stripMargin,
+    "q_win_lag" ->
+      """SELECT event_id, user_id,
+        |       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+        |       lead(event_id) OVER w AS next_event_id
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY event_id ASC""".stripMargin,
+    "q_win_range_frame" ->
+      """SELECT event_id, event_type,
+        |       epoch_us(ts) // 1000000 AS epoch_s,
+        |       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |            OVER w AS BIGINT) AS trail_cents,
+        |       count(*) OVER w AS trail_cnt,
+        |       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |            OVER w AS BIGINT)::DOUBLE / 100
+        |         / (count(*) OVER w) AS trail_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type
+        |             ORDER BY epoch_us(ts) // 1000000 ASC
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id ASC""".stripMargin,
+    "q_win_ntile" ->
+      """SELECT c_custkey, c_acctbal,
+        |       ntile(4) OVER ord AS quartile,
+        |       first_value(c_acctbal) OVER run AS run_min_bal,
+        |       last_value(c_acctbal)  OVER run AS run_max_bal
+        |FROM customer
+        |WINDOW ord AS (ORDER BY c_acctbal ASC, c_custkey ASC),
+        |       run AS (ORDER BY c_acctbal ASC, c_custkey ASC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY c_custkey ASC""".stripMargin
+  )
+}
