@@ -20,7 +20,14 @@ object SparkEntry {
     (operators.Relational.queries, operators.Relational.oracle),
     (operators.Joins.queries,      operators.Joins.oracle),
     (operators.Aggs.queries,       operators.Aggs.oracle),
-    (operators.Windows.queries,    operators.Windows.oracle)
+    (operators.Windows.queries,    operators.Windows.oracle),
+    (operators.Scalars.queries,    operators.Scalars.oracle),
+    (operators.Text.queries,       operators.Text.oracle),
+    (operators.Events.queries,     operators.Events.oracle),
+    (operators.Geo.queries,        operators.Geo.oracle),
+    (operators.Sim.queries,        operators.Sim.oracle),
+    (operators.Dedup.queries,      operators.Dedup.oracle),
+    (multimodal.Multimodal.queries, multimodal.Multimodal.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{window => twindow, _}
+import graft.Tables
+
+/** Event-time windowing semantics, batch-checkable (SURVEY.md §2.10).
+  *
+  * These use Spark's `window()` / lag+cumsum session algebra in batch mode;
+  * `graft.streaming.StreamingDemo` runs the same tumbling aggregation as a
+  * Structured Streaming query with a watermark, and the stream-batch parity
+  * test asserts the results agree. Window starts are projected to epoch
+  * seconds (flat integer columns) — never raw struct/timestamp outputs.
+  * Monetary sums aggregate exact integer cents; the derived double is an
+  * integer-fed division, bit-identical across engines.
+  */
+object Events {
+
+  private def centsCol = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+
+  /** 1-hour tumbling windows per event_type. */
+  def evtTumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("cents", centsCol)
+      .groupBy(twindow(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
+      .withColumn("ws", unix_timestamp(col("window.start")))
+      .withColumn("sum_val", col("sum_cents").cast("double") / lit(100))
+      .select(col("ws"), col("event_type"), col("cnt"), col("sum_cents"),
+        col("sum_val"))
+      .orderBy(col("ws").asc, col("event_type").asc)
+
+  /** 1-hour windows sliding every 30 minutes: each event lands in exactly
+    * two windows; the oracle is the two offset tumbling grids UNION ALL. */
+  def evtSliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(twindow(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("ws", unix_timestamp(col("window.start")))
+      .select(col("ws"), col("cnt"))
+      .orderBy(col("ws").asc)
+
+  /** 30-minute-gap sessionization per user via lag → gap flag → cumulative
+    * sum (the batch-oracled algebra; `session_window()` is exercised in the
+    * streaming test where no SQL oracle exists). */
+  def evtSession(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("epoch_s", expr("unix_micros(ts) div 1000000"))
+      .withColumn("gap_s",
+        col("epoch_s") - lag(col("epoch_s"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+      .withColumn("sess_seq",
+        sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("epoch_s")).as("start_s"),
+        max(col("epoch_s")).as("end_s"))
+      .withColumn("dur_s", col("end_s") - col("start_s"))
+      .orderBy(col("user_id").asc, col("sess_seq").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_evt_tumbling" -> evtTumbling,
+    "q_evt_sliding"  -> evtSliding,
+    "q_evt_session"  -> evtSession
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_evt_tumbling" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS ws,
+        |       event_type,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+        |         / 100 AS sum_val
+        |FROM events
+        |GROUP BY ws, event_type
+        |ORDER BY ws ASC, event_type ASC""".stripMargin,
+    "q_evt_sliding" ->
+      """SELECT ws, count(*) AS cnt
+        |FROM (
+        |  SELECT epoch_us(ts) // 1000000
+        |         - (epoch_us(ts) // 1000000) % 1800 AS ws FROM events
+        |  UNION ALL
+        |  SELECT epoch_us(ts) // 1000000
+        |         - (epoch_us(ts) // 1000000) % 1800 - 1800 AS ws FROM events)
+        |GROUP BY ws
+        |ORDER BY ws ASC""".stripMargin,
+    "q_evt_session" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id,
+        |         epoch_us(ts) // 1000000 AS epoch_s,
+        |         epoch_us(ts) // 1000000
+        |           - lag(epoch_us(ts) // 1000000)
+        |             OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_s
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM g),
+        |sq AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |            ORDER BY epoch_s ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq
+        |  FROM f)
+        |SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq,
+        |       count(*) AS n_events,
+        |       min(epoch_s) AS start_s, max(epoch_s) AS end_s,
+        |       max(epoch_s) - min(epoch_s) AS dur_s
+        |FROM sq
+        |GROUP BY user_id, sess_seq
+        |ORDER BY user_id ASC, sess_seq ASC""".stripMargin
+  )
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Geospatial operators (SURVEY.md §2.11): bounding-box filtering and a
+  * haversine-distance scalar UDF — the "geospatial UDFs" surface from the
+  * north star. Coordinates are derived deterministically from keys
+  * (testdata has no lat/lon), as integer arithmetic + 0.5 so both engines
+  * agree bit-for-bit on the inputs.
+  */
+object Geo {
+
+  /** Haversine great-circle distance in km. Registered as a Scala UDF —
+    * note UDFs are opaque to Catalyst (never put one in a filter that
+    * should push down); it runs post-filter here. */
+  val haversineKm: (Double, Double, Double, Double) => Double =
+    (lat1, lon1, lat2, lon2) => {
+      val r = 6371.0088
+      val dLat = math.toRadians(lat2 - lat1)
+      val dLon = math.toRadians(lon2 - lon1)
+      val a = math.pow(math.sin(dLat / 2), 2) +
+        math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+          math.pow(math.sin(dLon / 2), 2)
+      2 * r * math.asin(math.sqrt(a))
+    }
+
+  private def withCoords(df: DataFrame): DataFrame =
+    df.withColumn("lat", (col("c_custkey") % 180 - 90).cast("double") + 0.5)
+      .withColumn("lon", ((col("c_custkey") * 7) % 360 - 180).cast("double") + 0.5)
+
+  /** Bounding-box filter + count per nation (min/max lat-lon audit analog). */
+  def geoBbox(s: SparkSession, d: String): DataFrame = {
+    val c = withCoords(Tables.customer(s, d))
+    val n = broadcast(Tables.nation(s, d))
+    c.filter(col("lat").between(-45.0, 45.0) && col("lon").between(-90.0, 90.0))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("cnt"),
+        round(min(col("lat")), 1).as("min_lat"),
+        round(max(col("lat")), 1).as("max_lat"))
+      .orderBy(col("n_name").asc)
+  }
+
+  /** Top-50 customers nearest a fixed anchor by haversine UDF distance.
+    * Ranking uses the ROUNDED distance + unique key tiebreak so a 1-ulp
+    * libm difference between engines can never flip the order. */
+  def geoHaversine(s: SparkSession, d: String): DataFrame = {
+    val hav = udf(haversineKm)
+    withCoords(Tables.customer(s, d))
+      .withColumn("dist_km",
+        round(hav(col("lat"), col("lon"), lit(43.6532), lit(-79.3832)), 3))
+      .select(col("c_custkey"), col("lat"), col("lon"), col("dist_km"))
+      .orderBy(col("dist_km").asc, col("c_custkey").asc)
+      .limit(50)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geo_bbox"      -> geoBbox,
+    "q_geo_haversine" -> geoHaversine
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_geo_bbox" ->
+      """SELECT n_name, count(*) AS cnt,
+        |       round(min(lat), 1) AS min_lat,
+        |       round(max(lat), 1) AS max_lat
+        |FROM (
+        |  SELECT c_nationkey,
+        |         CAST(c_custkey % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+        |         CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) + 0.5 AS lon
+        |  FROM customer)
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE lat BETWEEN -45.0 AND 45.0 AND lon BETWEEN -90.0 AND 90.0
+        |GROUP BY n_name
+        |ORDER BY n_name ASC""".stripMargin,
+    "q_geo_haversine" ->
+      """SELECT c_custkey, lat, lon,
+        |       round(2 * 6371.0088 * asin(sqrt(
+        |         pow(sin(radians(43.6532 - lat) / 2), 2)
+        |         + cos(radians(lat)) * cos(radians(43.6532))
+        |           * pow(sin(radians(-79.3832 - lon) / 2), 2))), 3) AS dist_km
+        |FROM (
+        |  SELECT c_custkey,
+        |         CAST(c_custkey % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+        |         CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) + 0.5 AS lon
+        |  FROM customer)
+        |ORDER BY dist_km ASC, c_custkey ASC
+        |LIMIT 50""".stripMargin
+  )
+}

@@ -1,0 +1,296 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scalar function surface (SURVEY.md §2.8): string/date/math/array/map/
+  * JSON/higher-order — plus the reference's signature wrangling trio
+  * (name normalization, tag classification, postcode cleaning).
+  *
+  * Everything here is a narrow (no-shuffle) transformation until the final
+  * aggregate/sort, and all of it stays inside whole-stage codegen (built-in
+  * functions only, no UDFs). Determinism notes: derived doubles are either
+  * produced by dividing identical integers (bit-exact across engines) or
+  * rounded at a scale the data is not quantized at (§7.4).
+  */
+object Scalars {
+
+  /** upper/lower/trim/substring/concat/length/replace/regexp_extract. */
+  def strFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        lower(col("c_mktsegment")).as("lseg"),
+        length(col("c_name")).cast("long").as("name_len"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        regexp_extract(col("c_name"), "(\\d+)", 1).cast("long").as("cid"),
+        expr("replace(c_name, 'Customer#', 'C-')").as("replaced"),
+        concat(col("c_mktsegment"), lit("-"), col("c_name")).as("seg_name"),
+        trim(concat(lit("  "), col("c_name"), lit("  "))).as("trimmed"))
+      .orderBy(col("c_custkey").asc)
+      .limit(200)
+
+  /** Reference `update_name(name, mapping)` analog: the trailing token of
+    * p_name mapped through a correction dictionary (St→Street style);
+    * unmapped tokens pass through. Lookup is a literal map + element_at —
+    * constant-folded, no join. */
+  def strNormalize(s: SparkSession, d: String): DataFrame = {
+    val mapping = map(
+      lit("widget"), lit("Widget"), lit("bolt"), lit("Bolt"),
+      lit("gear"), lit("Gear"), lit("anvil"), lit("Anvil"))
+    Tables.part(s, d)
+      .withColumn("noun", regexp_extract(col("p_name"), "(\\w+)$", 1))
+      .withColumn("normalized", coalesce(element_at(mapping, col("noun")), col("noun")))
+      .groupBy(col("normalized"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("normalized").asc)
+  }
+
+  /** Reference tags.py `key_type()` analog: classify synthesized keys into
+    * lower / lower_colon / problemchars / other with the template's exact
+    * regexes, count per class. */
+  def tagClassify(s: SparkSession, d: String): DataFrame = {
+    val problem = "[=+/&<>;'\"?%#$@,. \t\r\n]"
+    Tables.part(s, d)
+      .withColumn("key",
+        when(col("p_partkey") % 4 === 0, lower(col("p_type")))
+          .when(col("p_partkey") % 4 === 1,
+            concat(lower(col("p_type")), lit(":"),
+              regexp_extract(col("p_name"), "(\\w+)$", 1)))
+          .when(col("p_partkey") % 4 === 2, col("p_brand"))
+          .otherwise(col("p_type")))
+      .withColumn("key_class",
+        when(col("key").rlike("^([a-z]|_)*$"), "lower")
+          .when(col("key").rlike("^([a-z]|_)*:([a-z]|_)*$"), "lower_colon")
+          .when(col("key").rlike(problem), "problemchars")
+          .otherwise("other"))
+      .groupBy(col("key_class"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("key_class").asc)
+  }
+
+  /** Postcode audit/clean analog: derive a pseudo-postcode, validate its
+    * shape, normalize (upper-case), count per normalized form. */
+  def postcodeClean(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .withColumn("raw_pc",
+        when(col("c_custkey") % 3 === 0,
+          concat(lit("m"), (col("c_custkey") % 10).cast("string"), lit("v")))
+        .when(col("c_custkey") % 3 === 1,
+          concat(lit("M"), ((col("c_custkey") + 3) % 10).cast("string"), lit("V")))
+        .otherwise(concat(lit("#"), (col("c_custkey") % 10).cast("string"))))
+      .withColumn("norm_pc", upper(col("raw_pc")))
+      .withColumn("valid", col("norm_pc").rlike("^[A-Z][0-9][A-Z]$"))
+      .groupBy(col("norm_pc"), col("valid"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("norm_pc").asc, col("valid").asc)
+
+  /** year/month/date_trunc/datediff/last_day over order dates. */
+  def dateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("y", year(col("o_orderdate")).cast("long"))
+      .withColumn("m", month(col("o_orderdate")).cast("long"))
+      .withColumn("month_start",
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd"))
+      .withColumn("month_end",
+        date_format(last_day(to_date(col("o_orderdate"))), "yyyy-MM-dd"))
+      .withColumn("days_since",
+        datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01"))).cast("long"))
+      .groupBy(col("y"), col("m"), col("month_start"), col("month_end"))
+      .agg(count(lit(1)).as("cnt"), max(col("days_since")).as("max_days"))
+      .orderBy(col("y").asc, col("m").asc)
+
+  /** abs/floor/ceil/power/sqrt/ln/mod. Irrational outputs rounded at 4
+    * (inputs aren't 4-decimal quantized, so no tie risk). */
+  def mathFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        abs(col("c_acctbal")).as("abs_bal"),
+        floor(col("c_acctbal")).cast("long").as("flr"),
+        ceil(col("c_acctbal")).cast("long").as("cl"),
+        pow(col("c_custkey") % 10, 2).as("pw"),
+        round(sqrt(abs(col("c_acctbal"))), 4).as("sq"),
+        round(log(abs(col("c_acctbal")) + 1), 4).as("lg"),
+        (col("c_custkey") % 7).as("md"))
+      .orderBy(col("c_custkey").asc)
+      .limit(300)
+
+  /** JSON extraction from the events.props tag map (OSM tag analog). */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k_bucket", expr("k div 10"))
+      .groupBy(col("k_bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value")), 2).as("sum_val"))
+      .orderBy(col("k_bucket").asc)
+
+  /** Array ops over embeddings: size / element_at (1-based both engines) /
+    * slice / array_sort. Elements pass through cast-to-double only — no
+    * arithmetic, so values are bit-exact. */
+  def arrayFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("e_first"),
+        element_at(col("embedding"), 64).cast("double").as("e_last"),
+        element_at(array_sort(slice(col("embedding"), 1, 8)), 1)
+          .cast("double").as("min_first8"))
+      .orderBy(col("vec_id").asc)
+
+  /** Map ops: colon-split key into a type/key map (shape_element analog),
+    * read back with element_at. Oracle compares the extracted columns. */
+  def mapFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ck", concat(col("lang"), lit(":"), col("source")))
+      .withColumn("parts", split(col("ck"), ":"))
+      .withColumn("m", map(
+        lit("type"), element_at(col("parts"), 1),
+        lit("key"), element_at(col("parts"), 2)))
+      .select(
+        col("doc_id"),
+        element_at(col("m"), "type").as("tag_type"),
+        element_at(col("m"), "key").as("tag_key"))
+      .orderBy(col("doc_id").asc)
+      .limit(300)
+
+  /** Higher-order functions: transform + aggregate lambdas. Both engines
+    * fold sequentially over the same element order (DuckDB side is forced
+    * through list_reduce), so the doubles are bit-identical pre-round. */
+  def higherOrder(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        expr("round(aggregate(transform(embedding, x -> cast(x AS double) * 2)," +
+          " cast(0 AS double), (a, x) -> a + x), 4)").as("sum2x"),
+        expr("round(aggregate(transform(embedding, x -> cast(x AS double) * cast(x AS double))," +
+          " cast(0 AS double), (a, x) -> a + x), 4)").as("sumsq"))
+      .orderBy(col("vec_id").asc)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_str_funcs"      -> strFuncs,
+    "q_str_normalize"  -> strNormalize,
+    "q_tag_classify"   -> tagClassify,
+    "q_postcode_clean" -> postcodeClean,
+    "q_date_funcs"     -> dateFuncs,
+    "q_math_funcs"     -> mathFuncs,
+    "q_json_extract"   -> jsonExtract,
+    "q_array_funcs"    -> arrayFuncs,
+    "q_map_funcs"      -> mapFuncs,
+    "q_higher_order"   -> higherOrder
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_str_funcs" ->
+      """SELECT c_custkey,
+        |       upper(c_name) AS uname,
+        |       lower(c_mktsegment) AS lseg,
+        |       length(c_name) AS name_len,
+        |       substring(c_name, 1, 8) AS name_prefix,
+        |       CAST(regexp_extract(c_name, '(\d+)', 1) AS BIGINT) AS cid,
+        |       replace(c_name, 'Customer#', 'C-') AS replaced,
+        |       c_mktsegment || '-' || c_name AS seg_name,
+        |       trim('  ' || c_name || '  ') AS trimmed
+        |FROM customer
+        |ORDER BY c_custkey ASC
+        |LIMIT 200""".stripMargin,
+    "q_str_normalize" ->
+      """SELECT CASE regexp_extract(p_name, '(\w+)$', 1)
+        |         WHEN 'widget' THEN 'Widget'
+        |         WHEN 'bolt'   THEN 'Bolt'
+        |         WHEN 'gear'   THEN 'Gear'
+        |         WHEN 'anvil'  THEN 'Anvil'
+        |         ELSE regexp_extract(p_name, '(\w+)$', 1)
+        |       END AS normalized,
+        |       count(*) AS cnt
+        |FROM part
+        |GROUP BY normalized
+        |ORDER BY normalized ASC""".stripMargin,
+    "q_tag_classify" ->
+      ("""SELECT CASE
+        |         WHEN regexp_full_match(key, '^([a-z]|_)*$') THEN 'lower'
+        |         WHEN regexp_full_match(key, '^([a-z]|_)*:([a-z]|_)*$') THEN 'lower_colon'
+        |         WHEN regexp_matches(key, '[=+/&<>;''"?%#$@,. """ + "\t\r\n" + """]') THEN 'problemchars'
+        |         ELSE 'other'
+        |       END AS key_class,
+        |       count(*) AS cnt
+        |FROM (
+        |  SELECT CASE
+        |           WHEN p_partkey % 4 = 0 THEN lower(p_type)
+        |           WHEN p_partkey % 4 = 1 THEN lower(p_type) || ':' || regexp_extract(p_name, '(\w+)$', 1)
+        |           WHEN p_partkey % 4 = 2 THEN p_brand
+        |           ELSE p_type
+        |         END AS key
+        |  FROM part)
+        |GROUP BY key_class
+        |ORDER BY key_class ASC""").stripMargin,
+    "q_postcode_clean" ->
+      """SELECT upper(raw_pc) AS norm_pc,
+        |       regexp_full_match(upper(raw_pc), '^[A-Z][0-9][A-Z]$') AS valid,
+        |       count(*) AS cnt
+        |FROM (
+        |  SELECT CASE
+        |           WHEN c_custkey % 3 = 0 THEN 'm' || CAST(c_custkey % 10 AS VARCHAR) || 'v'
+        |           WHEN c_custkey % 3 = 1 THEN 'M' || CAST((c_custkey + 3) % 10 AS VARCHAR) || 'V'
+        |           ELSE '#' || CAST(c_custkey % 10 AS VARCHAR)
+        |         END AS raw_pc
+        |  FROM customer)
+        |GROUP BY norm_pc, valid
+        |ORDER BY norm_pc ASC, valid ASC""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        |       count(*) AS cnt,
+        |       max(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS max_days
+        |FROM orders
+        |GROUP BY y, m, month_start, month_end
+        |ORDER BY y ASC, m ASC""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT c_custkey,
+        |       abs(c_acctbal) AS abs_bal,
+        |       CAST(floor(c_acctbal) AS BIGINT) AS flr,
+        |       CAST(ceil(c_acctbal) AS BIGINT) AS cl,
+        |       pow(c_custkey % 10, 2) AS pw,
+        |       round(sqrt(abs(c_acctbal)), 4) AS sq,
+        |       round(ln(abs(c_acctbal) + 1), 4) AS lg,
+        |       c_custkey % 7 AS md
+        |FROM customer
+        |ORDER BY c_custkey ASC
+        |LIMIT 300""".stripMargin,
+    "q_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+        |       count(*) AS cnt,
+        |       round(sum(value), 2) AS sum_val
+        |FROM events
+        |GROUP BY k_bucket
+        |ORDER BY k_bucket ASC""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        |       len(embedding) AS dim,
+        |       CAST(embedding[1] AS DOUBLE) AS e_first,
+        |       CAST(embedding[64] AS DOUBLE) AS e_last,
+        |       CAST(list_sort(embedding[1:8])[1] AS DOUBLE) AS min_first8
+        |FROM embeddings
+        |ORDER BY vec_id ASC""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT doc_id, lang AS tag_type, source AS tag_key
+        |FROM documents
+        |ORDER BY doc_id ASC
+        |LIMIT 300""".stripMargin,
+    "q_higher_order" ->
+      """SELECT vec_id,
+        |       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)),
+        |         (a, x) -> a + x), 4) AS sum2x,
+        |       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |         (a, x) -> a + x), 4) AS sumsq
+        |FROM embeddings
+        |ORDER BY vec_id ASC""".stripMargin
+  )
+}

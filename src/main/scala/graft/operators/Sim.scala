@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the embedding column (driver-ordered extension).
+  *
+  * Brute-force cosine is always blocked (label / coarse-label equality)
+  * so the pair count is bounded — an unblocked all-pairs join is banned
+  * (SURVEY §7.5). The query side is broadcast, so the candidate scan never
+  * shuffles: at cluster scale this is "broadcast the queries, map over the
+  * corpus, per-partition top-k, merge" — exactly how a distributed
+  * brute-force kNN should look. The LSH-bucketed variant (q_sim_ann in
+  * Dedup.scala's hyperplane machinery) is the sublinear-candidate path.
+  *
+  * Dot products and norms are sequential left-folds over the same element
+  * order on both engines (Spark `aggregate` HOF ≡ DuckDB `list_reduce`),
+  * so cosines are bit-identical pre-round and ranking can safely use the
+  * raw double.
+  */
+object Sim {
+
+  private val normExpr =
+    "sqrt(aggregate(transform(embedding, x -> cast(x AS double) * cast(x AS double))," +
+      " cast(0 AS double), (a, x) -> a + x))"
+  private val dotExpr =
+    "aggregate(zip_with(q_arr, c_arr, (x, y) -> x * y), cast(0 AS double), (a, v) -> a + v)"
+
+  private def vectors(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("arr", expr("transform(embedding, x -> cast(x AS double))"))
+      .withColumn("nrm", expr(normExpr))
+
+  private def pairs(s: SparkSession, d: String,
+      qFilter: DataFrame => DataFrame,
+      blockOn: (DataFrame, DataFrame) => org.apache.spark.sql.Column): DataFrame = {
+    val e = vectors(s, d)
+    val q = qFilter(e).select(col("vec_id").as("q_id"), col("label").as("q_label"),
+      col("arr").as("q_arr"), col("nrm").as("q_nrm"))
+    val c = e.select(col("vec_id").as("c_id"), col("label").as("c_label"),
+      col("arr").as("c_arr"), col("nrm").as("c_nrm"))
+    broadcast(q).join(c, blockOn(q, c) && col("q_id") =!= col("c_id"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cos", col("dot") / (col("q_nrm") * col("c_nrm")))
+  }
+
+  /** Cosine top-5 neighbors for query vectors vec_id<10, label-blocked. */
+  def simTopk(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    pairs(s, d, _.filter(col("vec_id") < 10),
+        (_, _) => col("q_label") === col("c_label"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos_sim"),
+        col("rn"))
+      .orderBy(col("q_id").asc, col("rn").asc)
+  }
+
+  /** kNN classification: majority label among the top-5 neighbors in a
+    * coarser block (label%5) so the vote is non-degenerate. */
+  def knnLabel(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    val w2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("c_label").asc)
+    pairs(s, d, _.filter(col("vec_id") < 10),
+        (_, _) => col("q_label") % 5 === col("c_label") % 5)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy(col("q_id"), col("c_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(w2))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("c_label").cast("long").as("pred_label"),
+        col("votes"))
+      .orderBy(col("q_id").asc)
+  }
+
+  /** Embedding-cosine near-duplicate detection: top-20 most-similar pairs
+    * within each label block (a<b dedup of the pair space). */
+  def dedupEmbcos(s: SparkSession, d: String): DataFrame =
+    pairs(s, d, identity,
+        (_, _) => col("q_label") === col("c_label"))
+      .filter(col("q_id") < col("c_id"))
+      .select(col("q_id").as("a_id"), col("c_id").as("b_id"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("a_id").asc, col("b_id").asc)
+      .limit(20)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_topk"     -> simTopk,
+    "q_knn_label"    -> knnLabel,
+    "q_dedup_embcos" -> dedupEmbcos
+  )
+
+  private val eCte =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding,
+      |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |           (a, x) -> a + x)) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  private val dotSql =
+    """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |           list_transform(list_zip(q.embedding, c.embedding),
+      |             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),
+      |           (a, x) -> a + x) / (q.nrm * c.nrm)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_sim_topk" ->
+      (eCte + """,
+        |p AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |         """ + dotSql + """ AS cos
+        |  FROM e q JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10),
+        |r AS (
+        |  SELECT q_id, c_id, cos,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY cos DESC, c_id ASC) AS rn
+        |  FROM p)
+        |SELECT q_id, c_id, round(cos, 4) AS cos_sim, rn
+        |FROM r WHERE rn <= 5
+        |ORDER BY q_id ASC, rn ASC""").stripMargin,
+    "q_knn_label" ->
+      (eCte + """,
+        |p AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.label AS c_label,
+        |         """ + dotSql + """ AS cos
+        |  FROM e q JOIN e c ON q.label % 5 = c.label % 5 AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10),
+        |r AS (
+        |  SELECT q_id, c_id, c_label, cos,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY cos DESC, c_id ASC) AS rn
+        |  FROM p),
+        |v AS (
+        |  SELECT q_id, c_label, count(*) AS votes
+        |  FROM r WHERE rn <= 5
+        |  GROUP BY q_id, c_label),
+        |t AS (
+        |  SELECT q_id, c_label, votes,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY votes DESC, c_label ASC) AS vr
+        |  FROM v)
+        |SELECT q_id, CAST(c_label AS BIGINT) AS pred_label, votes
+        |FROM t WHERE vr = 1
+        |ORDER BY q_id ASC""").stripMargin,
+    "q_dedup_embcos" ->
+      (eCte + """
+        |SELECT q.vec_id AS a_id, c.vec_id AS b_id,
+        |       round(""" + dotSql + """, 4) AS cos_sim
+        |FROM e q JOIN e c ON q.label = c.label AND q.vec_id < c.vec_id
+        |ORDER BY cos_sim DESC, a_id ASC, b_id ASC
+        |LIMIT 20""").stripMargin
+  )
+}

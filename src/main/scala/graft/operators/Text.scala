@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text analysis + exact/normalized dedup over `documents`
+  * (SURVEY.md §2.9 and the driver-ordered LLM-pipeline operators).
+  *
+  * All token work happens with built-in generators/HOFs (explode, filter,
+  * transform, aggregate) so it stays codegen'd and distributes: tokenize →
+  * explode is the Spark UDTF surface; per-doc scores are narrow maps; the
+  * only shuffles are the final group-bys. Ratio columns divide identical
+  * integers on both engines — bit-exact without rounding.
+  */
+object Text {
+
+  private def toks = split(col("text"), " ")
+
+  /** Tokenize + explode + top-20 word frequencies (generator surface). */
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(toks).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(20)
+
+  /** Per-language corpus stats; avg doc length via integer-fed division. */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(when(col("n_chars") === length(col("text")), 1L).otherwise(0L))
+          .as("n_consistent"))
+      .withColumn("avg_chars",
+        col("sum_chars").cast("double") / col("n_docs"))
+      .orderBy(col("lang").asc)
+
+  /** Exact dedup on (lang, source): survivor = min(doc_id) — deterministic
+    * survivor choice, unlike raw dropDuplicates (SURVEY §7.4.6). */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("cnt"))
+      .orderBy(col("lang").asc, col("source").asc)
+
+  /** Near-dup by normalized token-set signature: distinct-sorted tokens
+    * re-joined. Top signature groups by size. */
+  def dedupNorm(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("sig", concat_ws(" ", array_sort(array_distinct(toks))))
+      .groupBy(col("sig"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
+      .orderBy(col("cnt").desc, col("sig").asc)
+      .limit(100)
+
+  /** Quality scoring: token counts, stopword ratio, avg token length,
+    * banded score — the heuristics a pretraining filter would run. */
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(toks)).cast("long"))
+      .withColumn("stop_cnt",
+        expr("cast(size(filter(split(text, ' '), t -> t IN ('the', 'a'))) AS bigint)"))
+      .withColumn("stop_ratio", col("stop_cnt").cast("double") / col("n_tokens"))
+      .withColumn("avg_tok_len",
+        (col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        when(col("stop_ratio") > 0.2, "low")
+          .when(col("n_tokens") >= 40, "long")
+          .otherwise("ok"))
+      .select(col("doc_id"), col("n_tokens"), col("n_uniq"), col("stop_cnt"),
+        col("stop_ratio"), col("avg_tok_len"), col("quality"))
+      .orderBy(col("doc_id").asc)
+
+  /** Language-ID heuristic: n-gram ('th' bigram) density + marker words.
+    * A real model would plug in here; the pipeline shape (per-doc featurize
+    * → classify) is what scales. */
+  def textLangid(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bigram_th",
+        ((length(col("text")) - length(regexp_replace(col("text"), "th", ""))) / 2)
+          .cast("long"))
+      .withColumn("marker_cnt",
+        expr("cast(size(filter(split(text, ' '), t -> t IN ('the', 'a'))) AS bigint)"))
+      .withColumn("guess",
+        when(col("marker_cnt") * 5 >= size(toks), "en_like")
+          .when(col("bigram_th") > 2, "th_heavy")
+          .otherwise("other"))
+      .select(col("doc_id"), col("lang"), col("bigram_th"), col("marker_cnt"),
+        col("guess"))
+      .orderBy(col("doc_id").asc)
+
+  /** Document fingerprint: polynomial rolling hash over per-token keys —
+    * pure integer arithmetic, identical fold order on both engines. */
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("fp", expr(
+        "aggregate(" +
+          "transform(split(text, ' '), t -> cast(length(t) * 31 + ascii(substr(t, 1, 1)) AS bigint)), " +
+          "cast(0 AS bigint), (h, x) -> (h * 131 + x) % 1000000007)"))
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id").asc)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tokens"      -> textTokens,
+    "q_text_stats"       -> textStats,
+    "q_dedup_exact"      -> dedupExact,
+    "q_dedup_norm"       -> dedupNorm,
+    "q_text_quality"     -> textQuality,
+    "q_text_langid"      -> textLangid,
+    "q_text_fingerprint" -> textFingerprint
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_text_tokens" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word
+        |ORDER BY cnt DESC, word ASC
+        |LIMIT 20""".stripMargin,
+    "q_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
+        |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang ASC""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT lang, source, min(doc_id) AS keeper, count(*) AS cnt
+        |FROM documents
+        |GROUP BY lang, source
+        |ORDER BY lang ASC, source ASC""".stripMargin,
+    "q_dedup_norm" ->
+      """SELECT array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS sig,
+        |       count(*) AS cnt, min(doc_id) AS keeper
+        |FROM documents
+        |GROUP BY sig
+        |ORDER BY cnt DESC, sig ASC
+        |LIMIT 100""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS n_tokens,
+        |       len(list_distinct(string_split(text, ' '))) AS n_uniq,
+        |       len(list_filter(string_split(text, ' '),
+        |           t -> list_contains(['the', 'a'], t))) AS stop_cnt,
+        |       CAST(len(list_filter(string_split(text, ' '),
+        |           t -> list_contains(['the', 'a'], t))) AS DOUBLE)
+        |         / len(string_split(text, ' ')) AS stop_ratio,
+        |       CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |         / len(string_split(text, ' ')) AS avg_tok_len,
+        |       CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+        |                t -> list_contains(['the', 'a'], t))) AS DOUBLE)
+        |              / len(string_split(text, ' ')) > 0.2 THEN 'low'
+        |            WHEN len(string_split(text, ' ')) >= 40 THEN 'long'
+        |            ELSE 'ok' END AS quality
+        |FROM documents
+        |ORDER BY doc_id ASC""".stripMargin,
+    "q_text_langid" ->
+      """SELECT doc_id, lang,
+        |       (length(text) - length(replace(text, 'th', ''))) // 2 AS bigram_th,
+        |       len(list_filter(string_split(text, ' '),
+        |           t -> list_contains(['the', 'a'], t))) AS marker_cnt,
+        |       CASE WHEN len(list_filter(string_split(text, ' '),
+        |                t -> list_contains(['the', 'a'], t))) * 5
+        |              >= len(string_split(text, ' ')) THEN 'en_like'
+        |            WHEN (length(text) - length(replace(text, 'th', ''))) // 2 > 2
+        |              THEN 'th_heavy'
+        |            ELSE 'other' END AS guess
+        |FROM documents
+        |ORDER BY doc_id ASC""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |       list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(text, ' '),
+        |             t -> CAST(length(t) * 31 + ascii(substr(t, 1, 1)) AS BIGINT))),
+        |         (h, x) -> (h * 131 + x) % 1000000007) AS fp
+        |FROM documents
+        |ORDER BY doc_id ASC""".stripMargin
+  )
+}
