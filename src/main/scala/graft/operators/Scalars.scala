@@ -118,10 +118,11 @@ object Scalars {
       .orderBy(col("c_custkey").asc)
       .limit(300)
 
-  /** JSON extraction from the events.props tag map (OSM tag analog). */
+  /** JSON extraction from the events.props tag map (OSM tag analog).
+    * try_cast → null-on-malformed instead of an ANSI runtime error. */
   def jsonExtract(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS bigint)"))
       .withColumn("k_bucket", expr("k div 10"))
       .groupBy(col("k_bucket"))
       .agg(count(lit(1)).as("cnt"),
@@ -263,7 +264,7 @@ object Scalars {
         |ORDER BY c_custkey ASC
         |LIMIT 300""".stripMargin,
     "q_json_extract" ->
-      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+      """SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
         |       count(*) AS cnt,
         |       round(sum(value), 2) AS sum_val
         |FROM events

