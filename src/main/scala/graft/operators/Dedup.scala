@@ -139,15 +139,13 @@ object Dedup {
     * this is the partition key that turns ANN into a per-bucket local
     * search. */
   def annBuckets(emb: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
     val bits = (0 until NumPlanes).map { p =>
-      val w = array((0 until Dim).map(j => lit(planeWeight(p, j))): _*)
-      val dot = aggregate(
-        zip_with(col("arr"), w, (x, y) => x * y),
-        lit(0.0), (a, v) => a + v)
+      val w = (0 until Dim).map(j => s"${planeWeight(p, j)}D").mkString(", ")
+      val dot = expr(s"vec_dot(embedding, array($w))")
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce[Column](_ + _)
-    emb.withColumn("arr", expr("transform(embedding, x -> cast(x AS double))"))
-      .withColumn("bucket", bits)
+    emb.withColumn("bucket", bits)
   }
 
   def simAnnBuckets(s: SparkSession, d: String): DataFrame =

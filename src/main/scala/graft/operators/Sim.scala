@@ -22,27 +22,23 @@ import graft.Tables
   */
 object Sim {
 
-  private val normExpr =
-    "sqrt(aggregate(transform(embedding, x -> cast(x AS double) * cast(x AS double))," +
-      " cast(0 AS double), (a, x) -> a + x))"
-  private val dotExpr =
-    "aggregate(zip_with(q_arr, c_arr, (x, y) -> x * y), cast(0 AS double), (a, v) -> a + v)"
-
-  private def vectors(s: SparkSession, d: String): DataFrame =
+  private def vectors(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
     Tables.embeddings(s, d)
-      .withColumn("arr", expr("transform(embedding, x -> cast(x AS double))"))
-      .withColumn("nrm", expr(normExpr))
+      .withColumn("nrm", expr("sqrt(vec_dot(embedding, embedding))"))
+  }
 
   private def pairs(s: SparkSession, d: String,
       qFilter: DataFrame => DataFrame,
-      blockOn: (DataFrame, DataFrame) => org.apache.spark.sql.Column): DataFrame = {
+      blockOn: org.apache.spark.sql.Column,
+      pairPred: org.apache.spark.sql.Column): DataFrame = {
     val e = vectors(s, d)
     val q = qFilter(e).select(col("vec_id").as("q_id"), col("label").as("q_label"),
-      col("arr").as("q_arr"), col("nrm").as("q_nrm"))
+      col("embedding").as("q_arr"), col("nrm").as("q_nrm"))
     val c = e.select(col("vec_id").as("c_id"), col("label").as("c_label"),
-      col("arr").as("c_arr"), col("nrm").as("c_nrm"))
-    broadcast(q).join(c, blockOn(q, c) && col("q_id") =!= col("c_id"))
-      .withColumn("dot", expr(dotExpr))
+      col("embedding").as("c_arr"), col("nrm").as("c_nrm"))
+    broadcast(q).join(c, blockOn && pairPred)
+      .withColumn("dot", expr("vec_dot(q_arr, c_arr)"))
       .withColumn("cos", col("dot") / (col("q_nrm") * col("c_nrm")))
   }
 
@@ -51,7 +47,7 @@ object Sim {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id").asc)
     pairs(s, d, _.filter(col("vec_id") < 10),
-        (_, _) => col("q_label") === col("c_label"))
+        col("q_label") === col("c_label"), col("q_id") =!= col("c_id"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)
       .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos_sim"),
@@ -67,7 +63,7 @@ object Sim {
     val w2 = Window.partitionBy(col("q_id"))
       .orderBy(col("votes").desc, col("c_label").asc)
     pairs(s, d, _.filter(col("vec_id") < 10),
-        (_, _) => col("q_label") % 5 === col("c_label") % 5)
+        col("q_label") % 5 === col("c_label") % 5, col("q_id") =!= col("c_id"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .groupBy(col("q_id"), col("c_label"))
@@ -83,8 +79,7 @@ object Sim {
     * within each label block (a<b dedup of the pair space). */
   def dedupEmbcos(s: SparkSession, d: String): DataFrame =
     pairs(s, d, identity,
-        (_, _) => col("q_label") === col("c_label"))
-      .filter(col("q_id") < col("c_id"))
+        col("q_label") === col("c_label"), col("q_id") < col("c_id"))
       .select(col("q_id").as("a_id"), col("c_id").as("b_id"),
         round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("a_id").asc, col("b_id").asc)
