@@ -50,14 +50,25 @@ object Dedup {
   private val BandRows = 4
   private val NumBands = NumPerms / BandRows
 
-  /** Per-doc MinHash signatures: one row per doc with m0..m15 columns.
-    * Token→long via xxhash64, folded into [0, 2^31) so the i-th affine
-    * permutation (a_i·h + b_i) mod p stays overflow-free under ANSI mode
-    * (a_i, b_i, h < 2^31 ⇒ product < 2^62). */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
+  /** Shingle set: n-gram token windows (n=1 degenerates to the token
+    * set). slice() is 1-based; docs shorter than n yield an empty set. */
+  private def shingles(nGram: Int): String = {
+    val base = "split(text, ' ')"
+    if (nGram <= 1) s"array_distinct($base)"
+    else s"array_distinct(CASE WHEN size($base) >= $nGram THEN " +
+      s"transform(sequence(1, size($base) - ${nGram - 1}), " +
+      s"i -> concat_ws(' ', slice($base, i, $nGram))) " +
+      s"ELSE slice($base, 1, 0) END)"
+  }
+
+  /** Per-doc MinHash signatures over n-gram shingles: one row per doc
+    * with m0..m15 columns. Shingle→long via xxhash64, folded into
+    * [0, 2^31) so the i-th affine permutation (a_i·h + b_i) mod p stays
+    * overflow-free under ANSI mode (a_i, b_i, h < 2^31 ⇒ product < 2^62). */
+  def minhashSignatures(docs: DataFrame, nGram: Int = 2): DataFrame = {
     val p = 2147483647L // 2^31 - 1 (Mersenne prime)
     val tokenHashes = docs
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .select(col("doc_id"), explode(expr(shingles(nGram))).as("tok"))
       .withColumn("h", pmod(xxhash64(col("tok")), lit(p)))
     val permCols = (0 until NumPerms).map { i =>
       min((col("h") * lit(1103515245L * (i + 1) % p) + lit(12345L * (i + 1))) % p)
@@ -68,8 +79,8 @@ object Dedup {
 
   /** (doc_id, band_id, bucket): LSH banding — docs sharing a bucket in any
     * band are candidate pairs. */
-  def minhashBuckets(docs: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(docs)
+  def minhashBuckets(docs: DataFrame, nGram: Int = 2): DataFrame = {
+    val sigs = minhashSignatures(docs, nGram)
     val bands = (0 until NumBands).map { b =>
       val cols = (b * BandRows until (b + 1) * BandRows).map(i => col(s"m$i"))
       struct(lit(b).cast("long").as("band_id"), xxhash64(cols: _*).as("bucket"))
@@ -79,8 +90,8 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs from LSH bucketing (same band+bucket). */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
-    val bk = minhashBuckets(docs)
+  def minhashCandidates(docs: DataFrame, nGram: Int = 2): DataFrame = {
+    val bk = minhashBuckets(docs, nGram)
     val l = bk.select(col("band_id"), col("bucket"), col("doc_id").as("a_id"))
     val r = bk.select(col("band_id").as("band_r"), col("bucket").as("bucket_r"),
       col("doc_id").as("b_id"))

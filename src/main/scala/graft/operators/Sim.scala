@@ -85,10 +85,36 @@ object Sim {
       .orderBy(col("cos_sim").desc, col("a_id").asc, col("b_id").asc)
       .limit(20)
 
+  /** IVF-style ANN, assignment stage: coarse-quantize every vector to its
+    * nearest centroid by cosine. Deterministic training stub: the first 8
+    * vectors serve as centroids (production would k-means; the
+    * assign/search plumbing is what scales — probe-1 search is this
+    * assignment composed with simTopk restricted to the assigned list).
+    * The centroid join is a *bounded* broadcast (8 rows), not an
+    * unbounded cartesian. */
+  def simIvf(s: SparkSession, d: String): DataFrame = {
+    val e = vectors(s, d)
+    val c = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        col("nrm").as("cnrm"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("cid").asc)
+    e.select(col("vec_id"), col("embedding"), col("nrm"))
+      .crossJoin(broadcast(c))
+      .withColumn("score",
+        expr("vec_dot(embedding, cemb)") / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("cid").as("list_id"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("list_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk"     -> simTopk,
     "q_knn_label"    -> knnLabel,
-    "q_dedup_embcos" -> dedupEmbcos
+    "q_dedup_embcos" -> dedupEmbcos,
+    "q_sim_ivf"      -> simIvf
   )
 
   private val eCte =
@@ -151,6 +177,27 @@ object Sim {
         |       round(""" + dotSql + """, 4) AS cos_sim
         |FROM e q JOIN e c ON q.label = c.label AND q.vec_id < c.vec_id
         |ORDER BY cos_sim DESC, a_id ASC, b_id ASC
-        |LIMIT 20""").stripMargin
+        |LIMIT 20""").stripMargin,
+    "q_sim_ivf" ->
+      (eCte + """,
+        |cc AS (
+        |  SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+        |  FROM e WHERE vec_id < 8),
+        |sc AS (
+        |  SELECT e.vec_id, cc.cid,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(list_zip(e.embedding, cc.cemb),
+        |             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),
+        |           (a, x) -> a + x) / (e.nrm * cc.cnrm) AS score
+        |  FROM e, cc),
+        |r AS (
+        |  SELECT vec_id, cid,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY score DESC, cid ASC) AS rn
+        |  FROM sc)
+        |SELECT cid AS list_id, count(*) AS n_vecs
+        |FROM r WHERE rn = 1
+        |GROUP BY list_id
+        |ORDER BY list_id ASC""").stripMargin
   )
 }

@@ -105,7 +105,22 @@ object Text {
       .select(col("doc_id"), col("fp"))
       .orderBy(col("doc_id").asc)
 
+  /** Token counting two ways: whitespace split vs a BPE-ish regex
+    * tokenizer (word / digit-run / single-symbol pieces) — the
+    * pretraining-cost estimator shape. Ratio is integer-fed division. */
+  def textBpe(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_ws", size(toks).cast("long"))
+      .withColumn("n_bpe",
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long"))
+      .withColumn("pieces_per_word",
+        col("n_bpe").cast("double") / col("n_ws"))
+      .select(col("doc_id"), col("n_ws"), col("n_bpe"), col("pieces_per_word"))
+      .orderBy(col("doc_id").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_bpe"         -> textBpe,
     "q_text_tokens"      -> textTokens,
     "q_text_stats"       -> textStats,
     "q_dedup_exact"      -> dedupExact,
@@ -116,6 +131,14 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_bpe" ->
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS n_ws,
+        |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE)
+        |         / len(string_split(text, ' ')) AS pieces_per_word
+        |FROM documents
+        |ORDER BY doc_id ASC""".stripMargin,
     "q_text_tokens" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

@@ -18,10 +18,17 @@ class DedupSimSpec extends SparkSpec {
     ).toDF("doc_id", "text")
   }
 
-  test("minhash LSH buckets collide for near-duplicates, not for unrelated docs") {
-    val cands = operators.Dedup.minhashCandidates(corpus)
+  test("minhash LSH (token sets, n=1): identical sets collide, unrelated don't") {
+    val cands = operators.Dedup.minhashCandidates(corpus, nGram = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cands.contains((0L, 2L))) // identical token sets always collide
+    assert(!cands.contains((0L, 3L)) && !cands.contains((3L, 4L)))
+  }
+
+  test("minhash LSH (shingles, n=2): near-dup collides, token-reorder does not") {
+    val cands = operators.Dedup.minhashCandidates(corpus, nGram = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L))) // 9/10 shared shingles → bands collide
     assert(!cands.contains((0L, 3L)) && !cands.contains((3L, 4L)))
   }
 

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Source/sink round-trips (SURVEY §2.1 non-query rows): the reference
+  * exports CSV; parquet is the Verify harness's native sink. */
+class SinksSpec extends SparkSpec {
+
+  test("CSV sink round-trips the cleaned star tables") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val tags = sources.OsmXml.cleanTags(
+      sources.OsmXml.nodesTags(spark, getClass.getResource("/sample.osm").getPath))
+    tags.write.mode("overwrite").option("header", "true").csv(s"$dir/nodes_tags")
+    val back = spark.read.option("header", "true").csv(s"$dir/nodes_tags")
+    assert(back.count() == tags.count())
+    assert(back.columns.toSeq == Seq("id", "key", "value", "type"))
+    val street = back.filter(col("key") === "street").head()
+    assert(street.getAs[String]("value") == "King Street")
+  }
+
+  test("parquet sink preserves schema and order-insensitive content") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    val df = operators.Aggs.topkGroups(spark, sf0001)
+    df.write.mode("overwrite").parquet(s"$dir/topk")
+    val back = spark.read.parquet(s"$dir/topk")
+    // nullability flags may widen through parquet; names+types must hold
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy(desc("cnt"), asc("user_id")).collect().toSeq ==
+      df.collect().toSeq)
+  }
+}

@@ -46,6 +46,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows("2024-01-01 10:00:00.0") == 2L)
   }
 
+  test("mapGroupsWithState maintains custom per-key state across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    def update(user: Long, rows: Iterator[(Long, Double)],
+        state: GroupState[(Long, Double)]): (Long, Long, Double) = {
+      val (c0, s0) = state.getOption.getOrElse((0L, 0.0))
+      var c = c0; var s = s0
+      rows.foreach { r => c += 1; s += r._2 }
+      state.update((c, s))
+      (user, c, s)
+    }
+    val out = mem.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+      .toDF("user_id", "n", "total")
+    val q = out.writeStream.format("memory").queryName("mgws_test")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData((1L, 1.0), (1L, 2.0), (2L, 5.0))
+    q.processAllAvailable()
+    mem.addData((1L, 3.0))   // state for user 1 must carry over
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("mgws_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // last update for user 1 reflects accumulated state: 3 events, sum 6.0
+    assert(rows.contains((1L, 3L, 6.0)) && rows.contains((2L, 1L, 5.0)))
+  }
+
   test("session_window agrees with batch lag/cumsum sessionization") {
     import spark.implicits._
     def ts(s: String) = Timestamp.valueOf(s)
