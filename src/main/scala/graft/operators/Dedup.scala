@@ -100,6 +100,25 @@ object Dedup {
       .select(col("a_id"), col("b_id")).distinct()
   }
 
+  /** The production near-dup pipeline at corpus scale: LSH candidate
+    * generation (near-linear) followed by exact Jaccard verification on
+    * the candidates only — never an all-pairs join. The (lang, source)
+    * blocking in dedupJaccard is for bounded blocks; THIS is the 100 TB
+    * path. */
+  def nearDupPairs(docs: DataFrame, nGram: Int = 2,
+      threshold: Double = 0.7): DataFrame = {
+    val withSets = docs.withColumn("tset", expr(shingles(nGram)))
+    val a = withSets.select(col("doc_id").as("a_id"), col("tset").as("ta"))
+    val b = withSets.select(col("doc_id").as("b_id"), col("tset").as("tb"))
+    minhashCandidates(docs, nGram)
+      .join(a, "a_id").join(b, "b_id")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("jac", col("inter").cast("double") /
+        ((size(col("ta")) + size(col("tb"))).cast("long") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jac"))
+  }
+
   /** Query surface: per-band bucket statistics (always NumBands rows).
     * Pair extraction itself is pinned by unit tests on crafted near-dups. */
   def dedupMinhash(s: SparkSession, d: String): DataFrame =

@@ -67,6 +67,23 @@ class DedupSimSpec extends SparkSpec {
     assert(b1.size == emb.count())
   }
 
+  test("nearDupPairs: LSH candidates verified by exact Jaccard") {
+    val pairs = operators.Dedup.nearDupPairs(corpus, nGram = 1, threshold = 0.7)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) == 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => Set(a, b).contains(3L) })
+  }
+
+  test("salted aggregation equals plain groupBy aggregation") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf0001)
+    val plain = ev.groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = operators.Skew.saltedCount(ev, col("event_type"), 8, col("event_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
   test("decode stub counts bytes exactly") {
     val f = multimodal.Multimodal.decodeStub(
       multimodal.MediaIn(1L, "beat a tree".getBytes("UTF-8")))

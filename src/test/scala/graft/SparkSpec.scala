@@ -16,6 +16,8 @@ object SparkSpec {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.sql.debug.maxToStringFields", "2000")
       .config("spark.sql.maxMetadataStringLength", "10000")
       .config("spark.sql.maxPlanStringLength", (8 << 20).toString)
