@@ -78,7 +78,14 @@ object Windows {
   }
 
   /** ntile quartiles of customer balance + analytic first/last value over
-    * a running frame. */
+    * a running frame.
+    *
+    * Scale note: an unpartitioned window is a single-task total order —
+    * exact ntile/global-rank semantics require it. At 100 TB the scale
+    * path is approx (`approx_percentile` cutoffs joined back, or a
+    * range-partitioned two-pass rank); this query keeps the exact form
+    * because its oracle demands exact quartiles and the dimension table
+    * is the small side by design. */
   def winNtile(s: SparkSession, d: String): DataFrame = {
     val ord = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
     val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
