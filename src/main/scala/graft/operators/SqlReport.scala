@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** The engine's SQL text surface (SURVEY §1.2: temp views + spark.sql) —
+  * the reference's analytics layer is literal SQL over the star schema,
+  * so two of its report-query shapes run here as SQL strings: the
+  * flagship top-contributors and the aggregate-over-aggregate
+  * contribution distribution (subquery in FROM). Catalyst plans SQL text
+  * and DataFrame DSL identically — these compile to the same plans as
+  * their DSL twins. */
+object SqlReport {
+
+  private def view(s: SparkSession, d: String): Unit =
+    Tables.events(s, d).createOrReplaceTempView("events_v")
+
+  def sqlTopUsers(s: SparkSession, d: String): DataFrame = {
+    view(s, d)
+    s.sql("""SELECT user_id, count(*) AS cnt
+            |FROM events_v
+            |GROUP BY user_id
+            |ORDER BY cnt DESC, user_id ASC
+            |LIMIT 10""".stripMargin)
+  }
+
+  /** "Distribution of per-user contribution counts" — aggregate over an
+    * aggregate via subquery-in-FROM. */
+  def sqlContribDist(s: SparkSession, d: String): DataFrame = {
+    view(s, d)
+    s.sql("""SELECT cnt, count(*) AS n_users
+            |FROM (SELECT user_id, count(*) AS cnt
+            |      FROM events_v GROUP BY user_id)
+            |GROUP BY cnt
+            |ORDER BY cnt ASC""".stripMargin)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_topusers"     -> sqlTopUsers,
+    "q_sql_contrib_dist" -> sqlContribDist
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sql_topusers" ->
+      """SELECT user_id, count(*) AS cnt
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY cnt DESC, user_id ASC
+        |LIMIT 10""".stripMargin,
+    "q_sql_contrib_dist" ->
+      """SELECT cnt, count(*) AS n_users
+        |FROM (SELECT user_id, count(*) AS cnt
+        |      FROM events GROUP BY user_id)
+        |GROUP BY cnt
+        |ORDER BY cnt ASC""".stripMargin
+  )
+}

@@ -38,6 +38,30 @@ class OsmXmlSpec extends SparkSpec {
     assert(wn.toSeq == Seq((100L, 1L, 0), (100L, 2L, 1), (100L, 3L, 2)))
   }
 
+  test("audit finds unexpected street types before cleaning, none after") {
+    val tags = sources.OsmXml.nodesTags(spark, fixture)
+    val before = sources.OsmPipeline.auditStreetTypes(tags).collect()
+    assert(before.length == 1 && before(0).getString(0) == "St"
+      && before(0).getLong(1) == 1L)
+    val after = sources.OsmPipeline.auditStreetTypes(
+      sources.OsmXml.cleanTags(tags)).collect()
+    assert(after.isEmpty)
+  }
+
+  test("processMap writes the cleaned 5-table star; report queries run over it") {
+    val out = java.nio.file.Files.createTempDirectory("graft-osm").toString
+    val star = sources.OsmPipeline.processMap(spark, fixture, out)
+    assert(star.keySet == Set("nodes", "nodes_tags", "ways", "ways_tags", "ways_nodes"))
+    assert(spark.read.parquet(s"$out/nodes").count() == 3)
+    assert(spark.read.parquet(s"$out/nodes_tags")
+      .filter(col("key") === "street").head().getAs[String]("value") == "King Street")
+    val top = sources.OsmPipeline.topContributors(star).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    assert(top.head == ("alice", 2L)) // nodes 1 and 3
+    val amen = sources.OsmPipeline.topAmenities(star).collect()
+    assert(amen.length == 1 && amen(0).getString(0) == "cafe")
+  }
+
   test("cleaning pass: St→Street, postcode upper-cased; idempotent") {
     val cleaned = sources.OsmXml.cleanTags(sources.OsmXml.nodesTags(spark, fixture))
     val vals = cleaned.orderBy("id", "key").collect()
