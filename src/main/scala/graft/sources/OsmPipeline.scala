@@ -58,6 +58,32 @@ object OsmPipeline {
       .orderBy(col("cnt").desc, col("uid").asc)
       .limit(k)
 
+  /** mapparser.py analog: top-level element census — read the whole doc
+    * as one row and count the repeated children (includes relations,
+    * which the star flattener skips). */
+  def tagCensus(spark: SparkSession, xmlPath: String): Map[String, Long] = {
+    val doc = spark.read.format("xml").option("rowTag", "osm").load(xmlPath)
+    // XML inference yields an array for repeated children but a bare
+    // struct for a single occurrence — and omits absent elements.
+    def cnt(name: String) =
+      if (!doc.schema.fieldNames.contains(name)) lit(0L)
+      else doc.schema(name).dataType match {
+        case _: org.apache.spark.sql.types.ArrayType =>
+          coalesce(size(col(name)).cast("long"), lit(0L))
+        case _ => when(col(name).isNotNull, 1L).otherwise(0L)
+      }
+    val row = doc.select(cnt("node").as("node"), cnt("way").as("way"),
+      cnt("relation").as("relation")).head()
+    Seq("node", "way", "relation").map(n => n -> row.getAs[Long](n)).toMap
+  }
+
+  /** users.py analog: count of distinct contributors across both element
+    * types. */
+  def contributorCount(star: Map[String, DataFrame]): Long =
+    star("nodes").select(col("uid"))
+      .unionByName(star("ways").select(col("uid")))
+      .distinct().count()
+
   /** Report: per-amenity counts from node tags (top-amenities shape). */
   def topAmenities(star: Map[String, DataFrame], k: Int = 10): DataFrame =
     star("nodes_tags").filter(col("key") === "amenity")

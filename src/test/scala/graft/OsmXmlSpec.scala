@@ -2,6 +2,10 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+/** Typed-row fixture for the Dataset-surface test (top-level for the
+  * implicit Encoder derivation). */
+case class Ev(user_id: Long, value: Double)
+
 /** OSM-XML → star flattening golden test (FIXTURES.md §B). */
 class OsmXmlSpec extends SparkSpec {
 
@@ -60,6 +64,42 @@ class OsmXmlSpec extends SparkSpec {
     assert(top.head == ("alice", 2L)) // nodes 1 and 3
     val amen = sources.OsmPipeline.topAmenities(star).collect()
     assert(amen.length == 1 && amen(0).getString(0) == "cafe")
+  }
+
+  test("tag census counts all top-level element types; contributor count dedups") {
+    assert(sources.OsmPipeline.tagCensus(spark, fixture) ==
+      Map("node" -> 3L, "way" -> 1L, "relation" -> 1L))
+    val star = sources.OsmXml.loadStar(spark, fixture)
+    assert(sources.OsmPipeline.contributorCount(star) == 3) // alice, bob, carol
+  }
+
+  test("validation: star conforms to the declared schema; violations surface") {
+    import org.apache.spark.sql.types._
+    val nodes = sources.OsmXml.nodes(spark, fixture)
+    val expected = StructType(Seq(
+      StructField("id", LongType), StructField("lat", DoubleType),
+      StructField("lon", DoubleType), StructField("user", StringType),
+      StructField("uid", LongType), StructField("version", StringType),
+      StructField("changeset", LongType), StructField("timestamp", StringType)))
+    Validate.conforms(nodes, expected, Seq("id", "lat", "lon", "uid"))
+    // a violating frame is detected
+    import spark.implicits._
+    val dirty = Seq((Some(1L), Some("a")), (None, Some("b")), (Some(3L), None))
+      .toDF("id", "user")
+    assert(Validate.nullViolations(dirty, Seq("id", "user")).count() == 2)
+    intercept[IllegalStateException] {
+      Validate.conforms(dirty, dirty.schema, Seq("id"))
+    }
+  }
+
+  test("typed Dataset surface: case-class rows through groupByKey") {
+    import spark.implicits._
+    val ds = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("value")).as[Ev]
+    val counts = ds.groupByKey(_.user_id).count().collect().toMap
+    val expected = Tables.events(spark, sf0001).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == expected)
   }
 
   test("cleaning pass: St→Street, postcode upper-cased; idempotent") {
