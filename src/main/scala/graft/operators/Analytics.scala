@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Advanced analytics aggregates: exact percentiles, statistical moments,
+  * content-hash dedup, and ordered-array explosion (the ways_nodes shape).
+  *
+  * Percentile determinism: interpolated quantiles of 2-decimal-quantized
+  * doubles land on half-cent midpoints (p50 of an even group is exactly
+  * x.xx5) — rounded at 4, where the true values (≤3 decimals) have no
+  * boundary. Moment aggregates (stddev/var/corr/covar) differ only in
+  * final ulps between engines' merge orders; rounding absorbs that.
+  */
+object Analytics {
+
+  /** Exact interpolated percentiles per order priority. */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderpriority").asc)
+
+  /** Moment-based statistics per returnflag. */
+  def statsAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qp"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc)
+
+  /** Content-addressable dedup key: sha256 of the document body — the
+    * exact-dup path of a pretraining pipeline (hash once, group by
+    * digest). */
+  def dedupHash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+      .orderBy(col("doc_id").asc)
+
+  /** Ordered-array explosion with positions — the reference's ways_nodes
+    * table shape (array index materialized as `position`). */
+  def posExplode(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 3)))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        col("col").cast("double").as("val"))
+      .orderBy(col("vec_id").asc, col("pos").asc)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_percentile"  -> percentiles,
+    "q_stats_agg"   -> statsAgg,
+    "q_dedup_hash"  -> dedupHash,
+    "q_posexplode"  -> posExplode
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_percentile" ->
+      """SELECT o_orderpriority,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |       count(*) AS cnt
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        |       round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |       round(var_samp(l_quantity), 4) AS var_qty,
+        |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC""".stripMargin,
+    "q_dedup_hash" ->
+      """SELECT doc_id, sha256(text) AS digest
+        |FROM documents
+        |ORDER BY doc_id ASC""".stripMargin,
+    "q_posexplode" ->
+      """SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+        |       CAST(embedding[i] AS DOUBLE) AS val
+        |FROM embeddings CROSS JOIN (VALUES (1), (2), (3)) t(i)
+        |ORDER BY vec_id ASC, pos ASC""".stripMargin
+  )
+}

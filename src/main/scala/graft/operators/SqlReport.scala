@@ -35,9 +35,20 @@ object SqlReport {
             |ORDER BY cnt ASC""".stripMargin)
   }
 
+  /** Explicit GROUPING SETS (beyond rollup/cube) through SQL text. */
+  def sqlGroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+            |FROM orders_v
+            |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+            |ORDER BY o_orderstatus ASC NULLS FIRST,
+            |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_sql_topusers"     -> sqlTopUsers,
-    "q_sql_contrib_dist" -> sqlContribDist
+    "q_sql_topusers"      -> sqlTopUsers,
+    "q_sql_contrib_dist"  -> sqlContribDist,
+    "q_sql_grouping_sets" -> sqlGroupingSets
   )
 
   val oracle: Map[String, String] = Map(
@@ -52,6 +63,12 @@ object SqlReport {
         |FROM (SELECT user_id, count(*) AS cnt
         |      FROM events GROUP BY user_id)
         |GROUP BY cnt
-        |ORDER BY cnt ASC""".stripMargin
+        |ORDER BY cnt ASC""".stripMargin,
+    "q_sql_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin
   )
 }

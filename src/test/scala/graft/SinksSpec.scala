@@ -18,6 +18,27 @@ class SinksSpec extends SparkSpec {
     assert(street.getAs[String]("value") == "King Street")
   }
 
+  test("CSV source: PERMISSIVE mode surfaces corrupt records instead of failing") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dirty").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/dirty.csv"),
+      "1,alice\nnot_a_number,bob\n3,carol\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("_corrupt_record", StringType)))
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir).cache()
+    try {
+      assert(df.count() == 3)
+      val bad = df.filter(col("_corrupt_record").isNotNull).collect()
+      assert(bad.length == 1 && bad(0).getAs[String]("_corrupt_record")
+        .startsWith("not_a_number"))
+      assert(df.filter(col("id").isNotNull).count() == 2)
+    } finally df.unpersist()
+  }
+
   test("parquet sink preserves schema and order-insensitive content") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
     val df = operators.Aggs.topkGroups(spark, sf0001)
