@@ -113,7 +113,36 @@ object Joins {
       .orderBy(col("event_id").asc)
   }
 
+  /** Generic TWO-stream as-of join (the case lag() can't express): for
+    * each non-signup event, the same user's most recent signup at-or-
+    * before it. Implemented as merge + last-observation-carried-forward:
+    * union both streams (here: two filtered views of one table), sort
+    * within the user partition, carry the last signup forward with
+    * last(ignoreNulls) — one shuffle, sort-merge semantics, no
+    * backward-looking self-join blow-up. The oracle is DuckDB's native
+    * ASOF LEFT JOIN, so this pins real as-of semantics. */
+  def joinAsofStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("sig_id",
+        when(col("event_type") === "signup", col("event_id")))
+      .withColumn("sig_ts_us",
+        when(col("event_type") === "signup", unix_micros(col("ts"))))
+      .withColumn("asof_sig_id", last(col("sig_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_sig_ts", last(col("sig_ts_us"), ignoreNulls = true).over(w))
+      .filter(col("event_type") =!= "signup")
+      .withColumn("since_signup_us",
+        unix_micros(col("ts")) - col("asof_sig_ts"))
+      .select(col("event_id"), col("user_id"), col("asof_sig_id"),
+        col("since_signup_us"))
+      .orderBy(col("event_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_asof2"     -> joinAsofStream,
     "q_join_inner"     -> joinInner,
     "q_join_broadcast" -> joinBroadcast,
     "q_join_left"      -> joinLeft,
@@ -124,6 +153,13 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_asof2" ->
+      """SELECT e.event_id, e.user_id, s.event_id AS asof_sig_id,
+        |       epoch_us(e.ts) - epoch_us(s.ts) AS since_signup_us
+        |FROM (SELECT * FROM events WHERE event_type <> 'signup') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY e.event_id ASC""".stripMargin,
     "q_join_inner" ->
       """SELECT o_orderkey, c_custkey, c_name, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -98,6 +98,19 @@ object Windows {
       .orderBy(col("c_custkey").asc)
   }
 
+  /** The 100 TB quartile path documented on winNtile: approx_percentile
+    * cutoffs (a tiny driver-side array) + a narrow, shuffle-free
+    * assignment map. Not oracled (sketch-based cutoffs differ across
+    * engines); NtileScaleSpec asserts ≥97% agreement with exact ntile. */
+  def approxQuartiles(df: org.apache.spark.sql.DataFrame, c: String): org.apache.spark.sql.DataFrame = {
+    val cuts = df.stat.approxQuantile(c, Array(0.25, 0.5, 0.75), 0.001)
+    df.withColumn("quartile",
+      when(col(c) <= cuts(0), 1L)
+        .when(col(c) <= cuts(1), 2L)
+        .when(col(c) <= cuts(2), 3L)
+        .otherwise(4L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_win_rank"        -> winRank,
     "q_win_running"     -> winRunning,

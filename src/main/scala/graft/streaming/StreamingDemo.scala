@@ -3,6 +3,13 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Event row for the custom-state sessionizer (top-level for Encoder
+  * derivation). */
+case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
+
+/** A closed session emitted by the sessionizer. */
+case class SessionOut(user_id: Long, start_s: Long, end_s: Long, n_events: Long)
+
 /** Structured Streaming surface (SURVEY.md §2.10): the same tumbling
   * aggregation as the batch q_evt_tumbling, run as a stream with an
   * event-time watermark. No SQL oracle is possible for a stream, so the
@@ -40,6 +47,51 @@ object StreamingDemo {
       .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
       .select(unix_timestamp(col("window.start")).as("ws"), col("event_type"),
         col("cnt"), col("sum_cents"))
+
+  /** Custom-state streaming sessionization via flatMapGroupsWithState:
+    * per-user state = (start, last, count); an event-time timeout closes
+    * the session once the watermark passes last + gap and emits it in
+    * append mode. This is the production pattern for state Spark's
+    * built-in windows can't express; state is bounded per key and evicted
+    * on timeout. */
+  def sessionize(events: org.apache.spark.sql.Dataset[SessEvent],
+      gapSec: Long): org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    def update(user: Long, rows: Iterator[SessEvent],
+        state: GroupState[(Long, Long, Long)]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val (st, en, n) = state.get
+        state.remove()
+        Iterator(SessionOut(user, st, en, n))
+      } else {
+        val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+        var cur = state.getOption
+        rows.toSeq.sortBy(e => e.ts.getTime).foreach { e =>
+          val t = e.ts.getTime / 1000
+          cur match {
+            case Some((st, en, n)) if t - en <= gapSec =>
+              cur = Some((st, t, n + 1))
+            case Some((st, en, n)) =>
+              closed += SessionOut(user, st, en, n)
+              cur = Some((t, t, 1L))
+            case None =>
+              cur = Some((t, t, 1L))
+          }
+        }
+        cur.foreach { c =>
+          state.update(c)
+          state.setTimeoutTimestamp(c._2 * 1000 + gapSec * 1000)
+        }
+        closed.iterator
+      }
+    }
+    events
+      .withWatermark("ts", s"$gapSec seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
 
   /** Run the stream to completion against the (finite) file source and
     * return the materialized result from the in-memory sink. */

@@ -103,6 +103,29 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("ckpt_t2").head().getLong(0) == 2000L)
   }
 
+  test("flatMapGroupsWithState sessionizer closes sessions on event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[streaming.SessEvent]
+    def t(min: Int) = new Timestamp(
+      Timestamp.valueOf("2024-01-01 10:00:00").getTime + min * 60000L)
+    val out = streaming.StreamingDemo.sessionize(mem.toDS(), gapSec = 1800)
+    val q = out.writeStream.format("memory").queryName("fmgws_test")
+      .outputMode("append").start()
+    mem.addData(streaming.SessEvent(1L, t(0)), streaming.SessEvent(1L, t(10)))
+    q.processAllAvailable()
+    // watermark advances far past user 1's last event + gap → timeout fires
+    mem.addData(streaming.SessEvent(2L, t(300)))
+    q.processAllAvailable()
+    mem.addData(streaming.SessEvent(2L, t(301)))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("fmgws_test").collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    // user 1's 2-event session was closed and emitted exactly once
+    assert(sessions.count(_ == (1L, 2L)) == 1)
+  }
+
   test("foreachBatch sink receives each micro-batch exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
