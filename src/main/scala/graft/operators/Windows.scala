@@ -98,6 +98,18 @@ object Windows {
       .orderBy(col("c_custkey").asc)
   }
 
+  /** percent_rank / cume_dist per market segment: rank-derived ratios are
+    * divisions of identical integers on both engines — bit-exact raw. */
+  def winPctRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(s, d)
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .select(col("c_custkey"), col("c_mktsegment"), col("pr"), col("cd"))
+      .orderBy(col("c_custkey").asc)
+  }
+
   /** The 100 TB quartile path documented on winNtile: approx_percentile
     * cutoffs (a tiny driver-side array) + a narrow, shuffle-free
     * assignment map. Not oracled (sketch-based cutoffs differ across
@@ -116,7 +128,8 @@ object Windows {
     "q_win_running"     -> winRunning,
     "q_win_lag"         -> winLag,
     "q_win_range_frame" -> winRangeFrame,
-    "q_win_ntile"       -> winNtile
+    "q_win_ntile"       -> winNtile,
+    "q_win_pctrank"     -> winPctRank
   )
 
   val oracle: Map[String, String] = Map(
@@ -160,6 +173,14 @@ object Windows {
         |             ORDER BY epoch_us(ts) // 1000000 ASC
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id ASC""".stripMargin,
+    "q_win_pctrank" ->
+      """SELECT c_custkey, c_mktsegment,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_custkey ASC""".stripMargin,
     "q_win_ntile" ->
       """SELECT c_custkey, c_acctbal,
         |       ntile(4) OVER ord AS quartile,
