@@ -66,6 +66,35 @@ class WranglingSpec extends SparkSpec {
     assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop).passed)
   }
 
+  test("haversine properties: symmetry, identity, non-negativity, bound") {
+    val h = operators.Geo.haversineKm
+    val gen = for {
+      lat1 <- Gen.choose(-89.0, 89.0); lon1 <- Gen.choose(-179.0, 179.0)
+      lat2 <- Gen.choose(-89.0, 89.0); lon2 <- Gen.choose(-179.0, 179.0)
+    } yield (lat1, lon1, lat2, lon2)
+    val prop = forAll(gen) { case (a, b, c, d) =>
+      val fwd = h(a, b, c, d); val rev = h(c, d, a, b)
+      math.abs(fwd - rev) < 1e-9 && fwd >= 0 &&
+        fwd <= 20039.0 && // half the mean circumference + slack
+        h(a, b, a, b) == 0.0
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+
+  test("jaccard properties: range [0,1], self-similarity 1 (property)") {
+    val gen = for {
+      a <- Gen.nonEmptyListOf(Gen.choose(0, 30))
+      b <- Gen.nonEmptyListOf(Gen.choose(0, 30))
+    } yield (a.toSet, b.toSet)
+    val prop = forAll(gen) { case (sa, sb) =>
+      val inter = (sa & sb).size.toDouble
+      val jac = inter / (sa.size + sb.size - inter)
+      jac >= 0.0 && jac <= 1.0 &&
+        { val self = sa.size.toDouble / sa.size; self == 1.0 }
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+
   test("set operation cardinality laws vs Scala sets (property)") {
     import spark.implicits._
     val gen = for {
