@@ -13,6 +13,12 @@ case class MediaIn(doc_id: Long, media: Array[Byte])
 case class MediaFeat(doc_id: Long, n_bytes: Long, cnt_a: Long, cnt_e: Long,
   cnt_t: Long, ratio_a: Double, ratio_e: Double)
 
+/** One sampled "frame": a byte window of the payload. */
+case class MediaFrame(doc_id: Long, frame_id: Long, frame: Array[Byte])
+
+/** A "resized" payload: fixed-size deterministic byte downsample. */
+case class MediaResized(doc_id: Long, resized: Array[Byte])
+
 /** Multimodal column plumbing (driver-ordered extension).
   *
   * Real pipelines decode media with native libs inside a partition-wise
@@ -48,6 +54,44 @@ object Multimodal {
       a.toDouble / n, e.toDouble / n)
   }
 
+  /** STUB frame sampler (video frame-sample analog): n evenly-spaced
+    * fixed-width byte windows per payload. A real implementation would
+    * seek keyframes with a codec; the batch shape (one payload → n typed
+    * frame rows, partition-wise) is the real contract. */
+  def frameSampleStub(in: MediaIn, nFrames: Int, width: Int): Seq[MediaFrame] = {
+    val len = in.media.length
+    (0 until nFrames).map { f =>
+      val start = (len.toLong * f / nFrames).toInt
+      val end = math.min(start + width, len)
+      MediaFrame(in.doc_id, f.toLong, java.util.Arrays.copyOfRange(in.media, start, end))
+    }
+  }
+
+  /** STUB resize (image-resize analog): deterministic every-k-th-byte
+    * downsample to a fixed budget. Real code would call an image lib. */
+  def resizeStub(in: MediaIn, targetBytes: Int): MediaResized = {
+    val len = in.media.length
+    if (len <= targetBytes) MediaResized(in.doc_id, in.media)
+    else {
+      val out = new Array[Byte](targetBytes)
+      var i = 0
+      while (i < targetBytes) {
+        out(i) = in.media((len.toLong * i / targetBytes).toInt)
+        i += 1
+      }
+      MediaResized(in.doc_id, out)
+    }
+  }
+
+  /** Partition-wise frame sampling: one payload row → nFrames frame rows. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      nFrames: Int = 3, width: Int = 16): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[MediaIn]
+      .flatMap(frameSampleStub(_, nFrames, width))
+      .toDF()
+  }
+
   /** Partition-wise decode: binary column in, typed features out. */
   def decodeFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
@@ -76,9 +120,19 @@ object Multimodal {
   def mmFeatures(s: SparkSession, d: String): DataFrame =
     decodeFeatures(s, mediaTable(s, d)).orderBy(col("doc_id").asc)
 
+  /** Frame sampling end-to-end, digested so the output is flat and the
+    * frame extraction arithmetic is oracle-checkable byte-for-byte. */
+  def mmFrames(s: SparkSession, d: String): DataFrame =
+    sampleFrames(s, mediaTable(s, d))
+      .select(col("doc_id"), col("frame_id"),
+        length(col("frame")).cast("long").as("frame_len"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy(col("doc_id").asc, col("frame_id").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_binary"   -> mmBinary,
-    "q_mm_features" -> mmFeatures
+    "q_mm_features" -> mmFeatures,
+    "q_mm_frames"   -> mmFrames
   )
 
   val oracle: Map[String, String] = Map(
@@ -89,6 +143,12 @@ object Multimodal {
         |       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
         |FROM documents
         |ORDER BY doc_id ASC""".stripMargin,
+    "q_mm_frames" ->
+      """SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+        |       length(substr(text, (length(text) * frame_id) // 3 + 1, 16)) AS frame_len,
+        |       md5(substr(text, (length(text) * frame_id) // 3 + 1, 16)) AS frame_md5
+        |FROM documents CROSS JOIN (VALUES (0), (1), (2)) f(frame_id)
+        |ORDER BY doc_id ASC, frame_id ASC""".stripMargin,
     "q_mm_features" ->
       """SELECT doc_id,
         |       length(text) AS n_bytes,

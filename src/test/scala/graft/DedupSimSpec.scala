@@ -90,4 +90,18 @@ class DedupSimSpec extends SparkSpec {
     assert(f.n_bytes == 11 && f.cnt_a == 2 && f.cnt_e == 3 && f.cnt_t == 2)
     assert(f.ratio_a == 2.0 / 11)
   }
+
+  test("frame sampler emits evenly-spaced windows; resize hits the byte budget") {
+    val in = multimodal.MediaIn(7L, ("abcdefghij" * 6).getBytes("UTF-8")) // 60 bytes
+    val frames = multimodal.Multimodal.frameSampleStub(in, nFrames = 3, width = 16)
+    assert(frames.map(_.frame_id) == Seq(0L, 1L, 2L))
+    assert(frames.map(f => new String(f.frame)).toSeq ==
+      Seq("abcdefghijabcdef", "abcdefghijabcdef", "abcdefghijabcdef"))
+    val short = multimodal.MediaIn(8L, "abcde".getBytes("UTF-8"))
+    assert(multimodal.Multimodal.frameSampleStub(short, 3, 16)
+      .map(f => new String(f.frame)) == Seq("abcde", "bcde", "de"))
+    val rz = multimodal.Multimodal.resizeStub(in, 10)
+    assert(rz.resized.length == 10)
+    assert(multimodal.Multimodal.resizeStub(short, 10).resized.sameElements(short.media))
+  }
 }
