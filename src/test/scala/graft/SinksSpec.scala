@@ -39,6 +39,19 @@ class SinksSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("XML sink round-trips the nodes table (sample.py writes OSM XML)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xml").toString
+    val nodes = sources.OsmXml.nodes(spark, getClass.getResource("/sample.osm").getPath)
+    nodes.write.mode("overwrite").format("xml")
+      .option("rootTag", "osm").option("rowTag", "node")
+      .save(s"$dir/nodes")
+    val back = spark.read.format("xml").option("rowTag", "node")
+      .load(s"$dir/nodes")
+    assert(back.count() == nodes.count())
+    assert(back.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
   test("parquet sink preserves schema and order-insensitive content") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
     val df = operators.Aggs.topkGroups(spark, sf0001)
