@@ -54,11 +54,39 @@ object Analytics {
         col("col").cast("double").as("val"))
       .orderBy(col("vec_id").asc, col("pos").asc)
 
+  /** Conditional/boolean aggregates per event_type. */
+  def condAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("count_if(value > 100)").as("n_big"),
+        expr("bool_and(value >= 0)").as("all_nonneg"),
+        expr("bool_or(value > 199)").as("any_huge"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("event_type").asc)
+
+  /** Null-safe equality (<=>): match customers to their order-count rows
+    * where a missing count and a missing sentinel compare equal — the
+    * null-join semantics SQL's = gets wrong. */
+  def nullSafe(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val cnt = Tables.orders(s, d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    c.join(cnt, c("c_custkey") === cnt("o_custkey"), "left_outer")
+      .withColumn("bucket", when(col("cnt") >= 10, col("cnt")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(when(col("bucket") <=> lit(null), 1L).otherwise(0L)).as("n_null_safe"))
+      .orderBy(col("bucket").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_percentile"  -> percentiles,
     "q_stats_agg"   -> statsAgg,
     "q_dedup_hash"  -> dedupHash,
-    "q_posexplode"  -> posExplode
+    "q_posexplode"  -> posExplode,
+    "q_cond_agg"    -> condAgg,
+    "q_null_safe"   -> nullSafe
   )
 
   val oracle: Map[String, String] = Map(
@@ -88,6 +116,27 @@ object Analytics {
       """SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
         |       CAST(embedding[i] AS DOUBLE) AS val
         |FROM embeddings CROSS JOIN (VALUES (1), (2), (3)) t(i)
-        |ORDER BY vec_id ASC, pos ASC""".stripMargin
+        |ORDER BY vec_id ASC, pos ASC""".stripMargin,
+    "q_cond_agg" ->
+      """SELECT event_type,
+        |       CAST(count_if(value > 100) AS BIGINT) AS n_big,
+        |       bool_and(value >= 0) AS all_nonneg,
+        |       bool_or(value > 199) AS any_huge,
+        |       count(*) AS cnt
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type ASC""".stripMargin,
+    "q_null_safe" ->
+      """SELECT bucket, count(*) AS n_cust,
+        |       CAST(sum(CASE WHEN bucket IS NOT DISTINCT FROM NULL
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe
+        |FROM (
+        |  SELECT CASE WHEN cnt >= 10 THEN cnt END AS bucket
+        |  FROM customer
+        |  LEFT JOIN (SELECT o_custkey, count(*) AS cnt
+        |             FROM orders GROUP BY o_custkey) o
+        |    ON c_custkey = o.o_custkey)
+        |GROUP BY bucket
+        |ORDER BY bucket ASC NULLS FIRST""".stripMargin
   )
 }

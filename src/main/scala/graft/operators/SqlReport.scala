@@ -45,10 +45,37 @@ object SqlReport {
             |         o_orderpriority ASC NULLS FIRST""".stripMargin)
   }
 
+  /** Correlated EXISTS through SQL text — exercises Catalyst's subquery
+    * decorrelation (rewritten to the same semi join the DSL emits). */
+  def sqlExists(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql("""SELECT c_custkey, c_mktsegment
+            |FROM customer_v
+            |WHERE EXISTS (SELECT 1 FROM orders_v
+            |              WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+            |ORDER BY c_custkey ASC""".stripMargin)
+  }
+
+  /** Scalar subquery as a filter threshold. The threshold is an exact
+    * value picked from the data (max over a systematic subset), so the
+    * comparison is float-exact on both engines — never a computed
+    * average (ulp-divergent). */
+  def sqlScalarSub(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql("""SELECT count(*) AS n_above,
+            |       round(sum(o_totalprice), 2) AS sum_above
+            |FROM orders_v
+            |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders_v
+            |                      WHERE o_orderkey % 97 = 0)""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_topusers"      -> sqlTopUsers,
     "q_sql_contrib_dist"  -> sqlContribDist,
-    "q_sql_grouping_sets" -> sqlGroupingSets
+    "q_sql_grouping_sets" -> sqlGroupingSets,
+    "q_sql_exists"        -> sqlExists,
+    "q_sql_scalar_sub"    -> sqlScalarSub
   )
 
   val oracle: Map[String, String] = Map(
@@ -69,6 +96,18 @@ object SqlReport {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST,
-        |         o_orderpriority ASC NULLS FIRST""".stripMargin
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_sql_exists" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        |ORDER BY c_custkey ASC""".stripMargin,
+    "q_sql_scalar_sub" ->
+      """SELECT count(*) AS n_above,
+        |       round(sum(o_totalprice), 2) AS sum_above
+        |FROM orders
+        |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders
+        |                      WHERE o_orderkey % 97 = 0)""".stripMargin
   )
 }
