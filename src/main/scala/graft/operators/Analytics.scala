@@ -86,8 +86,19 @@ object Analytics {
     "q_dedup_hash"  -> dedupHash,
     "q_posexplode"  -> posExplode,
     "q_cond_agg"    -> condAgg,
-    "q_null_safe"   -> nullSafe
+    "q_null_safe"   -> nullSafe,
+    "q_part_stats"  -> partStats
   )
+
+  /** Part-dimension stats (covers p_size / p_retailprice). */
+  def partStats(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .groupBy(col("p_size"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("p_retailprice")), 2).as("sum_price"),
+        round(min(col("p_retailprice")), 2).as("min_price"),
+        round(max(col("p_retailprice")), 2).as("max_price"))
+      .orderBy(col("p_size").asc)
 
   val oracle: Map[String, String] = Map(
     "q_percentile" ->
@@ -137,6 +148,14 @@ object Analytics {
         |             FROM orders GROUP BY o_custkey) o
         |    ON c_custkey = o.o_custkey)
         |GROUP BY bucket
-        |ORDER BY bucket ASC NULLS FIRST""".stripMargin
+        |ORDER BY bucket ASC NULLS FIRST""".stripMargin,
+    "q_part_stats" ->
+      """SELECT p_size, count(*) AS cnt,
+        |       round(sum(p_retailprice), 2) AS sum_price,
+        |       round(min(p_retailprice), 2) AS min_price,
+        |       round(max(p_retailprice), 2) AS max_price
+        |FROM part
+        |GROUP BY p_size
+        |ORDER BY p_size ASC""".stripMargin
   )
 }

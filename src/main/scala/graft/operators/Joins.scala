@@ -141,7 +141,26 @@ object Joins {
       .orderBy(col("event_id").asc)
   }
 
+  /** Supplier-side star: revenue and supplier balance per supplier
+    * nation (completes coverage of the supplier dimension). */
+  def joinSupplier(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val su = broadcast(Tables.supplier(s, d))
+    val n  = broadcast(Tables.nation(s, d))
+    li.join(su, li("l_suppkey") === su("s_suppkey"))
+      .join(n, su("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        countDistinct(col("s_suppkey")).as("n_supp"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        round(min(col("s_acctbal")), 2).as("min_bal"))
+      .orderBy(col("n_name").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_supplier"  -> joinSupplier,
     "q_join_asof2"     -> joinAsofStream,
     "q_join_inner"     -> joinInner,
     "q_join_broadcast" -> joinBroadcast,
@@ -153,6 +172,16 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_supplier" ->
+      """SELECT n_name, count(*) AS cnt,
+        |       count(DISTINCT s_suppkey) AS n_supp,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       round(min(s_acctbal), 2) AS min_bal
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name ASC""".stripMargin,
     "q_join_asof2" ->
       """SELECT e.event_id, e.user_id, s.event_id AS asof_sig_id,
         |       epoch_us(e.ts) - epoch_us(s.ts) AS since_signup_us
