@@ -69,6 +69,7 @@ class DedupSimSpec extends SparkSpec {
 
   test("nearDupPairs: LSH candidates verified by exact Jaccard") {
     val pairs = operators.Dedup.nearDupPairs(corpus, nGram = 1, threshold = 0.7)
+      .select("a_id", "b_id", "jac")
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) == 1.0)
     assert(!pairs.keySet.exists { case (a, b) => Set(a, b).contains(3L) })
