@@ -17,8 +17,38 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS); reading nanos as long is
     // harmless for every other table and lets raw reads succeed everywhere.
+    // NOTE: this is a session-wide runtime conf (there is no per-read
+    // option for it), so loading any table through here also flips nanos
+    // handling for parquet reads issued outside this library in the same
+    // session. Deliberate trade-off: the driver contract runs queries on
+    // fresh default sessions, and a partial loader that only works after
+    // a manual conf call would be a worse surface.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Write `df` as a bucketed+sorted catalog table: the storage-level
+    * answer to the repeated fact⋈fact shuffle (see Joins scaladoc). Both
+    * sides of a join bucketed on the join key with the same bucket count
+    * plan with NO Exchange on that key — at 100 TB that turns every
+    * lineitem⋈orders-shaped join from a full shuffle into a local merge
+    * per bucket. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      numBuckets: Int = 8): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, key).sortBy(key)
+      .saveAsTable(table)
+
+  /** Idempotent bucketed copy of a source table, registered per
+    * (sfDir, name) in the session catalog; subsequent reads hit the
+    * bucketed files directly. The local analog of maintaining a bucketed
+    * production catalog table alongside raw landing files. */
+  def bucketedView(s: SparkSession, sfDir: String, name: String,
+      key: String, numBuckets: Int = 8): DataFrame = {
+    val tbl = s"graft_b_${name}_$sfDir".replaceAll("[^A-Za-z0-9]", "_")
+    if (!s.catalog.tableExists(tbl))
+      writeBucketed(apply(s, sfDir, name), tbl, key, numBuckets)
+    s.table(tbl)
   }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")

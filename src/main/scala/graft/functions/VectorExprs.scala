@@ -50,6 +50,11 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    // Contract: mismatched lengths truncate to the shorter input (zip
+    // semantics), mirroring the DuckDB list_zip oracle formulation where
+    // the trailing unmatched elements contribute nothing. Callers that
+    // need strict dimensionality should validate upstream — a raise here
+    // would poison whole-stage codegen paths with per-row branching.
     val n = math.min(x.numElements(), y.numElements())
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
     var s = 0.0

@@ -135,6 +135,10 @@ object Multimodal {
     "q_mm_frames"   -> mmFrames
   )
 
+  // These oracles equate Spark's byte-level ops on cast(text AS BINARY)
+  // with DuckDB's character-level length/substr/md5 on text — equivalent
+  // only because this corpus is single-byte ASCII (TestdataInvariantsSpec
+  // pins that invariant; multi-byte UTF-8 would diverge byte vs char).
   val oracle: Map[String, String] = Map(
     "q_mm_binary" ->
       """SELECT doc_id,

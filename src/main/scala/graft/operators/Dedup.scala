@@ -27,7 +27,12 @@ object Dedup {
 
   /** Token-set Jaccard similarity between documents in the same
     * (lang, source) block; |∪| derived arithmetically as |A|+|B|-|∩| so
-    * both engines count identically. Top-100 pairs. */
+    * both engines count identically. Top-100 pairs.
+    *
+    * All-pairs WITHIN a block by design — valid only while blocks stay
+    * bounded (TestdataInvariantsSpec guards the block structure; cost is
+    * Σ C(block, 2)). For unbounded corpora the declared scale path is
+    * q_dedup_neardup: LSH candidates → exact verify, never all-pairs. */
   def dedupJaccard(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).withColumn("tset", toks)
     val a = docs.select(col("lang"), col("source"), col("doc_id").as("a_id"),
@@ -270,6 +275,11 @@ object Dedup {
     "q_sim_ann"        -> simAnnBuckets
   )
 
+  /** Full bucket-id expression in DuckDB SQL (sum of plane sign bits) —
+    * shared by every oracle that blocks on the hyperplane bucket. */
+  def bucketSql: String =
+    s"CAST(${(0 until NumPlanes).map(planeSql).mkString("\n + ")} AS BIGINT)"
+
   /** DuckDB side of the hyperplane dot for plane p — generated from the
     * same planeWeight constants as the Spark plan. */
   private def planeSql(p: Int): String = {
@@ -323,8 +333,7 @@ object Dedup {
         |WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.7
         |ORDER BY a_id ASC, b_id ASC""".stripMargin,
     "q_sim_ann" ->
-      (s"""SELECT CAST(${(0 until NumPlanes).map(planeSql).mkString("\n + ")}
-        | AS BIGINT) AS bucket, count(*) AS n_vecs
+      (s"""SELECT $bucketSql AS bucket, count(*) AS n_vecs
         |FROM embeddings
         |GROUP BY bucket
         |ORDER BY bucket ASC""").stripMargin

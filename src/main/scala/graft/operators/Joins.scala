@@ -123,8 +123,16 @@ object Joins {
     * ASOF LEFT JOIN, so this pins real as-of semantics. */
   def joinAsofStream(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Signups sort BEFORE other events at an equal timestamp: ASOF
+    // semantics (oracle: e.ts >= s.ts) make a same-instant signup visible
+    // to the event, which a plain (ts, event_id) order only honors when
+    // the signup happens to carry the lower event_id. Multiple signups
+    // for one user at one instant remain ambiguous under ASOF itself;
+    // the fixtures contain no such tie.
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("event_id").asc)
+      .orderBy(col("ts").asc,
+        when(col("event_type") === "signup", 0).otherwise(1).asc,
+        col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, d)
       .withColumn("sig_id",
@@ -159,7 +167,30 @@ object Joins {
       .orderBy(col("n_name").asc)
   }
 
+  /** Fact⋈dimension join over BUCKETED storage (Tables.bucketedView):
+    * both sides bucketed on the join key, so the sort-merge join plans
+    * with no Exchange on either input — the co-located join path that
+    * answers this module's own 100 TB caveat (PlanQualitySpec asserts
+    * the exchange-free plan). The merge hint keeps local-mode size
+    * estimates from picking a broadcast that would mask the storage
+    * layout. Totals aggregate exact integer cents so the result is
+    * bit-identical to the oracle's (which reads the RAW tables — same
+    * rows, so bucketing must not change any value). */
+  def joinBucketed(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.bucketedView(s, d, "orders", "o_custkey")
+    val c = Tables.bucketedView(s, d, "customer", "c_custkey")
+    o.hint("merge").join(c, col("o_custkey") === col("c_custkey"))
+      .withColumn("cents",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("total_cents"))
+      .withColumn("avg_price",
+        col("total_cents").cast("double") / lit(100) / col("cnt"))
+      .orderBy(col("c_mktsegment").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_bucketed"  -> joinBucketed,
     "q_join_supplier"  -> joinSupplier,
     "q_join_asof2"     -> joinAsofStream,
     "q_join_inner"     -> joinInner,
@@ -172,6 +203,15 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_bucketed" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |         AS BIGINT)) AS BIGINT) AS total_cents,
+        |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |         AS BIGINT)) AS BIGINT)::DOUBLE / 100 / count(*) AS avg_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment ASC""".stripMargin,
     "q_join_supplier" ->
       """SELECT n_name, count(*) AS cnt,
         |       count(DISTINCT s_suppkey) AS n_supp,

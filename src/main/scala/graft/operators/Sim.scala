@@ -76,14 +76,29 @@ object Sim {
   }
 
   /** Embedding-cosine near-duplicate detection: top-20 most-similar pairs
-    * within each label block (a<b dedup of the pair space). */
-  def dedupEmbcos(s: SparkSession, d: String): DataFrame =
-    pairs(s, d, identity,
-        col("q_label") === col("c_label"), col("q_id") < col("c_id"))
-      .select(col("q_id").as("a_id"), col("c_id").as("b_id"),
-        round(col("cos"), 4).as("cos_sim"))
+    * among hyperplane-LSH candidates (a<b dedup of the pair space).
+    *
+    * The candidate generator is [[Dedup.annBuckets]]: near-identical
+    * vectors agree on every hyperplane sign bit, so blocking on the
+    * 8-bit bucket finds them while cutting the pair space ~256×. The
+    * shuffle_hash hint pins the scale-correct plan — a shuffle join
+    * co-located on the bucket key — rather than letting local-mode size
+    * estimates broadcast an unbounded corpus side (the round-1 shape:
+    * broadcast(whole table) + label-blocked all-pairs, a driver OOM at
+    * 100×). The oracle blocks on the same generated bucket SQL. */
+  def dedupEmbcos(s: SparkSession, d: String): DataFrame = {
+    val e = Dedup.annBuckets(vectors(s, d))
+    val a = e.select(col("bucket"), col("vec_id").as("a_id"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("bucket").as("bucket_b"), col("vec_id").as("b_id"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.hint("shuffle_hash")
+      .join(b, col("bucket") === col("bucket_b") && col("a_id") < col("b_id"))
+      .withColumn("cos", expr("vec_dot(ea, eb)") / (col("na") * col("nb")))
+      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("a_id").asc, col("b_id").asc)
       .limit(20)
+  }
 
   /** IVF-style ANN, assignment stage: coarse-quantize every vector to its
     * nearest centroid by cosine. Deterministic training stub: the first 8
@@ -172,10 +187,14 @@ object Sim {
         |FROM t WHERE vr = 1
         |ORDER BY q_id ASC""").stripMargin,
     "q_dedup_embcos" ->
-      (eCte + """
+      (eCte + """,
+        |eb AS (
+        |  SELECT vec_id, embedding, nrm,
+        |         """ + Dedup.bucketSql + """ AS bucket
+        |  FROM e)
         |SELECT q.vec_id AS a_id, c.vec_id AS b_id,
         |       round(""" + dotSql + """, 4) AS cos_sim
-        |FROM e q JOIN e c ON q.label = c.label AND q.vec_id < c.vec_id
+        |FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
         |ORDER BY cos_sim DESC, a_id ASC, b_id ASC
         |LIMIT 20""").stripMargin,
     "q_sim_ivf" ->

@@ -123,7 +123,21 @@ object Windows {
         .otherwise(4L))
   }
 
+  /** Declared no-oracle surface for [[approxQuartiles]] — the scale path
+    * for q_win_ntile's single-task total order, summarized per quartile.
+    * Sketch-based cutoffs have no cross-engine oracle; NtileScaleSpec
+    * pins ≥97% agreement with exact ntile, and this row gives the
+    * 100 TB-shaped plan (no unpartitioned window) a bench number. */
+  def winNtileApprox(s: SparkSession, d: String): DataFrame =
+    approxQuartiles(Tables.customer(s, d), "c_acctbal")
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("c_acctbal")), 2).as("lo"),
+        round(max(col("c_acctbal")), 2).as("hi"))
+      .orderBy(col("quartile").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_ntile_approx" -> winNtileApprox,
     "q_win_rank"        -> winRank,
     "q_win_running"     -> winRunning,
     "q_win_lag"         -> winLag,

@@ -75,4 +75,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"expected blocked broadcast join:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("embcos near-dup is bucket-blocked with a shuffle join, not a corpus broadcast") {
+    val p = plan("q_dedup_embcos")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"expected shuffle join on the LSH bucket key:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("bucketed join plans with no Exchange on the join key (co-located)") {
+    val p = executedPlan("q_join_bucketed")
+    val joinIdx = p.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, s"expected SMJ over bucketed inputs:\n$p")
+    val sub = p.substring(joinIdx)
+    assert(!sub.contains("Exchange hashpartitioning(o_custkey") &&
+      !sub.contains("Exchange hashpartitioning(c_custkey"),
+      s"bucketed join still shuffles its inputs:\n$p")
+  }
+
+  test("neardup candidate verification stays parallel (no single-partition collapse)") {
+    val df = SparkEntry.queries("q_dedup_neardup")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("REPARTITION_BY_NUM") || p.contains("REPARTITION_BY_COL"),
+      s"pair-key repartition missing — verify stage can collapse to 1 task:\n$p")
+  }
 }

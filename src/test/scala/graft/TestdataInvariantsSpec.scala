@@ -31,4 +31,29 @@ class TestdataInvariantsSpec extends SparkSpec {
     assert(e.getString(0).startsWith("2024-01-0"))
     assert(e.getString(1).startsWith("2024-01-3"))
   }
+
+  test("documents.text is single-byte ASCII (licenses byte≡char oracle equivalence)") {
+    // The multimodal oracles compare Spark byte-level ops with DuckDB
+    // character-level ops; only valid while every char is one byte.
+    val bad = Tables.documents(spark, sf0001)
+      .filter(length(col("text")) =!= octet_length(col("text"))).count()
+    assert(bad == 0, s"$bad docs contain multi-byte characters")
+  }
+
+  test("jaccard (lang, source) blocks stay bounded (quadratic-growth guard)") {
+    // q_dedup_jaccard is all-pairs WITHIN a block by design; its cost is
+    // sum over blocks of C(sz, 2). This pins the block structure the
+    // design assumes — if block count stops growing with the corpus (so
+    // blocks grow linearly and pair counts quadratically), fail here
+    // before the bench does. The declared scale path for unbounded
+    // corpora is q_dedup_neardup (LSH candidates → verify).
+    val blocks = Tables.documents(spark, sf0001)
+      .groupBy("lang", "source").count().collect().map(_.getLong(2))
+    val n = blocks.sum.toDouble
+    val pairCount = blocks.map(s => s * (s - 1) / 2).sum
+    assert(blocks.max <= n / 10,
+      s"largest block ${blocks.max} exceeds n/10 — blocking no longer bounds the join")
+    assert(pairCount <= 20 * n,
+      s"blocked pair count $pairCount exceeds 20n — quadratic growth")
+  }
 }

@@ -96,6 +96,10 @@ def main():
         n = 0 if sdf is None else len(sdf)
         tag = "OK (no-oracle, rows>0)" if n > 0 else "EMPTY (no-oracle, rows==0!)"
         print(f"[compare] {name}: {tag} rows={n}")
+        if n == 0:
+            # the verify gate's contract: no EMPTY no-oracle rows — enforce
+            # it in the exit code, not just the log line
+            failures[name] = ["no-oracle query produced 0 rows"]
     ok = len(declared) - len(failures)
     print(f"[compare] oracled: {ok}/{len(declared)} match")
     for name, probs in sorted(failures.items()):
