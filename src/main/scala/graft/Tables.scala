@@ -46,8 +46,16 @@ object Tables {
   def bucketedView(s: SparkSession, sfDir: String, name: String,
       key: String, numBuckets: Int = 8): DataFrame = {
     val tbl = s"graft_b_${name}_$sfDir".replaceAll("[^A-Za-z0-9]", "_")
-    if (!s.catalog.tableExists(tbl))
+    if (!s.catalog.tableExists(tbl)) {
+      // The in-memory catalog forgets tables across sessions but their
+      // warehouse directories persist; clear a stale location or the
+      // managed-table create refuses it.
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val path = new org.apache.hadoop.fs.Path(wh, tbl.toLowerCase)
+      val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
       writeBucketed(apply(s, sfDir, name), tbl, key, numBuckets)
+    }
     s.table(tbl)
   }
 

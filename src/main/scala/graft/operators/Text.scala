@@ -76,23 +76,48 @@ object Text {
         col("stop_ratio"), col("avg_tok_len"), col("quality"))
       .orderBy(col("doc_id").asc)
 
-  /** Language-ID heuristic: n-gram ('th' bigram) density + marker words.
-    * A real model would plug in here; the pipeline shape (per-doc featurize
-    * → classify) is what scales. */
-  def textLangid(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .withColumn("bigram_th",
-        ((length(col("text")) - length(regexp_replace(col("text"), "th", ""))) / 2)
-          .cast("long"))
-      .withColumn("marker_cnt",
-        expr("cast(size(filter(split(text, ' '), t -> t IN ('the', 'a'))) AS bigint)"))
-      .withColumn("guess",
-        when(col("marker_cnt") * 5 >= size(toks), "en_like")
-          .when(col("bigram_th") > 2, "th_heavy")
-          .otherwise("other"))
-      .select(col("doc_id"), col("lang"), col("bigram_th"), col("marker_cnt"),
-        col("guess"))
+  /** Weighted character-trigram profiles per language — the classic
+    * n-gram language-ID scheme (Cavnar & Trenkle '94 shape) with
+    * hand-authored illustrative profiles (a production system would train
+    * them; this synthetic corpus draws text from one shared vocabulary,
+    * so the MECHANISM, not accuracy, is the demonstrated surface). Shared
+    * constants generate both the Spark broadcast table and the oracle's
+    * VALUES list. */
+  val langProfiles: Seq[(String, String, Long)] = Seq(
+    ("en", "the", 3L), ("en", "and", 2L), ("en", "ing", 2L), ("en", "he ", 1L),
+    ("de", "sch", 3L), ("de", "der", 2L), ("de", "ein", 2L), ("de", "ich", 1L),
+    ("fr", "les", 3L), ("fr", "ent", 2L), ("fr", "que", 2L), ("fr", "eau", 1L),
+    ("es", "los", 3L), ("es", "del", 2L), ("es", "ado", 2L), ("es", "nte", 1L),
+    ("zh", "zh ", 3L), ("zh", "ng ", 1L), ("zh", "sh ", 1L), ("zh", "xi ", 1L))
+
+  /** Language-ID via trigram profile scoring: slide a 3-char window over
+    * every doc, broadcast-join the (tiny) profile table, sum weights per
+    * (doc, lang), argmax. The 100 TB shape: per-doc featurize (narrow
+    * generator, no shuffle) ⋈ broadcast dimension → one grouped agg —
+    * no driver-side model state, fully codegen'd, integer-exact oracle. */
+  def textLangid(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val prof = broadcast(langProfiles.toDF("lang_p", "tg", "w"))
+    val docs = Tables.documents(s, d)
+    val trigrams = docs.select(col("doc_id"), explode(expr(
+      """CASE WHEN length(text) >= 3 THEN
+        |  transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))
+        |ELSE array() END""".stripMargin)).as("tg"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang_p").asc)
+    val best = trigrams.join(prof, "tg")
+      .groupBy(col("doc_id"), col("lang_p"))
+      .agg(sum(col("w")).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    docs.select(col("doc_id"), col("lang"))
+      .join(best, Seq("doc_id"), "left")
+      .withColumn("guess", coalesce(col("lang_p"), lit("und")))
+      .withColumn("score", coalesce(col("score"), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("guess"), col("score"))
       .orderBy(col("doc_id").asc)
+  }
 
   /** Document fingerprint: polynomial rolling hash over per-token keys —
     * pure integer arithmetic, identical fold order on both engines. */
@@ -184,18 +209,28 @@ object Text {
         |FROM documents
         |ORDER BY doc_id ASC""".stripMargin,
     "q_text_langid" ->
-      """SELECT doc_id, lang,
-        |       (length(text) - length(replace(text, 'th', ''))) // 2 AS bigram_th,
-        |       len(list_filter(string_split(text, ' '),
-        |           t -> list_contains(['the', 'a'], t))) AS marker_cnt,
-        |       CASE WHEN len(list_filter(string_split(text, ' '),
-        |                t -> list_contains(['the', 'a'], t))) * 5
-        |              >= len(string_split(text, ' ')) THEN 'en_like'
-        |            WHEN (length(text) - length(replace(text, 'th', ''))) // 2 > 2
-        |              THEN 'th_heavy'
-        |            ELSE 'other' END AS guess
-        |FROM documents
-        |ORDER BY doc_id ASC""".stripMargin,
+      (s"""WITH prof(lang_p, tg, w) AS (VALUES
+        |  ${langProfiles.map { case (l, t, w) => s"('$l', '$t', $w)" }
+             .mkString(",\n  ")}),
+        |tg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, length(text) - 1),
+        |         i -> substr(text, CAST(i AS INT), 3))) AS tg
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang_p, CAST(sum(w) AS BIGINT) AS score
+        |  FROM tg JOIN prof USING (tg)
+        |  GROUP BY doc_id, lang_p),
+        |best AS (
+        |  SELECT doc_id, lang_p, score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, lang_p ASC) AS rn
+        |  FROM sc)
+        |SELECT d.doc_id, d.lang,
+        |       coalesce(b.lang_p, 'und') AS guess,
+        |       CAST(coalesce(b.score, 0) AS BIGINT) AS score
+        |FROM documents d
+        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+        |ORDER BY doc_id ASC""").stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id,
         |       list_reduce(
