@@ -27,6 +27,7 @@ object SparkEntry {
     (operators.Geo.queries,        operators.Geo.oracle),
     (operators.Sim.queries,        operators.Sim.oracle),
     (operators.Dedup.queries,      operators.Dedup.oracle),
+    (operators.Skew.queries,       operators.Skew.oracle),
     (operators.SqlReport.queries,  operators.SqlReport.oracle),
     (operators.Analytics.queries,  operators.Analytics.oracle),
     (multimodal.Multimodal.queries, multimodal.Multimodal.oracle)

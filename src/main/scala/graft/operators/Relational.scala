@@ -39,6 +39,22 @@ object Relational {
       .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
         col("l_partkey").asc, col("l_suppkey").asc)
 
+  /** STRATIFIED systematic sample: every k-th row per stratum in a
+    * deterministic within-stratum order — the training-data shape
+    * ("cap/balance per source") that `TABLESAMPLE`/`.sample()` can't do
+    * deterministically. One shuffle on the stratum key; rank + modulus
+    * keeps it exact and oracle-able, unlike rand()-based sampling. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter((col("rk") - 1) % 3 === 0)
+      .select(col("doc_id"), col("lang"), col("source"), col("rk").cast("long").as("rk"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Compound predicate; everything here folds to parquet-pushable
     * conjuncts (no float equality — ranges only, per SURVEY §7.5). */
   def filterPred(s: SparkSession, d: String): DataFrame =
@@ -94,6 +110,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_project"      -> scanProject,
     "q_sample_systematic" -> sampleSystematic,
+    "q_sample_stratified" -> sampleStratified,
     "q_filter_pred"       -> filterPred,
     "q_case_expr"         -> caseExpr,
     "q_sort_limit"        -> sortLimit,
@@ -110,6 +127,15 @@ object Relational {
         |FROM lineitem
         |ORDER BY l_orderkey ASC, l_linenumber ASC, l_partkey ASC, l_suppkey ASC
         |LIMIT 100""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang, source, rk
+        |FROM (
+        |  SELECT doc_id, lang, source,
+        |         CAST(row_number() OVER (PARTITION BY lang, source
+        |                                 ORDER BY doc_id ASC) AS BIGINT) AS rk
+        |  FROM documents)
+        |WHERE (rk - 1) % 3 = 0
+        |ORDER BY doc_id ASC""".stripMargin,
     "q_sample_systematic" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
         |FROM lineitem

@@ -33,4 +33,38 @@ object Skew {
       .agg(sum(value).as("partial_sum"))
       .groupBy(col("key"))
       .agg(sum(col("partial_sum")).as("total"))
+
+  /** Declared surface: hot-key-safe event totals per event_type. The
+    * salted two-phase plan must be SEMANTICALLY INVISIBLE — the oracle is
+    * the plain one-level GROUP BY, so the correctness gate itself proves
+    * salting changes no result. Sums aggregate exact integer cents
+    * (associative/commutative in any partial order → deterministic). */
+  def skewAgg(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .withColumn("cents",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    val counts = saltedCount(ev, col("event_type"), 16, col("event_id"))
+    val sums = saltedSum(ev, col("event_type"), col("cents"), 16, col("event_id"))
+    counts.join(sums, "key")
+      .withColumn("avg_value",
+        col("total").cast("double") / lit(100) / col("cnt"))
+      .select(col("key").as("event_type"), col("cnt"),
+        col("total").as("total_cents"), col("avg_value"))
+      .orderBy(col("event_type").asc)
+  }
+
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("q_skew_agg" -> skewAgg)
+
+  val oracle: Map[String, String] = Map(
+    "q_skew_agg" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS total_cents,
+        |       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS BIGINT)::DOUBLE / 100 / count(*) AS avg_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type ASC""".stripMargin
+  )
 }
