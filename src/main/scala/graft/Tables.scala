@@ -27,6 +27,17 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
+  /** Decouple per-row CPU-heavy featurization (shingling, hashing,
+    * n-gram explosion) from the INPUT SPLIT COUNT: the fixture tables are
+    * single-row-group parquet files, i.e. one unsplittable scan task, so
+    * without this every narrow featurize pipeline serializes onto one
+    * core until its first shuffle (measured: 1.9 s of a 4.1 s near-dup
+    * run in the scan stage). One round-robin exchange of the raw rows is
+    * orders cheaper than the compute it parallelizes — the standard move
+    * whenever upstream files arrive few or skewed. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** Write `df` as a bucketed+sorted catalog table: the storage-level
     * answer to the repeated fact⋈fact shuffle (see Joins scaladoc). Both
     * sides of a join bucketed on the join key with the same bucket count

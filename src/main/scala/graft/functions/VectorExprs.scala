@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, ArrayType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, ArrayType, LongType, StringType}
 
 /** Native Catalyst expression for the similarity family's hot loop: the
   * dot product of two numeric arrays, accumulated as a sequential
@@ -90,10 +90,101 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression for the dedup family's hot loop: all
+  * MinHash permutation minima of a shingle array in one codegen'd pass.
+  *
+  * Equivalent declarative forms both lose: explode → groupBy(min×k)
+  * shuffles the entire exploded shingle stream (the corpus, multiplied,
+  * over the network at 100 TB), and the narrow `transform`/`array_min`
+  * higher-order formulation is interpreted per element with an array
+  * allocation per permutation (measured ~3× slower than the shuffle it
+  * avoided). This expression keeps the narrow no-shuffle shape AND the
+  * tight loop: hash each shingle once (the same XXH64(seed=42) the SQL
+  * `xxhash64` uses — MinhashParitySpec pins equality with the SQL-function
+  * formulation), fold into [0, p), update k running minima in registers.
+  *
+  * Empty input arrays yield the sentinel signature (all p): callers drop
+  * shingle-less docs upstream, where the row still carries WHY (size = 0),
+  * rather than downstream where a sentinel collides all of them into the
+  * same LSH buckets. */
+case class MinHashSigs(child: Expression, numPerms: Int)
+    extends UnaryExpression {
+
+  private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+  private def aArr: Array[Long] = Array.tabulate(numPerms)(i => 1103515245L * (i + 1) % P)
+  private def bArr: Array[Long] = Array.tabulate(numPerms)(i => 12345L * (i + 1))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sigs expects array<string>, got ${dt.simpleString}")
+    }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val a = aArr; val b = bArr
+    val mins = Array.fill(numPerms)(P)
+    var j = 0
+    while (j < arr.numElements()) {
+      val h0 = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(arr.getUTF8String(j), 42L)
+      var h = h0 % P; if (h < 0) h += P // pmod, as the SQL formulation
+      var i = 0
+      while (i < numPerms) {
+        val x = (h * a(i) + b(i)) % P
+        if (x < mins(i)) mins(i) = x
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val mins = ctx.freshName("mins")
+      s"""
+         |int $n = $x.numElements();
+         |long[] $mins = new long[$numPerms];
+         |java.util.Arrays.fill($mins, ${P}L);
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64
+         |    .hashUTF8String($x.getUTF8String($j), 42L) % ${P}L;
+         |  if ($h < 0) $h += ${P}L;
+         |  for (int $i = 0; $i < $numPerms; $i++) {
+         |    long $v = ($h * $aRef[$i] + $bRef[$i]) % ${P}L;
+         |    if ($v < $mins[$i]) $mins[$i] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExprs {
-  /** Register `vec_dot` in the session's function registry so query code
-    * can use it via expr("vec_dot(a, b)"). Idempotent. */
-  def register(spark: SparkSession): Unit =
+  /** Register `vec_dot` and `minhash_sigs` in the session's function
+    * registry so query code can use them via expr(...). Idempotent. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sigs", exprs => MinHashSigs(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+  }
 }

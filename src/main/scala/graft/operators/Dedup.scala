@@ -34,7 +34,7 @@ object Dedup {
     * Σ C(block, 2)). For unbounded corpora the declared scale path is
     * q_dedup_neardup: LSH candidates → exact verify, never all-pairs. */
   def dedupJaccard(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).withColumn("tset", toks)
+    val docs = Tables.spread(Tables.documents(s, d)).withColumn("tset", toks)
     val a = docs.select(col("lang"), col("source"), col("doc_id").as("a_id"),
       col("tset").as("ta"))
     val b = docs.select(col("lang").as("lang_b"), col("source").as("source_b"),
@@ -78,18 +78,27 @@ object Dedup {
     * with m0..m{numPerms-1} columns. Shingle→long via xxhash64, folded
     * into [0, 2^31) so the i-th affine permutation (a_i·h + b_i) mod p
     * stays overflow-free under ANSI mode (a_i, b_i, h < 2^31 ⇒
-    * product < 2^62). */
+    * product < 2^62).
+    *
+    * Computed as a NARROW MAP through the codegen'd
+    * [[graft.functions.MinHashSigs]] expression — not explode →
+    * groupBy(min×numPerms): a signature is a per-document property, so
+    * paying a corpus-wide shuffle plus a wide multi-min hash aggregate
+    * for it was pure overhead (at 100 TB that shuffle moves the whole
+    * exploded shingle stream), and the `transform`/`array_min`
+    * higher-order formulation is interpreted per element. Documents with
+    * no shingles are dropped (as the explode formulation did implicitly);
+    * otherwise their sentinel signatures would LSH-collide every empty
+    * doc into every band bucket. */
   def minhashSignatures(docs: DataFrame, nGram: Int = 2,
       numPerms: Int = NumPerms): DataFrame = {
-    val p = 2147483647L // 2^31 - 1 (Mersenne prime)
-    val tokenHashes = withToks(docs)
-      .select(col("doc_id"), explode(expr(shingles(nGram))).as("tok"))
-      .withColumn("h", pmod(xxhash64(col("tok")), lit(p)))
-    val permCols = (0 until numPerms).map { i =>
-      min((col("h") * lit(1103515245L * (i + 1) % p) + lit(12345L * (i + 1))) % p)
-        .as(s"m$i")
-    }
-    tokenHashes.groupBy(col("doc_id")).agg(permCols.head, permCols.tail: _*)
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    val withSh = withToks(Tables.spread(docs))
+      .withColumn("sh", expr(shingles(nGram)))
+      .filter(size(col("sh")) > 0)
+      .withColumn("mh", expr(s"minhash_sigs(sh, $numPerms)"))
+    val permCols = (0 until numPerms).map(i => col("mh").getItem(i).as(s"m$i"))
+    withSh.select((col("doc_id") +: permCols): _*)
   }
 
   /** (doc_id, sig, band_id, bucket): LSH banding — docs sharing a bucket
@@ -173,7 +182,8 @@ object Dedup {
     * background similarity, so recall gets the budget instead. */
   def nearDupPairs(docs: DataFrame, nGram: Int = 2, threshold: Double = 0.7,
       numPerms: Int = 32, bandRows: Int = 2): DataFrame = {
-    val withSets = withToks(docs).withColumn("tset", expr(shingles(nGram)))
+    val withSets = withToks(Tables.spread(docs))
+      .withColumn("tset", expr(shingles(nGram)))
     val a = withSets.select(col("doc_id").as("a_id"), col("tset").as("ta"))
     val b = withSets.select(col("doc_id").as("b_id"), col("tset").as("tb"))
     minhashCandidates(docs, nGram, numPerms, bandRows, estMin = 0.25)

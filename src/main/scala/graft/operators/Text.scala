@@ -100,7 +100,7 @@ object Text {
     import s.implicits._
     val prof = broadcast(langProfiles.toDF("lang_p", "tg", "w"))
     val docs = Tables.documents(s, d)
-    val trigrams = docs.select(col("doc_id"), explode(expr(
+    val trigrams = Tables.spread(docs).select(col("doc_id"), explode(expr(
       """CASE WHEN length(text) >= 3 THEN
         |  transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))
         |ELSE array() END""".stripMargin)).as("tg"))
@@ -144,7 +144,52 @@ object Text {
       .select(col("doc_id"), col("n_ws"), col("n_bpe"), col("pieces_per_word"))
       .orderBy(col("doc_id").asc)
 
+  private val shingle3 =
+    """array_distinct(CASE WHEN size(toks) >= 3 THEN
+      |  transform(sequence(1, size(toks) - 2),
+      |    i -> concat_ws(' ', slice(toks, i, 3)))
+      |ELSE slice(toks, 1, 0) END)""".stripMargin
+
+  /** Eval-set decontamination: flag training docs sharing ≥2 distinct
+    * 3-gram shingles with any eval doc (eval = deterministic doc_id
+    * split standing in for a benchmark suite). The eval side's distinct
+    * shingle set is SMALL by nature (benchmarks, not corpora), so it
+    * broadcasts and the train side streams through a map-side hash join —
+    * the shape that decontaminates 100 TB without shuffling it. */
+  def textDecontam(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.spread(Tables.documents(s, d))
+      .withColumn("toks", toks)
+      .select(col("doc_id"), explode(expr(shingle3)).as("tg"))
+    val ev = sh.filter(col("doc_id") % 97 === 0).select(col("tg")).distinct()
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(ev), "tg")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("tg")).as("shared_shingles"))
+      .filter(col("shared_shingles") >= 2)
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Training-window chunking: overlapping token windows (size 8,
+    * stride 6) per document — the tokenize-and-pack shape that feeds
+    * sequence construction. Chunk count is pure integer arithmetic
+    * (1 + ⌈max(n−8,0)/6⌉) so both engines enumerate identical windows;
+    * a narrow generator (posexplode), no shuffle before the output sort. */
+  def textChunk(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables.documents(s, d))
+      .withColumn("toks", toks)
+      .withColumn("nc",
+        expr("CAST(1 + (greatest(size(toks) - 8, 0) + 5) div 6 AS INT)"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, nc - 1), k -> concat_ws(' ', slice(toks, k * 6 + 1, 8)))")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        col("col").as("chunk"),
+        size(split(col("col"), " ")).cast("long").as("chunk_tokens"))
+      .orderBy(col("doc_id").asc, col("chunk_id").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_decontam"    -> textDecontam,
+    "q_text_chunk"       -> textChunk,
     "q_text_bpe"         -> textBpe,
     "q_text_tokens"      -> textTokens,
     "q_text_stats"       -> textStats,
@@ -156,6 +201,39 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+        |           i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))) AS tg
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT tg FROM sh WHERE doc_id % 97 = 0)
+        |SELECT doc_id,
+        |       CAST(count(DISTINCT tg) AS BIGINT) AS shared_shingles
+        |FROM sh JOIN ev USING (tg)
+        |WHERE doc_id % 97 <> 0
+        |GROUP BY doc_id
+        |HAVING count(DISTINCT tg) >= 2
+        |ORDER BY doc_id ASC""".stripMargin,
+    "q_text_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |nc AS (
+        |  SELECT doc_id, tk,
+        |         1 + (greatest(len(tk) - 8, 0) + 5) // 6 AS n
+        |  FROM toks),
+        |ch AS (
+        |  SELECT doc_id, unnest(range(0, n)) AS chunk_id, tk
+        |  FROM nc)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       array_to_string(tk[chunk_id * 6 + 1 : chunk_id * 6 + 8], ' ')
+        |         AS chunk,
+        |       CAST(len(tk[chunk_id * 6 + 1 : chunk_id * 6 + 8]) AS BIGINT)
+        |         AS chunk_tokens
+        |FROM ch
+        |ORDER BY doc_id ASC, chunk_id ASC""".stripMargin,
     "q_text_bpe" ->
       """SELECT doc_id,
         |       len(string_split(text, ' ')) AS n_ws,

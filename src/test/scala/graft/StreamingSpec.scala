@@ -46,6 +46,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows("2024-01-01 10:00:00.0") == 2L)
   }
 
+  test("streaming dedup: dropDuplicatesWithinWatermark suppresses replays across batches") {
+    // The streaming face of the dedup suite: exactly-once-per-key output
+    // under at-least-once delivery, state bounded by the watermark — the
+    // ingestion-time shape of q_dedup_exact.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val dedup = mem.toDF().toDF("ts", "content")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("content")
+    val q = dedup.writeStream.format("memory").queryName("dd_test")
+      .outputMode("append").start()
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    mem.addData((t(0), "alpha"), (t(1), "beta"))
+    q.processAllAvailable()
+    mem.addData((t(2), "alpha"), (t(3), "gamma")) // replay within watermark → dropped
+    q.processAllAvailable()
+    q.stop()
+    val contents = spark.table("dd_test").collect().map(_.getString(1)).sorted
+    assert(contents.toSeq == Seq("alpha", "beta", "gamma"),
+      s"duplicate suppressed exactly once: ${contents.mkString(",")}")
+  }
+
   test("mapGroupsWithState maintains custom per-key state across batches") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
