@@ -159,7 +159,30 @@ object Sim {
       .orderBy(col("q_id").asc, col("rn").asc)
   }
 
+  /** Symmetric int8 quantization per embedding — the 4× storage shrink
+    * applied before similarity-searching 100 TB of vectors. Deterministic
+    * rounding via floor(x·scale + 0.5) (explicit, engine-neutral — no
+    * reliance on either engine's round() tie mode); the declared output
+    * reports scale, saturation count, and max reconstruction error per
+    * vector, all bit-exact across engines because every step is the same
+    * double arithmetic elementwise. */
+  def embQuant(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("mx",
+        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+      .withColumn("qscale", lit(127.0) / greatest(col("mx"), lit(1e-30)))
+      .withColumn("q", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * qscale + 0.5D) AS INT))"))
+      .withColumn("n_sat",
+        expr("CAST(size(filter(q, v -> abs(v) >= 127)) AS BIGINT)"))
+      .withColumn("max_abs_err", expr(
+        "array_max(zip_with(embedding, q, " +
+          "(x, v) -> abs(CAST(x AS DOUBLE) - CAST(v AS DOUBLE) / qscale)))"))
+      .select(col("vec_id"), col("qscale"), col("n_sat"), col("max_abs_err"))
+      .orderBy(col("vec_id").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_emb_quant"      -> embQuant,
     "q_sim_topk"       -> simTopk,
     "q_knn_label"      -> knnLabel,
     "q_dedup_embcos"   -> dedupEmbcos,
@@ -182,6 +205,25 @@ object Sim {
       |           (a, x) -> a + x) / (q.nrm * c.nrm)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_emb_quant" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding,
+        |         127.0 / greatest(
+        |           list_max(list_transform(embedding,
+        |             x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS qscale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, embedding, qscale,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * qscale + 0.5) AS INT)) AS qv
+        |  FROM b)
+        |SELECT vec_id, qscale,
+        |       CAST(len(list_filter(qv, v -> abs(v) >= 127)) AS BIGINT) AS n_sat,
+        |       list_max(list_transform(list_zip(embedding, qv),
+        |         z -> abs(CAST(z[1] AS DOUBLE)
+        |                  - CAST(z[2] AS DOUBLE) / qscale))) AS max_abs_err
+        |FROM q
+        |ORDER BY vec_id ASC""".stripMargin,
     "q_sim_topk" ->
       (eCte + """,
         |p AS (

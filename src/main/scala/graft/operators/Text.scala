@@ -187,7 +187,56 @@ object Text {
         size(split(col("col"), " ")).cast("long").as("chunk_tokens"))
       .orderBy(col("doc_id").asc, col("chunk_id").asc)
 
+  /** Corpus mixture resampling: hit per-language target weights by
+    * deterministic replication — integer copies plus a doc_id-modulus
+    * coin for the fractional part (rand() would be un-oracle-able and
+    * non-reproducible across retries; modulus gives EXACTLY the target
+    * rate per 100 docs). The explode is the actual resample (each copy
+    * is a training row); the declared output aggregates it per language
+    * so the oracle can verify the mixture arithmetic without 1.2×
+    * corpus-size dumps. */
+  def textMix(s: SparkSession, d: String): DataFrame = {
+    val w100 = "CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 150 " +
+      "WHEN 'fr' THEN 100 ELSE 50 END"
+    Tables.documents(s, d)
+      .withColumn("n_copies",
+        expr(s"$w100 div 100 + IF(doc_id % 100 < $w100 % 100, 1, 0)"))
+      .select(col("lang"), col("doc_id"), explode(expr(
+        "CASE WHEN n_copies >= 1 THEN sequence(1, n_copies) " +
+          "ELSE slice(sequence(1, 1), 1, 0) END")).as("copy_id"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_resampled"))
+      .withColumn("rate",
+        col("n_resampled").cast("double") / col("n_docs"))
+      .orderBy(col("lang").asc)
+  }
+
+  /** Sequence packing: assign chunks to fixed-token-budget training
+    * sequences by running sum within a deterministic shard
+    * (doc_id div 100) — the pack-into-2048-token-rows step after
+    * chunking. Sharding keeps the cumulative window parallel (an
+    * unsharded global pack would be a single-task total order); packing
+    * quality loses only at shard boundaries. Budget 64 tokens here so
+    * the fixture produces multi-chunk sequences. */
+  def textPack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("doc_id").asc, col("chunk_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    textChunk(s, d)
+      .withColumn("shard", expr("doc_id div 100"))
+      .withColumn("cum", sum(col("chunk_tokens")).over(w))
+      .withColumn("seq_id", expr("(cum - chunk_tokens) div 64"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_tokens")).as("seq_tokens"))
+      .orderBy(col("shard").asc, col("seq_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_mix"         -> textMix,
+    "q_text_pack"        -> textPack,
     "q_text_decontam"    -> textDecontam,
     "q_text_chunk"       -> textChunk,
     "q_text_bpe"         -> textBpe,
@@ -201,6 +250,52 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    // No explode needed oracle-side: the mixture arithmetic aggregates.
+    "q_text_mix" ->
+      """WITH c AS (
+        |  SELECT lang, doc_id,
+        |         (CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 150
+        |               WHEN 'fr' THEN 100 ELSE 50 END) // 100
+        |         + CASE WHEN doc_id % 100 <
+        |             (CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 150
+        |                   WHEN 'fr' THEN 100 ELSE 50 END) % 100
+        |           THEN 1 ELSE 0 END AS n_copies
+        |  FROM documents)
+        |SELECT lang,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_copies) AS BIGINT) AS n_resampled,
+        |       CAST(sum(n_copies) AS BIGINT)::DOUBLE
+        |         / count(DISTINCT doc_id) AS rate
+        |FROM c WHERE n_copies >= 1
+        |GROUP BY lang
+        |ORDER BY lang ASC""".stripMargin,
+    "q_text_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |nc AS (
+        |  SELECT doc_id, tk,
+        |         1 + (greatest(len(tk) - 8, 0) + 5) // 6 AS n
+        |  FROM toks),
+        |ch AS (
+        |  SELECT doc_id, unnest(range(0, n)) AS chunk_id, tk
+        |  FROM nc),
+        |cht AS (
+        |  SELECT doc_id, chunk_id,
+        |         len(tk[chunk_id * 6 + 1 : chunk_id * 6 + 8]) AS chunk_tokens
+        |  FROM ch),
+        |wk AS (
+        |  SELECT doc_id // 100 AS shard, chunk_tokens,
+        |         sum(chunk_tokens) OVER (PARTITION BY doc_id // 100
+        |             ORDER BY doc_id ASC, chunk_id ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM cht)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |       CAST((cum - chunk_tokens) // 64 AS BIGINT) AS seq_id,
+        |       CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(sum(chunk_tokens) AS BIGINT) AS seq_tokens
+        |FROM wk
+        |GROUP BY shard, seq_id
+        |ORDER BY shard ASC, seq_id ASC""".stripMargin,
     "q_text_decontam" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
