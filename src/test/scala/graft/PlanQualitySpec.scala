@@ -93,6 +93,31 @@ class PlanQualitySpec extends SparkSpec {
       s"bucketed join still shuffles its inputs:\n$p")
   }
 
+  test("decontam joins the eval shingle set by broadcast (no corpus shuffle join)") {
+    val p = plan("q_text_decontam")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast eval-set join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("langid profile dimension broadcasts") {
+    val p = plan("q_text_langid")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast profile join:\n$p")
+  }
+
+  test("embedding quantization stays narrow (no hash exchange)") {
+    val p = plan("q_emb_quant")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"quantization is per-row; a hash shuffle crept in:\n$p")
+  }
+
+  test("sequence packing windows are sharded (no unpartitioned total order)") {
+    val p = plan("q_text_pack")
+    val widx = p.indexOf("Window")
+    assert(widx >= 0, s"expected a window operator:\n$p")
+    assert(p.substring(widx, math.min(p.length, widx + 400)).contains("shard"),
+      s"pack window lost its shard partitioning:\n$p")
+  }
+
   test("neardup candidate verification stays parallel (no single-partition collapse)") {
     val df = SparkEntry.queries("q_dedup_neardup")(spark, sf0001)
     df.collect()
