@@ -212,6 +212,61 @@ object Dedup {
     nearDupPairs(Tables.documents(s, d))
       .orderBy(col("a_id").asc, col("b_id").asc)
 
+  /** Duplicate-cluster resolution — the step that turns near-dup PAIRS
+    * into per-document survivors: connected components by iterative
+    * min-label propagation (each round every member adopts the smallest
+    * label among itself and its neighbors; GraphX-free, pure joins).
+    * Rounds are FIXED (3) so the job count is static and deterministic;
+    * convergence needs rounds ≥ component diameter, and near-dup
+    * clusters are clique-like (diameter 1–2 here; DedupSimSpec asserts a
+    * diameter-3 chain converges, and the oracle — a true transitive
+    * closure — fails the gate if real data ever exceeds that). Each doc in any pair reports its
+    * canonical id (= min doc_id of its component) — survivors are the
+    * docs where canon_id = doc_id. The edge list is tiny relative to the
+    * corpus (pairs, not docs), so it persists across rounds; at 100 TB
+    * the same loop runs with the edge list as a shuffle-joined table.
+    * Oracle: DuckDB recursive CTE computing min reachable label over the
+    * same (all-pairs-verified) edge set. */
+  /** Min-label propagation over an (a_id, b_id) pair list; returns one
+    * (id, lbl) row per pair member with lbl = min doc_id reachable.
+    *
+    * Each round MATERIALIZES (eager localCheckpoint): labels_k references
+    * labels_{k-1} twice (own row + neighbor aggregate), so a lazy chain
+    * doubles the logical plan per round — 2^rounds subtree copies that
+    * stall the optimizer long before execution (measured minutes at 8
+    * rounds). Lineage truncation per iteration is the standard move for
+    * iterative graph algorithms (GraphX does the same internally). */
+  def clusterLabels(pairs: DataFrame, rounds: Int = 3): DataFrame = {
+    val p = pairs.localCheckpoint(true)
+    val edges = p.union(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .localCheckpoint(true)
+    var labels = p.select(explode(array(col("a_id"), col("b_id"))).as("id"))
+      .distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      // label state is pairs-sized (members, not corpus) — broadcast it
+      // explicitly: checkpointed relations carry no size statistics, so
+      // the planner would otherwise fall back to a full shuffle join per
+      // round for a few hundred rows
+      val fromNeighbors = edges
+        .join(broadcast(labels), edges("b_id") === labels("id"))
+        .groupBy(col("a_id").as("nid"))
+        .agg(min(col("lbl")).as("nlbl"))
+      labels = labels.join(broadcast(fromNeighbors),
+          labels("id") === col("nid"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    clusterLabels(nearDupPairs(Tables.documents(s, d))
+        .select(col("a_id"), col("b_id")))
+      .select(col("id").as("doc_id"), col("lbl").as("canon_id"))
+      .orderBy(col("doc_id").asc)
+
   /** Query surface: per-band bucket statistics (always NumBands rows).
     * Pair extraction itself is pinned by unit tests on crafted near-dups. */
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
@@ -281,6 +336,7 @@ object Dedup {
     "q_dedup_jaccard"  -> dedupJaccard,
     "q_dedup_minhash"  -> dedupMinhash,
     "q_dedup_neardup"  -> dedupNeardup,
+    "q_dedup_clusters" -> dedupClusters,
     "q_dedup_simhash"  -> dedupSimhash,
     "q_sim_ann"        -> simAnnBuckets
   )
@@ -342,6 +398,33 @@ object Dedup {
         |FROM p
         |WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.7
         |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+    // Recursive CTE = transitive closure over the same (all-pairs-
+    // verified) edge set; min reachable label per member ≡ the engine's
+    // min-label propagation fixed point.
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(tk)),
+        |           i -> tk[i] || ' ' || tk[i + 1])) AS tset
+        |  FROM toks),
+        |e AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM t a JOIN t b ON a.doc_id <> b.doc_id
+        |  WHERE len(a.tset) + len(b.tset) - len(list_intersect(a.tset, b.tset)) > 0
+        |    AND CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+        |        / (len(a.tset) + len(b.tset)
+        |           - len(list_intersect(a.tset, b.tset))) >= 0.7),
+        |reach(id, lbl) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.id)
+        |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS canon_id
+        |FROM reach
+        |GROUP BY id
+        |ORDER BY doc_id ASC""".stripMargin,
     "q_sim_ann" ->
       (s"""SELECT $bucketSql AS bucket, count(*) AS n_vecs
         |FROM embeddings

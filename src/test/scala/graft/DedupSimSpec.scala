@@ -75,6 +75,17 @@ class DedupSimSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => Set(a, b).contains(3L) })
   }
 
+  test("clusterLabels: chains converge to the component minimum, islands stay apart") {
+    import spark.implicits._
+    // a 4-chain (1-2-3-4, no shortcut edges) plus a separate 2-clique
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val lbl = operators.Dedup.clusterLabels(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(lbl(_) == 1L), s"chain: $lbl")
+    assert(lbl(10L) == 10L && lbl(11L) == 10L, s"island: $lbl")
+  }
+
   test("salted aggregation equals plain groupBy aggregation") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sf0001)
