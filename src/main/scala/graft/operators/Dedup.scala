@@ -230,23 +230,24 @@ object Dedup {
   /** Min-label propagation over an (a_id, b_id) pair list; returns one
     * (id, lbl) row per pair member with lbl = min doc_id reachable.
     *
-    * Each round MATERIALIZES (eager localCheckpoint): labels_k references
-    * labels_{k-1} twice (own row + neighbor aggregate), so a lazy chain
-    * doubles the logical plan per round — 2^rounds subtree copies that
-    * stall the optimizer long before execution (measured minutes at 8
-    * rounds). Lineage truncation per iteration is the standard move for
-    * iterative graph algorithms (GraphX does the same internally). */
+    * labels_k references labels_{k-1} twice (own row + neighbor
+    * aggregate), so the lazy plan doubles per round — 2^rounds subtree
+    * copies. The ONE load-bearing materialization is the pair list
+    * (eager localCheckpoint): with the expensive candidate DAG truncated
+    * to a cached leaf, 2^3 copies of the remaining tiny subtrees are
+    * free, while un-truncated they re-derived the whole LSH pipeline at
+    * every leaf (measured: minutes of optimizer+recompute at 8 rounds).
+    * More rounds would want per-round checkpoints; 3 rounds deliberately
+    * does not pay those sequential job barriers. */
   def clusterLabels(pairs: DataFrame, rounds: Int = 3): DataFrame = {
     val p = pairs.localCheckpoint(true)
     val edges = p.union(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .localCheckpoint(true)
     var labels = p.select(explode(array(col("a_id"), col("b_id"))).as("id"))
       .distinct()
       .withColumn("lbl", col("id"))
-      .localCheckpoint(true)
     for (_ <- 1 to rounds) {
       // label state is pairs-sized (members, not corpus) — broadcast it
-      // explicitly: checkpointed relations carry no size statistics, so
+      // explicitly: the checkpointed leaf carries no size statistics, so
       // the planner would otherwise fall back to a full shuffle join per
       // round for a few hundred rows
       val fromNeighbors = edges
@@ -256,7 +257,6 @@ object Dedup {
       labels = labels.join(broadcast(fromNeighbors),
           labels("id") === col("nid"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
     }
     labels
   }
