@@ -1,5 +1,28 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entrypoint (driver contract). Prints ONE JSON line:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  *
+  * Two hard-won constraints shape this main:
+  *
+  *  1. The driver captures only the LAST 2000 bytes of the run's output and
+  *     parses the JSON line out of that tail. A full per-query map for 90+
+  *     queries is >2.1 KB and has never fit (BENCH_r01/r02 both recorded
+  *     parsed:null). So the line carries the total over ALL queries plus the
+  *     slowest queries' times, greedily added while the line stays under a
+  *     byte budget; the omitted entries are the fastest (sub-0.3 s) ones and
+  *     their count/sum are reported. The complete map goes to stderr and to
+  *     target/bench_full.json.
+  *
+  *  2. Machine contention is bimodal (loadavg swings 1→8; identical queries
+  *     swing 2 s → 100+ s). Round 2 ran each query's reps back-to-back, so a
+  *     single burst poisoned all 3 reps of one query (q_join_anti min=23.8 s
+  *     for a 0.3 s plan). Reps are now interleaved ACROSS the suite — rep i
+  *     of query q runs a full suite-length (~30 s) after rep i-1 — so a
+  *     burst must outlast the whole suite to poison any query's min.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,35 +36,53 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val names = SparkEntry.queries.keys.toSeq.sorted
     // Warm-up pass at the smallest SF: compiles every query's generated
-    // code and warms the JIT so the timed pass below measures steady-state
-    // execution rather than 61 first-run compilations.
+    // code and warms the JIT so the timed passes measure steady-state
+    // execution rather than first-run compilations.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      names.foreach { n =>
+        try SparkEntry.queries(n)(spark, warmDir).count()
+        catch { case _: Throwable => () }
       }
-    // Min over `reps` back-to-back runs per query: one GC pause, codegen
-    // stall, or noisy neighbor can no longer 50× a query's official
-    // number (the round-1 failure mode — a 2 s query graded at 113 s).
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    val best = scala.collection.mutable.Map[String, Double]()
+    for (rep <- 1 to reps) {
+      for (name <- names) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case _: Throwable => () }
+        val t = (System.nanoTime() - t0) / 1e9
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+        System.err.println(f"[bench] rep=$rep $name%-24s $t%8.3f s  best=${best(name)}%8.3f")
       }
-      System.err.println(f"[bench] $name%-22s min=${times.min}%8.3f s  runs=" +
-        times.map(t => f"$t%.3f").mkString(","))
-      name -> times.min
     }
-    // Machine-load snapshot so a contended run is diagnosable, not a mystery.
-    val load = try {
-      scala.io.Source.fromFile("/proc/loadavg").mkString.trim
-    } catch { case _: Throwable => "" }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"loadavg":"$load"}""")
-    spark.stop()
+    val load = try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
+               catch { case _: Throwable => "" }
+    def f3(d: Double): String = "%.3f".format(d)
+    val total = best.values.sum
+    val sorted = best.toSeq.sortBy(-_._2)
+    // Greedy: include slowest queries while the final line stays ≤ budget.
+    val budget = 1600
+    val fixedFmt = (shown: Seq[(String, Double)], omitted: Seq[(String, Double)]) =>
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{""" +
+        shown.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString(",") +
+        s"""},"sf":"$sfDir","reps":$reps,"n_queries":${best.size},""" +
+        s""""omitted_fastest":${omitted.size},"omitted_sum":${f3(omitted.map(_._2).sum)},"loadavg":"$load"}"""
+    var cut = sorted.size
+    while (cut > 0 && fixedFmt(sorted.take(cut), sorted.drop(cut)).length > budget) cut -= 1
+    val line = fixedFmt(sorted.take(cut), sorted.drop(cut))
+    // Full map for diagnosis (driver ignores these channels).
+    val full = sorted.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    System.err.println(s"[bench] full=$full")
+    try {
+      val w = new java.io.PrintWriter("target/bench_full.json")
+      w.println(full); w.close()
+    } catch { case _: Throwable => () }
+    // Silence Spark before stop so shutdown logs can't land after the JSON
+    // line and push it out of the driver's 2000-byte tail window.
+    spark.sparkContext.setLogLevel("OFF")
+    try spark.stop() catch { case _: Throwable => () }
+    println(line)
   }
 }
