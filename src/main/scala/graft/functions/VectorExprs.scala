@@ -111,8 +111,14 @@ case class MinHashSigs(child: Expression, numPerms: Int)
     extends UnaryExpression {
 
   private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
-  private def aArr: Array[Long] = Array.tabulate(numPerms)(i => 1103515245L * (i + 1) % P)
-  private def bArr: Array[Long] = Array.tabulate(numPerms)(i => 12345L * (i + 1))
+  // lazy vals, not defs: deterministic in numPerms, and the interpreted
+  // nullSafeEval path would otherwise re-tabulate both permutation arrays
+  // on every row (lazy rather than strict so (de)serialized copies on
+  // executors rebuild on first use instead of shipping state).
+  @transient private lazy val aArr: Array[Long] =
+    Array.tabulate(numPerms)(i => 1103515245L * (i + 1) % P)
+  @transient private lazy val bArr: Array[Long] =
+    Array.tabulate(numPerms)(i => 12345L * (i + 1))
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -184,7 +190,22 @@ object VectorExprs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sigs", exprs => MinHashSigs(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]), "built-in")
+      "minhash_sigs", { exprs =>
+        // Checked foldable-literal extraction: a non-integer perm count
+        // (e.g. written as 32L or a column) must fail analysis with a
+        // real message, not a ClassCastException from a blind cast.
+        val n = exprs(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case other => throw new IllegalArgumentException(
+              "minhash_sigs: numPerms must be an INT literal, got " +
+                s"$other (${e.dataType.simpleString})")
+          }
+          case e => throw new IllegalArgumentException(
+            "minhash_sigs: numPerms must be a foldable INT literal, got " +
+              e.sql)
+        }
+        MinHashSigs(exprs(0), n)
+      }, "built-in")
   }
 }

@@ -122,11 +122,9 @@ object Dedup {
       .select(col("doc_id"), col("sig"), col("bb.band_id"), col("bb.bucket"))
   }
 
-  /** Candidate near-dup pairs from LSH bucketing (same band+bucket).
-    * Pairs are expanded INSIDE each bucket group (collect sorted ids,
-    * emit ordered 2-combinations) rather than via a bucket self-join —
-    * one shuffle on the bucket key instead of a join, and bucket size is
-    * bounded by LSH design so the collected lists stay small.
+  /** Candidate near-dup pairs from LSH bucketing (same band+bucket),
+    * emitted by a streamed bucket self-join (see the inline note on why
+    * not a per-bucket collect: hot-bucket memory).
     *
     * The explicit repartition by pair key before distinct is load-bearing:
     * candidate verification downstream is CPU-bound (set intersections),
@@ -146,25 +144,37 @@ object Dedup {
     * on this corpus it cuts 276k candidates to ~2k. */
   def minhashCandidates(docs: DataFrame, nGram: Int = 2,
       numPerms: Int = NumPerms, bandRows: Int = BandRows,
-      estMin: Double = 0.0): DataFrame =
-    minhashBuckets(docs, nGram, numPerms, bandRows)
-      .groupBy(col("band_id"), col("bucket"))
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("sig")))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1),
-          |    y -> struct(x.doc_id AS a_id, y.doc_id AS b_id,
-          |      aggregate(zip_with(x.sig, y.sig, (p, q) -> IF(p = q, 1, 0)),
-          |        0, (acc, v) -> acc + v) AS est))))""".stripMargin)).as("pr"))
-      .filter(col("pr.est").cast("double") >= lit(estMin) * numPerms)
-      .select(col("pr.a_id"), col("pr.b_id"))
+      estMin: Double = 0.0): DataFrame = {
+    // Pair generation is a STREAMED self-join on the bucket key, not a
+    // collect-ids-then-expand aggregation: a mass-duplicate hot bucket
+    // (boilerplate duplicated 10^6× — the core dedup scenario) makes a
+    // collected id list an O(bucket) single row, and expanding its pair
+    // array inside one expression O(bucket²) in ONE task's memory. The
+    // join streams the same pairs with spill-safe per-key buffering —
+    // quadratic only in OUTPUT, which emitting the pairs inherently is.
+    // Cost: the signature stream shuffles twice (once per join leg)
+    // instead of once; memory-boundedness at corpus scale wins. Two
+    // additional properties the aggregation variants lack: no single
+    // giant row can defeat executor memory, and the join parallelizes a
+    // hot bucket's pair emission across its matching row groups.
+    val bkt = minhashBuckets(docs, nGram, numPerms, bandRows)
+    val a = bkt.select(col("band_id"), col("bucket"),
+      col("doc_id").as("a_id"), col("sig").as("sig_a"))
+    val b = bkt.select(col("band_id"), col("bucket"),
+      col("doc_id").as("b_id"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_id", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("est", expr(
+        "aggregate(zip_with(sig_a, sig_b, (p, q) -> IF(p = q, 1, 0)), 0, (acc, v) -> acc + v)"))
+      .filter(col("est").cast("double") >= lit(estMin) * numPerms)
+      .select(col("a_id"), col("b_id"))
       // Explicit partition count: a column-only repartition is still
       // AQE-coalescible (REPARTITION_BY_COL), which re-serializes the
       // verify stage; pinning to the session's shuffle parallelism is not.
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
         col("a_id"), col("b_id"))
       .distinct()
+  }
 
   /** The production near-dup pipeline at corpus scale: LSH candidate
     * generation (near-linear) followed by exact Jaccard verification on
@@ -186,7 +196,14 @@ object Dedup {
       .withColumn("tset", expr(shingles(nGram)))
     val a = withSets.select(col("doc_id").as("a_id"), col("tset").as("ta"))
     val b = withSets.select(col("doc_id").as("b_id"), col("tset").as("tb"))
-    minhashCandidates(docs, nGram, numPerms, bandRows, estMin = 0.25)
+    // The prefilter must track the verify threshold, not assume the 0.7
+    // default: a fixed estMin=0.25 silently drops true pairs once
+    // threshold ≲ 0.5 (P[est < 0.25 | J = 0.4] ≈ 4%), breaking the
+    // "verified output = exact answer" contract the oracle relies on.
+    // threshold/2 keeps the miss probability negligible at every setting
+    // (the estimate must fall below half the true similarity).
+    minhashCandidates(docs, nGram, numPerms, bandRows,
+        estMin = math.min(0.25, threshold / 2))
       .join(a, "a_id").join(b, "b_id")
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
       .withColumn("uni",
@@ -239,25 +256,51 @@ object Dedup {
     * every leaf (measured: minutes of optimizer+recompute at 8 rounds).
     * More rounds would want per-round checkpoints; 3 rounds deliberately
     * does not pay those sequential job barriers. */
-  def clusterLabels(pairs: DataFrame, rounds: Int = 3): DataFrame = {
+  def clusterLabels(pairs: DataFrame, rounds: Int = 3,
+      maxRounds: Int = 12): DataFrame = {
     val p = pairs.localCheckpoint(true)
     val edges = p.union(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    // label state is pairs-sized (members, not corpus) — broadcast it
+    // explicitly: the checkpointed leaf carries no size statistics, so
+    // the planner would otherwise fall back to a full shuffle join per
+    // round for a few hundred rows
+    def step(l: DataFrame): DataFrame = {
+      val fromNeighbors = edges
+        .join(broadcast(l), edges("b_id") === l("id"))
+        .groupBy(col("a_id").as("nid"))
+        .agg(min(col("lbl")).as("nlbl"))
+      l.join(broadcast(fromNeighbors), l("id") === col("nid"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+    }
     var labels = p.select(explode(array(col("a_id"), col("b_id"))).as("id"))
       .distinct()
       .withColumn("lbl", col("id"))
-    for (_ <- 1 to rounds) {
-      // label state is pairs-sized (members, not corpus) — broadcast it
-      // explicitly: the checkpointed leaf carries no size statistics, so
-      // the planner would otherwise fall back to a full shuffle join per
-      // round for a few hundred rows
-      val fromNeighbors = edges
-        .join(broadcast(labels), edges("b_id") === labels("id"))
-        .groupBy(col("a_id").as("nid"))
-        .agg(min(col("lbl")).as("nlbl"))
-      labels = labels.join(broadcast(fromNeighbors),
-          labels("id") === col("nid"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+    for (_ <- 1 to rounds) labels = step(labels)
+    // Convergence guard: `rounds` fixed rounds suffice only for components
+    // with diameter ≤ rounds; a longer chain would silently emit labels
+    // that diverge from the oracle's transitive closure. One cheap
+    // read-only check (labels disagree across any edge?) — the common
+    // clique-like case pays a single tiny count job and no plan growth.
+    // Only an actual long chain enters the extension loop, which
+    // checkpoints per round (bounded plan) up to maxRounds, then fails
+    // fast rather than returning a wrong fixed point.
+    def unconverged(l: DataFrame): Boolean = {
+      val la = l.select(col("id").as("a_id"), col("lbl").as("la"))
+      val lb = l.select(col("id").as("b_id"), col("lbl").as("lb"))
+      p.join(broadcast(la), "a_id").join(broadcast(lb), "b_id")
+        .filter(col("la") =!= col("lb")).limit(1).count() > 0
     }
+    var r = rounds
+    var dirty = unconverged(labels)
+    while (dirty && r < maxRounds) {
+      labels = step(labels.localCheckpoint(true))
+      r += 1
+      dirty = unconverged(labels)
+    }
+    if (dirty)
+      throw new IllegalStateException(
+        s"clusterLabels: component diameter exceeds maxRounds=$maxRounds; " +
+          "raise maxRounds for this edge set")
     labels
   }
 

@@ -75,6 +75,43 @@ class DedupSimSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => Set(a, b).contains(3L) })
   }
 
+  test("minhash hot bucket: mass duplicates emit all pairs, streamed") {
+    import spark.implicits._
+    // 6 identical docs collide into one mass-duplicate bucket per band —
+    // the hot-bucket scenario the streamed self-join handles without a
+    // per-bucket collected row.
+    val dup = "mass duplicate boilerplate page content shared by all copies"
+    val hot = (0L to 5L).map(i => (i, dup)) ++ Seq(
+      (6L, "completely different words entirely unrelated content here"),
+      (7L, "another disjoint document with other vocabulary terms"))
+    val docs = hot.toDF("doc_id", "text")
+    val cands = operators.Dedup.minhashCandidates(docs, nGram = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all 15 duplicate pairs present, no cross-contamination
+    val expect = (for (a <- 0L to 5L; b <- (a + 1) to 5L) yield (a, b)).toSet
+    assert(expect.subsetOf(cands))
+    assert(!cands.exists { case (a, b) => Set(a, b).exists(_ >= 6L) })
+  }
+
+  test("clusterLabels: diameter-6 chain converges via the extension rounds") {
+    import spark.implicits._
+    // 7-node path graph: min-label needs 6 propagation rounds — more than
+    // the 3 fixed ones, so the convergence check must detect and extend.
+    val pairs = (1L to 6L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val lbl = operators.Dedup.clusterLabels(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 7L).forall(lbl(_) == 1L), s"chain: $lbl")
+  }
+
+  test("clusterLabels: fails fast when diameter exceeds maxRounds") {
+    import spark.implicits._
+    val pairs = (1L to 6L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val e = intercept[IllegalStateException] {
+      operators.Dedup.clusterLabels(pairs, rounds = 1, maxRounds = 2).collect()
+    }
+    assert(e.getMessage.contains("diameter"))
+  }
+
   test("clusterLabels: chains converge to the component minimum, islands stay apart") {
     import spark.implicits._
     // a 4-chain (1-2-3-4, no shortcut edges) plus a separate 2-clique
