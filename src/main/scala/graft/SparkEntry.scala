@@ -28,6 +28,7 @@ object SparkEntry {
     (operators.Sim.queries,        operators.Sim.oracle),
     (operators.Dedup.queries,      operators.Dedup.oracle),
     (operators.Skew.queries,       operators.Skew.oracle),
+    (operators.Graph.queries,      operators.Graph.oracle),
     (operators.SqlReport.queries,  operators.SqlReport.oracle),
     (operators.Analytics.queries,  operators.Analytics.oracle),
     (multimodal.Multimodal.queries, multimodal.Multimodal.oracle)

@@ -118,7 +118,33 @@ object Aggs {
       .orderBy(col("p_brand").asc)
   }
 
+  /** Exact median + deterministic mode per returnflag. Median is the
+    * interpolated 0.5-percentile (rounded at 4 like the percentile query —
+    * quantities are integer-valued doubles, so midpoints land on .0/.5).
+    * Mode is computed EXPLICITLY as (max count, min value) via count +
+    * row_number: the built-in `mode()` has no deterministic tie rule in
+    * either engine, so the explicit algebra is what makes the query
+    * oracle-able. */
+  def aggMedianMode(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, d)
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("c").desc, col("l_quantity").asc)
+    val mode = li.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+        col("c").as("mode_cnt"))
+    med.join(mode, "l_returnflag")
+      .orderBy(col("l_returnflag").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_median_mode" -> aggMedianMode,
     "q_topk_groups"     -> topkGroups,
     "q_agg_global"      -> aggGlobal,
     "q_agg_groupby"     -> aggGroupby,
@@ -132,6 +158,23 @@ object Aggs {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_median_mode" ->
+      """WITH med AS (
+        |  SELECT l_returnflag,
+        |         round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |         count(*) AS cnt
+        |  FROM lineitem GROUP BY l_returnflag),
+        |c AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS c
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+        |m AS (
+        |  SELECT l_returnflag, l_quantity AS mode_qty, c AS mode_cnt,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |                            ORDER BY c DESC, l_quantity ASC) AS rn
+        |  FROM c)
+        |SELECT med.l_returnflag, median_qty, cnt, mode_qty, mode_cnt
+        |FROM med JOIN m ON med.l_returnflag = m.l_returnflag AND rn = 1
+        |ORDER BY med.l_returnflag ASC""".stripMargin,
     "q_topk_groups" ->
       """SELECT user_id, count(*) AS cnt
         |FROM events

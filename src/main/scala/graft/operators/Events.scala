@@ -65,13 +65,58 @@ object Events {
       .orderBy(col("user_id").asc, col("sess_seq").asc)
   }
 
+  /** Ordered conversion funnel view → click → purchase: a user advances a
+    * stage only with a strictly-later event of the next type (min-timestamp
+    * per stage, each gated on the previous stage's time). Pure
+    * aggregate-then-join algebra — each stage is one grouped min plus one
+    * equi-join against the (shrinking) prior stage, so the whole funnel
+    * partitions by user_id with no window over the raw stream. */
+  def evtFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("us", expr("unix_micros(ts)"))
+    def stage(typ: String) = ev.filter(col("event_type") === typ)
+    val v = stage("view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val c = stage("click").join(v, "user_id")
+      .filter(col("us") > col("v_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+    val p = stage("purchase").join(c, "user_id")
+      .filter(col("us") > col("c_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+    v.select(lit("1_view").as("stage"), col("user_id"))
+      .union(c.select(lit("2_click").as("stage"), col("user_id")))
+      .union(p.select(lit("3_purchase").as("stage"), col("user_id")))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_evt_tumbling" -> evtTumbling,
     "q_evt_sliding"  -> evtSliding,
-    "q_evt_session"  -> evtSession
+    "q_evt_session"  -> evtSession,
+    "q_evt_funnel"   -> evtFunnel
   )
 
   val oracle: Map[String, String] = Map(
+    "q_evt_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (
+        |  SELECT user_id, min(us) AS v_us FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(us) AS c_us FROM e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE event_type = 'click' AND us > v_us GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(us) AS p_us FROM e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE event_type = 'purchase' AND us > c_us GROUP BY e.user_id)
+        |SELECT stage, CAST(n_users AS BIGINT) AS n_users FROM (
+        |  SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |  UNION ALL SELECT '2_click', count(*) FROM c
+        |  UNION ALL SELECT '3_purchase', count(*) FROM p)
+        |ORDER BY stage ASC""".stripMargin,
     "q_evt_tumbling" ->
       """SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS ws,
         |       event_type,

@@ -189,7 +189,32 @@ object Joins {
       .orderBy(col("c_mktsegment").asc)
   }
 
+  /** Pure range join (no equi key): for each error event, count ALL
+    * events within ±60 s of it. The naive formulation is an O(n²) theta
+    * join (a BroadcastNestedLoop/cartesian at scale); the scale shape is
+    * the BUCKETED-INTERVAL join Spark lacks natively: quantize time into
+    * range-width buckets, explode each probe into its 3 covering buckets,
+    * equi-join on the bucket id, then apply the exact range predicate.
+    * The bucket id becomes the shuffle key, so candidate pairs are
+    * (events per bucket × 3) per probe — near-linear — and the join is a
+    * plain hash/sort-merge equi-join that partitions like any other. */
+  def joinRange(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("us", expr("unix_micros(ts)"))
+    val all = ev.select(col("event_id").as("b_id"), col("us").as("b_us"))
+      .withColumn("bkt", expr("b_us div 60000000"))
+    val probes = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("us"))
+      .withColumn("bkt", explode(expr(
+        "array(us div 60000000 - 1, us div 60000000, us div 60000000 + 1)")))
+    probes.join(all, "bkt")
+      .filter(abs(col("b_us") - col("us")) <= 60000000L)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_nearby"))
+      .orderBy(col("event_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_range"     -> joinRange,
     "q_join_bucketed"  -> joinBucketed,
     "q_join_supplier"  -> joinSupplier,
     "q_join_asof2"     -> joinAsofStream,
@@ -203,6 +228,15 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    // The oracle states the range-join SEMANTICS directly (DuckDB's IEJoin
+    // handles the inequality); the engine side is the bucketed rewrite.
+    "q_join_range" ->
+      """SELECT e.event_id, count(*) AS n_nearby
+        |FROM events e JOIN events a
+        |  ON abs(epoch_us(a.ts) - epoch_us(e.ts)) <= 60000000
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.event_id
+        |ORDER BY e.event_id ASC""".stripMargin,
     "q_join_bucketed" ->
       """SELECT c_mktsegment, count(*) AS cnt,
         |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100

@@ -107,7 +107,25 @@ object Relational {
     uids(s, d, "view").except(uids(s, d, "purchase"))
       .orderBy(col("user_id").asc)
 
+  /** Multiset EXCEPT ALL: view events minus purchase events per user with
+    * MULTIPLICITY — each view row survives unless cancelled 1:1 by a
+    * purchase row of the same user. Aggregated to (user_id, n) so the
+    * declared output is small and order-stable. */
+  def setExceptAll(s: SparkSession, d: String): DataFrame =
+    uids(s, d, "view").exceptAll(uids(s, d, "purchase"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("user_id").asc)
+
+  /** Multiset INTERSECT ALL: per user, min(view count, click count)
+    * surviving rows. */
+  def setIntersectAll(s: SparkSession, d: String): DataFrame =
+    uids(s, d, "view").intersectAll(uids(s, d, "click"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("user_id").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_set_except_all"    -> setExceptAll,
+    "q_set_intersect_all" -> setIntersectAll,
     "q_scan_project"      -> scanProject,
     "q_sample_systematic" -> sampleSystematic,
     "q_sample_stratified" -> sampleStratified,
@@ -179,6 +197,20 @@ object Relational {
       """SELECT user_id FROM events WHERE event_type = 'view'
         |EXCEPT
         |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id ASC""".stripMargin,
+    "q_set_except_all" ->
+      """SELECT user_id, count(*) AS n FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'view'
+        |  EXCEPT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |GROUP BY user_id
+        |ORDER BY user_id ASC""".stripMargin,
+    "q_set_intersect_all" ->
+      """SELECT user_id, count(*) AS n FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'view'
+        |  INTERSECT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'click')
+        |GROUP BY user_id
         |ORDER BY user_id ASC""".stripMargin
   )
 }

@@ -198,15 +198,23 @@ object Text {
   def textMix(s: SparkSession, d: String): DataFrame = {
     val w100 = "CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 150 " +
       "WHEN 'fr' THEN 100 ELSE 50 END"
-    Tables.documents(s, d)
+    val base = Tables.documents(s, d)
       .withColumn("n_copies",
         expr(s"$w100 div 100 + IF(doc_id % 100 < $w100 % 100, 1, 0)"))
+    // The resample itself: one exploded row per training copy.
+    val resampled = base
       .select(col("lang"), col("doc_id"), explode(expr(
         "CASE WHEN n_copies >= 1 THEN sequence(1, n_copies) " +
           "ELSE slice(sequence(1, 1), 1, 0) END")).as("copy_id"))
-      .groupBy(col("lang"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_resampled"))
+    // n_docs counts the FULL corpus per language — docs down-sampled to
+    // zero copies stay in the denominator, so `rate` IS the mixture
+    // weight (0.5 for the down-weighted languages), not the misleading
+    // copies-per-surviving-doc (1.0) the resampled rows alone would give.
+    base.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .join(resampled.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_resampled")),
+        Seq("lang"), "left")
+      .withColumn("n_resampled", coalesce(col("n_resampled"), lit(0L)))
       .withColumn("rate",
         col("n_resampled").cast("double") / col("n_docs"))
       .orderBy(col("lang").asc)
@@ -234,7 +242,94 @@ object Text {
       .orderBy(col("shard").asc, col("seq_id").asc)
   }
 
+  /** TF-IDF-flavored salient terms: top-3 tokens per doc ranked by
+    * (tf desc, df asc, token asc). Real TF-IDF multiplies tf by ln(N/df);
+    * ln's last-ulp behavior differs across engines while the RANKING it
+    * induces (high tf, rare token first) is exactly this integer sort —
+    * so the declared query keeps the semantics and stays hash-exact.
+    * df re-joins via a plain equi-join: corpus-scale vocabularies are
+    * Zipfian-huge (every typo is a term), so no broadcast is assumed —
+    * AQE promotes one when the vocabulary actually fits. */
+  def textSalient(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("tok").asc)
+    tf.join(df, "tok")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("rn"))
+      .orderBy(col("doc_id").asc, col("rn").asc)
+  }
+
+  /** Gopher-style repetition signals: duplicate-token fraction and
+    * top-bigram coverage per doc — the redundancy heuristics a
+    * pretraining quality filter runs ahead of dedup. Ratios are
+    * integer-fed divisions; the top bigram tie-breaks (count desc,
+    * bigram asc) so both engines agree. Docs with <2 tokens have no
+    * bigram and drop out (same rule both sides). */
+  def textRepetition(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.spread(Tables.documents(s, d))
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))).cast("long"))
+    val big = base.select(col("doc_id"), col("n_tokens"), col("n_uniq"),
+        explode(expr(
+          """CASE WHEN size(toks) >= 2 THEN
+            |  transform(sequence(1, size(toks) - 1),
+            |    i -> concat_ws(' ', slice(toks, i, 2)))
+            |ELSE slice(toks, 1, 0) END""".stripMargin)).as("bg"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("n_uniq"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("c").desc, col("bg").asc)
+    big.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_tokens"), col("n_uniq"),
+        (lit(1.0) - col("n_uniq").cast("double") / col("n_tokens"))
+          .as("dup_ratio"),
+        col("bg").as("top_bigram"), col("c").as("top_bigram_cnt"),
+        (col("c").cast("double") / (col("n_tokens") - 1))
+          .as("top_bigram_frac"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Shared scrub pattern — generates BOTH the Spark rewrite and the
+    * oracle's regex so they can never drift. Denylist tokens plus any
+    * digit run ≥ 4 (id/phone shape). */
+  val scrubPattern: String = "\\b(key|merge|part)\\b|[0-9]{4,}"
+
+  /** PII-style redaction: global regex rewrite to `[REDACTED]` with
+    * occurrence accounting, rolled up per source. The corpus is a
+    * synthetic word soup, so a vocabulary denylist stands in for real
+    * PII patterns (emails, phones, SSNs) — the MECHANISM is the
+    * demonstrated surface: one narrow codegen'd map per doc (match count
+    * + rewrite + length delta), no shuffle until the final small rollup.
+    * len_delta re-derives the rewrite byte-exactly, so the oracle
+    * verifies the replacement text, not just the counts. */
+  def textScrub(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_hits",
+        size(regexp_extract_all(col("text"), lit(scrubPattern), lit(0)))
+          .cast("long"))
+      .withColumn("scrubbed", regexp_replace(col("text"), scrubPattern, "[REDACTED]"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_hits")).as("n_redactions"),
+        sum(when(col("n_hits") > 0, 1L).otherwise(0L)).as("n_docs_affected"),
+        sum((length(col("scrubbed")) - length(col("text"))).cast("long"))
+          .as("len_delta"))
+      .orderBy(col("source").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_salient"     -> textSalient,
+    "q_text_repetition"  -> textRepetition,
+    "q_text_scrub"       -> textScrub,
     "q_text_mix"         -> textMix,
     "q_text_pack"        -> textPack,
     "q_text_decontam"    -> textDecontam,
@@ -250,6 +345,59 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_salient" ->
+      """WITH x AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM x GROUP BY doc_id, tok),
+        |dfx AS (
+        |  SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+        |SELECT doc_id, tok, tf, df, rn FROM (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, dfx.df,
+        |         CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |              ORDER BY tf.tf DESC, dfx.df ASC, tf.tok ASC)
+        |           AS BIGINT) AS rn
+        |  FROM tf JOIN dfx ON tf.tok = dfx.tok)
+        |WHERE rn <= 3
+        |ORDER BY doc_id ASC, rn ASC""".stripMargin,
+    "q_text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |b AS (
+        |  SELECT doc_id, len(tk) AS n_tokens,
+        |         len(list_distinct(tk)) AS n_uniq,
+        |         unnest(list_transform(range(1, len(tk)),
+        |           i -> tk[i] || ' ' || tk[i + 1])) AS bg
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, n_tokens, n_uniq, bg, count(*) AS c
+        |  FROM b GROUP BY doc_id, n_tokens, n_uniq, bg),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY c DESC, bg ASC) AS rn
+        |  FROM g)
+        |SELECT doc_id,
+        |       CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(n_uniq AS BIGINT) AS n_uniq,
+        |       1.0 - CAST(n_uniq AS DOUBLE) / n_tokens AS dup_ratio,
+        |       bg AS top_bigram, c AS top_bigram_cnt,
+        |       CAST(c AS DOUBLE) / (n_tokens - 1) AS top_bigram_frac
+        |FROM r WHERE rn = 1
+        |ORDER BY doc_id ASC""".stripMargin,
+    "q_text_scrub" ->
+      (s"""WITH t AS (
+        |  SELECT source,
+        |         len(regexp_extract_all(text, '$scrubPattern')) AS n_hits,
+        |         len(regexp_replace(text, '$scrubPattern', '[REDACTED]', 'g'))
+        |           - len(text) AS delta
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_hits) AS BIGINT) AS n_redactions,
+        |       CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_docs_affected,
+        |       CAST(sum(delta) AS BIGINT) AS len_delta
+        |FROM t GROUP BY source ORDER BY source ASC""").stripMargin,
     // No explode needed oracle-side: the mixture arithmetic aggregates.
     "q_text_mix" ->
       """WITH c AS (
@@ -262,11 +410,11 @@ object Text {
         |           THEN 1 ELSE 0 END AS n_copies
         |  FROM documents)
         |SELECT lang,
-        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_copies) AS BIGINT) AS n_resampled,
         |       CAST(sum(n_copies) AS BIGINT)::DOUBLE
-        |         / count(DISTINCT doc_id) AS rate
-        |FROM c WHERE n_copies >= 1
+        |         / count(*) AS rate
+        |FROM c
         |GROUP BY lang
         |ORDER BY lang ASC""".stripMargin,
     "q_text_pack" ->

@@ -118,6 +118,33 @@ class PlanQualitySpec extends SparkSpec {
       s"pack window lost its shard partitioning:\n$p")
   }
 
+  test("range join is bucketed (equi-join on the time bucket, no nested loop)") {
+    val p = plan("q_join_range")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"range join degenerated:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"bucketed-interval rewrite lost its equi key:\n$p")
+  }
+
+  test("salient-terms top-3 pushes the rank limit below the shuffle") {
+    val p = executedPlan("q_text_salient")
+    assert(p.contains("WindowGroupLimit"),
+      s"row_number filter not pushed into WindowGroupLimit:\n$p")
+  }
+
+  test("pagerank rounds are equi-joins with no cartesian") {
+    val p = plan("q_graph_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 materialized a full sort:\n$p")
+  }
+
+  test("scrub rollup aggregates partially before the shuffle (narrow redaction map)") {
+    val p = plan("q_text_scrub")
+    assert(p.contains("HashAggregate"), s"no hash aggregation:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(doc_id"),
+      s"per-doc shuffle crept into a per-source rollup:\n$p")
+  }
+
   test("neardup candidate verification stays parallel (no single-partition collapse)") {
     val df = SparkEntry.queries("q_dedup_neardup")(spark, sf0001)
     df.collect()
