@@ -56,12 +56,38 @@ object Geo {
       .limit(50)
   }
 
+  /** Grid-cell (geohash-style) spatial aggregation: 10°×10° cells via
+    * floor division — the partition-key pattern that turns spatial joins
+    * and density maps into equi-key work at scale (cell id = shuffle key,
+    * exactly like the time bucket in the range join). floor(x/10.0), not
+    * integer `div`: Spark's div truncates toward zero while DuckDB's //
+    * floors, so negative coordinates would disagree. */
+  def geoGrid(s: SparkSession, d: String): DataFrame =
+    withCoords(Tables.customer(s, d))
+      .withColumn("cell_lat", floor(col("lat") / 10.0).cast("long"))
+      .withColumn("cell_lon", floor(col("lon") / 10.0).cast("long"))
+      .groupBy(col("cell_lat"), col("cell_lon"))
+      .agg(count(lit(1)).as("cnt"), min(col("c_custkey")).as("first_cust"))
+      .orderBy(col("cell_lat").asc, col("cell_lon").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_geo_bbox"      -> geoBbox,
-    "q_geo_haversine" -> geoHaversine
+    "q_geo_haversine" -> geoHaversine,
+    "q_geo_grid"      -> geoGrid
   )
 
   val oracle: Map[String, String] = Map(
+    "q_geo_grid" ->
+      """SELECT CAST(floor(lat / 10.0) AS BIGINT) AS cell_lat,
+        |       CAST(floor(lon / 10.0) AS BIGINT) AS cell_lon,
+        |       count(*) AS cnt, min(c_custkey) AS first_cust
+        |FROM (
+        |  SELECT c_custkey,
+        |         CAST(c_custkey % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+        |         CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) + 0.5 AS lon
+        |  FROM customer)
+        |GROUP BY cell_lat, cell_lon
+        |ORDER BY cell_lat ASC, cell_lon ASC""".stripMargin,
     "q_geo_bbox" ->
       """SELECT n_name, count(*) AS cnt,
         |       round(min(lat), 1) AS min_lat,

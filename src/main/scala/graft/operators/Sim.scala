@@ -181,7 +181,32 @@ object Sim {
       .select(col("vec_id"), col("qscale"), col("n_sat"), col("max_abs_err"))
       .orderBy(col("vec_id").asc)
 
+  /** Per-label quantized-centroid accumulation — the trainable half of
+    * IVF/k-means, made hash-exact: fixed-scale int8 quantization (×64,
+    * saturated) turns each vector into integers whose per-label SUMS are
+    * order-independent longs; the centroid magnitude derives by integer-fed
+    * division. A float centroid (mean of floats) could never oracle —
+    * shuffle merge order perturbs the sum — which is exactly why the
+    * deterministic-training path quantizes FIRST at 100 TB too. */
+  def embStats(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("q", expr(
+        "transform(embedding, x -> CAST(least(127, greatest(-128, " +
+          "floor(CAST(x AS DOUBLE) * 64.0D + 0.5D))) AS BIGINT))"))
+      .withColumn("row_sum", expr("aggregate(q, CAST(0 AS BIGINT), (a, v) -> a + v)"))
+      .withColumn("row_l1", expr("aggregate(q, CAST(0 AS BIGINT), (a, v) -> a + abs(v))"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("row_sum")).as("sum_q"),
+        sum(col("row_l1")).as("l1_q"),
+        max(expr("array_max(q)")).as("max_q"),
+        min(expr("array_min(q)")).as("min_q"))
+      .withColumn("mean_component",
+        col("sum_q").cast("double") / (col("n_vecs") * 64))
+      .orderBy(col("label").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_emb_stats"      -> embStats,
     "q_emb_quant"      -> embQuant,
     "q_sim_topk"       -> simTopk,
     "q_knn_label"      -> knnLabel,
@@ -205,6 +230,29 @@ object Sim {
       |           (a, x) -> a + x) / (q.nrm * c.nrm)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_emb_stats" ->
+      """WITH q AS (
+        |  SELECT label,
+        |         list_transform(embedding, x -> CAST(least(127, greatest(-128,
+        |           floor(CAST(x AS DOUBLE) * 64.0 + 0.5))) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |r AS (
+        |  SELECT label,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
+        |           (a, v) -> a + v) AS row_sum,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(qv, v -> abs(v))), (a, v) -> a + v) AS row_l1,
+        |         list_max(qv) AS rmax, list_min(qv) AS rmin
+        |  FROM q)
+        |SELECT label, count(*) AS n_vecs,
+        |       CAST(sum(row_sum) AS BIGINT) AS sum_q,
+        |       CAST(sum(row_l1) AS BIGINT) AS l1_q,
+        |       CAST(max(rmax) AS BIGINT) AS max_q,
+        |       CAST(min(rmin) AS BIGINT) AS min_q,
+        |       CAST(sum(row_sum) AS BIGINT)::DOUBLE / (count(*) * 64)
+        |         AS mean_component
+        |FROM r GROUP BY label
+        |ORDER BY label ASC""".stripMargin,
     "q_emb_quant" ->
       """WITH b AS (
         |  SELECT vec_id, embedding,

@@ -326,7 +326,23 @@ object Text {
           .as("len_delta"))
       .orderBy(col("source").asc)
 
+  /** Inverted-index vocabulary summary: per token, document frequency,
+    * collection frequency, and posting-list boundaries — the build step
+    * of a search/retrieval index as one grouped pass over the exploded
+    * token stream (token = shuffle key; posting lists partition by term
+    * at any scale). */
+  def textInvindex(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("tok").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_invindex"    -> textInvindex,
     "q_text_salient"     -> textSalient,
     "q_text_repetition"  -> textRepetition,
     "q_text_scrub"       -> textScrub,
@@ -345,6 +361,16 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_invindex" ->
+      """WITH x AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (
+        |  SELECT tok, doc_id, count(*) AS tf FROM x GROUP BY tok, doc_id)
+        |SELECT tok, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM tf GROUP BY tok
+        |ORDER BY tok ASC""".stripMargin,
     "q_text_salient" ->
       """WITH x AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok

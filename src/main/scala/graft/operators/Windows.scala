@@ -136,7 +136,27 @@ object Windows {
         round(max(col("c_acctbal")), 2).as("hi"))
       .orderBy(col("quartile").asc)
 
+  /** first_value / last_value / nth_value over an UNBOUNDED-both-ways
+    * frame per order priority (deterministic order: date + unique key).
+    * Output sampled to every-100th order key AFTER the window so the
+    * declared result stays small while the window computes over all
+    * rows. */
+  def winFirstLast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .withColumn("first_key", first(col("o_orderkey")).over(w))
+      .withColumn("last_key", last(col("o_orderkey")).over(w))
+      .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(w))
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("first_key"), col("last_key"), col("second_key"))
+      .orderBy(col("o_orderkey").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_firstlast"    -> winFirstLast,
     "q_win_ntile_approx" -> winNtileApprox,
     "q_win_rank"        -> winRank,
     "q_win_running"     -> winRunning,
@@ -147,6 +167,20 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_firstlast" ->
+      """SELECT o_orderkey, o_orderpriority, first_key, last_key, second_key
+        |FROM (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         first_value(o_orderkey) OVER w AS first_key,
+        |         last_value(o_orderkey)  OVER w AS last_key,
+        |         nth_value(o_orderkey, 2) OVER w AS second_key
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_orderdate ASC, o_orderkey ASC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING
+        |                        AND UNBOUNDED FOLLOWING))
+        |WHERE o_orderkey % 100 = 0
+        |ORDER BY o_orderkey ASC""".stripMargin,
     "q_win_rank" ->
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

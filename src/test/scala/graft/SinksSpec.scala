@@ -52,6 +52,27 @@ class SinksSpec extends SparkSpec {
       Seq(1L, 2L, 3L))
   }
 
+  test("ORC sink round-trips with schema and values intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val df = operators.Aggs.aggGroupby(spark, sf0001)
+    df.write.mode("overwrite").orc(s"$dir/q1")
+    val back = spark.read.orc(s"$dir/q1")
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy(col("l_returnflag"), col("l_linestatus")).collect().toSeq ==
+      df.collect().toSeq)
+  }
+
+  test("JSON-lines sink round-trips with an explicit read schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val df = operators.Text.textStats(spark, sf0001)
+    df.write.mode("overwrite").json(s"$dir/stats")
+    // schema-on-read: inference would widen longs fine but the production
+    // shape pins the schema explicitly
+    val back = spark.read.schema(df.schema).json(s"$dir/stats")
+    assert(back.orderBy(col("lang")).collect().toSeq == df.collect().toSeq)
+  }
+
   test("parquet sink preserves schema and order-insensitive content") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
     val df = operators.Aggs.topkGroups(spark, sf0001)
