@@ -53,8 +53,42 @@ object Skew {
       .orderBy(col("event_type").asc)
   }
 
+  /** Salted join for a skewed big side: each big-side row gets a
+    * content-derived salt in [0, salts); the (small) build side is
+    * replicated once per salt value, and the join key becomes
+    * (key, salt) — a hot key's rows now land on `salts` reducers instead
+    * of one. Semantically identical to the plain equi-join (every big
+    * row still meets every matching small row exactly once, under its
+    * own salt). AQE's skew-join split covers sort-merge cases
+    * adaptively; explicit salting is the deterministic, plan-stable form
+    * that also works where AQE can't re-split (e.g. under a required
+    * distribution). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
+      saltSource: Column): DataFrame = {
+    val b = big.withColumn("__salt", pmod(hash(saltSource), lit(salts)))
+    val sm = small.withColumn("__salt",
+      explode(expr(s"sequence(0, ${salts - 1})")))
+    b.join(sm, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Declared surface: lineitem⋈orders revenue per order status through
+    * the salted join. Oracle is the PLAIN join+aggregate — the gate
+    * proves the salt never duplicates or drops a match. */
+  def skewJoin(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val li = graft.Tables.lineitem(s, d)
+      .withColumn("cents",
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .withColumnRenamed("l_orderkey", "okey")
+    val o = graft.Tables.orders(s, d)
+      .select(col("o_orderkey").as("okey"), col("o_orderstatus"))
+    saltedJoin(li, o, "okey", 8, col("l_linenumber"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("rev_cents"))
+      .orderBy(col("o_orderstatus").asc)
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
-    Map("q_skew_agg" -> skewAgg)
+    Map("q_skew_agg" -> skewAgg, "q_skew_join" -> skewJoin)
 
   val oracle: Map[String, String] = Map(
     "q_skew_agg" ->
@@ -65,6 +99,13 @@ object Skew {
         |         AS BIGINT)::DOUBLE / 100 / count(*) AS avg_value
         |FROM events
         |GROUP BY event_type
-        |ORDER BY event_type ASC""".stripMargin
+        |ORDER BY event_type ASC""".stripMargin,
+    "q_skew_join" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |         AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC""".stripMargin
   )
 }

@@ -70,7 +70,23 @@ object SqlReport {
             |                      WHERE o_orderkey % 97 = 0)""".stripMargin)
   }
 
+  /** Named WINDOW clause + lag through SQL text (the remaining SQL-surface
+    * construct the DSL twins don't exercise as text): day-over-day event
+    * counts per type. */
+  def sqlWindow(s: SparkSession, d: String): DataFrame = {
+    view(s, d)
+    s.sql("""SELECT event_type, d, cnt,
+            |       cnt - lag(cnt, 1) OVER w AS delta
+            |FROM (SELECT event_type,
+            |             date_format(date_trunc('DAY', ts), 'yyyy-MM-dd') AS d,
+            |             count(*) AS cnt
+            |      FROM events_v GROUP BY event_type, d)
+            |WINDOW w AS (PARTITION BY event_type ORDER BY d ASC)
+            |ORDER BY event_type ASC, d ASC""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_window"        -> sqlWindow,
     "q_sql_topusers"      -> sqlTopUsers,
     "q_sql_contrib_dist"  -> sqlContribDist,
     "q_sql_grouping_sets" -> sqlGroupingSets,
@@ -79,6 +95,15 @@ object SqlReport {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_window" ->
+      """SELECT event_type, d, cnt,
+        |       cnt - lag(cnt, 1) OVER w AS delta
+        |FROM (SELECT event_type,
+        |             strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+        |             count(*) AS cnt
+        |      FROM events GROUP BY event_type, d)
+        |WINDOW w AS (PARTITION BY event_type ORDER BY d ASC)
+        |ORDER BY event_type ASC, d ASC""".stripMargin,
     "q_sql_topusers" ->
       """SELECT user_id, count(*) AS cnt
         |FROM events

@@ -68,6 +68,18 @@ class Round3OpsSpec extends SparkSpec {
     assert(a.values.sum <= a.size.toLong * 1000000L)
   }
 
+  test("salted join equals the plain equi-join (no dup/drop under salt)") {
+    val li = Tables.lineitem(spark, sf0001).withColumnRenamed("l_orderkey", "okey")
+    val o = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey").as("okey"), col("o_orderstatus"))
+    val plain = li.join(o, "okey").groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = operators.Skew.saltedJoin(li, o, "okey", 8, col("l_linenumber"))
+      .groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
   test("scrub redacts denylist tokens and digit runs, counts match rewrite") {
     import spark.implicits._
     val docs = Seq(
