@@ -16,5 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[functions.DotProduct].getName, "vec_dot"),
       (exprs: Seq[Expression]) => functions.DotProduct(exprs(0), exprs(1))))
+    // Pure range joins (abs(a-b) <= w with no equi key) rewrite to the
+    // bucketed-interval equi-join — see graft.plans.RangeJoinRewrite.
+    ext.injectOptimizerRule(_ => plans.RangeJoinRewrite)
   }
 }
