@@ -46,6 +46,33 @@ class StreamingSpec extends SparkSpec {
     assert(rows("2024-01-01 10:00:00.0") == 2L)
   }
 
+  test("stream-stream interval join: impressions match clicks within the time bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The streaming twin of the batch range/as-of family: two watermarked
+    // streams joined on an equi key + event-time interval — Spark keeps
+    // bounded state on both sides (the watermarks + time bound let it
+    // evict), which is exactly the 100 TB continuous-join shape.
+    val imps = MemoryStream[(Timestamp, Long)]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val impDf = imps.toDF().toDF("imp_ts", "ad_id").withWatermark("imp_ts", "10 minutes")
+    val clkDf = clicks.toDF().toDF("clk_ts", "clk_ad").withWatermark("clk_ts", "10 minutes")
+    val joined = impDf.join(clkDf, expr(
+      """ad_id = clk_ad AND
+        |clk_ts >= imp_ts AND clk_ts <= imp_ts + interval 5 minutes""".stripMargin))
+    val q = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append").start()
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    imps.addData((t(0), 1L), (t(0), 2L))
+    clicks.addData((t(3), 1L))   // within 5 min of imp(1) → match
+    clicks.addData((t(9), 2L))   // 9 min after imp(2) → outside bound
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj_test").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("ad_id") == 1L)
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark suppresses replays across batches") {
     // The streaming face of the dedup suite: exactly-once-per-key output
     // under at-least-once delivery, state bounded by the watermark — the
