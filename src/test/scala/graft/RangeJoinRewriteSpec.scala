@@ -40,6 +40,32 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(plan.contains("__rj_bucket_l"), s"bucket key missing from plan:\n$plan")
   }
 
+  test("property: rewritten join equals naive for random values and widths") {
+    import spark.implicits._
+    // deterministic pseudo-random micro-corpora (fixed seed), incl.
+    // NEGATIVE values — the floor-division bucketing must agree across
+    // zero (a truncating div would not)
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val w = Seq(1L, 3L, 10L, 1000L)(trial - 1)
+      val vals = Seq.fill(60)(rnd.nextLong() % (w * 7) - w * 3)
+      val l = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("lid", "lv")
+      val r = vals.reverse.zipWithIndex.map { case (v, i) => (i.toLong + 1000, v + rnd.nextInt(3) - 1) }
+        .toDF("rid", "rv")
+      l.createOrReplaceTempView("rj_l"); r.createOrReplaceTempView("rj_r")
+      val sql = s"SELECT lid, rid FROM rj_l JOIN rj_r ON abs(lv - rv) <= $w"
+      val naive = spark.sql(sql).collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val rewritten = withRule {
+        val df = spark.sql(sql)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("__rj_bucket_l"), s"rule did not fire (w=$w)")
+        df.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      }
+      assert(rewritten == naive, s"mismatch at w=$w")
+    }
+  }
+
   test("leaves equi-keyed and non-matching joins untouched") {
     val equiSql =
       """SELECT count(*) AS n
