@@ -90,7 +90,24 @@ object Events {
       .orderBy(col("stage").asc)
   }
 
+  /** Latest-record resolution per key (the SCD/"current state" pattern):
+    * argmax by (ts, event_id) via one ranked window — the canonical
+    * replacement for dropDuplicates("user_id") whose survivor is
+    * partition-order dependent. WindowGroupLimit pushes the rn=1 filter
+    * below the shuffle. */
+  def evtLatest(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("ts_us"))
+      .orderBy(col("user_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_evt_latest"   -> evtLatest,
     "q_evt_tumbling" -> evtTumbling,
     "q_evt_sliding"  -> evtSliding,
     "q_evt_session"  -> evtSession,
@@ -98,6 +115,17 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    // rank on epoch_us, not raw ts: the parquet carries NANOSECOND
+    // timestamps which Spark truncates to µs on read — ranking the oracle
+    // by ns-precision ts could pick a different same-µs survivor.
+    "q_evt_latest" ->
+      """SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id ASC""".stripMargin,
     "q_evt_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

@@ -213,7 +213,24 @@ object Joins {
       .orderBy(col("event_id").asc)
   }
 
+  /** FULL OUTER join — completes the join-type family: per nation key,
+    * customer count vs supplier count, keeping nations that have only
+    * one side (coalesced to 0). Aggregate-then-join keeps the outer join
+    * tiny regardless of fact sizes. */
+  def joinFull(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_cust"))
+    val su = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(su, Seq("nk"), "full_outer")
+      .select(col("nk"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nk").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_full"      -> joinFull,
     "q_join_range"     -> joinRange,
     "q_join_bucketed"  -> joinBucketed,
     "q_join_supplier"  -> joinSupplier,
@@ -228,6 +245,17 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_full" ->
+      """SELECT coalesce(c.nk, s.nk) AS nk,
+        |       coalesce(n_cust, 0) AS n_cust,
+        |       coalesce(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust
+        |      FROM customer GROUP BY c_nationkey) c
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey AS nk, count(*) AS n_supp
+        |      FROM supplier GROUP BY s_nationkey) s
+        |  ON c.nk = s.nk
+        |ORDER BY nk ASC""".stripMargin,
     // The oracle states the range-join SEMANTICS directly (DuckDB's IEJoin
     // handles the inequality); the engine side is the bucketed rewrite.
     "q_join_range" ->
