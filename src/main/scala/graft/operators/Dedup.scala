@@ -278,6 +278,11 @@ object Dedup {
       .distinct()
       .withColumn("lbl", col("id"))
     for (_ <- 1 to rounds) labels = step(labels)
+    // Materialize the propagated state ONCE (it is pairs-member-sized, so
+    // the checkpoint is safe at any scale): the convergence check below
+    // and the caller's final action would otherwise each re-execute the
+    // whole propagation chain.
+    labels = labels.localCheckpoint(true)
     // Convergence guard: `rounds` fixed rounds suffice only for components
     // with diameter ≤ rounds; a longer chain would silently emit labels
     // that diverge from the oracle's transitive closure. One cheap
@@ -295,7 +300,7 @@ object Dedup {
     var r = rounds
     var dirty = unconverged(labels)
     while (dirty && r < maxRounds) {
-      labels = step(labels.localCheckpoint(true))
+      labels = step(labels).localCheckpoint(true)
       r += 1
       dirty = unconverged(labels)
     }

@@ -341,7 +341,41 @@ object Text {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
       .orderBy(col("tok").asc)
 
+  /** The pretraining-prep pipeline END-TO-END as ONE declared plan:
+    * scrub (PII-style rewrite) → quality gate (stopword ratio + minimum
+    * length over the scrubbed text) → normalized-signature dedup
+    * (deterministic min-doc_id survivor) → per-language funnel summary.
+    * Every stage is the already-verified operator; composing them in one
+    * query proves the stages fuse into a single Catalyst plan (narrow
+    * maps + one dedup aggregate + one rollup — no materialization
+    * between stages, which is how the real 100 TB pipeline should run). */
+  def textPipeline(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .withColumn("scrubbed", regexp_replace(col("text"), scrubPattern, "[REDACTED]"))
+      .withColumn("stoks", split(col("scrubbed"), " "))
+      .withColumn("n_tokens", size(col("stoks")).cast("long"))
+      .withColumn("stop_cnt", expr(
+        "cast(size(filter(stoks, t -> t IN ('the', 'a'))) AS bigint)"))
+      .withColumn("ok",
+        col("stop_cnt").cast("double") / col("n_tokens") <= 0.2 &&
+          col("n_tokens") >= 5)
+    val surviving = base.filter(col("ok"))
+      .withColumn("sig", concat_ws(" ", array_sort(array_distinct(col("stoks")))))
+    val dedup = surviving
+      .groupBy(col("lang"), col("sig"))
+      .agg(min(col("doc_id")).as("keeper"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_unique"))
+    base.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_quality"))
+      .join(dedup, Seq("lang"), "left")
+      .withColumn("n_unique", coalesce(col("n_unique"), lit(0L)))
+      .orderBy(col("lang").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_pipeline"    -> textPipeline,
     "q_text_invindex"    -> textInvindex,
     "q_text_salient"     -> textSalient,
     "q_text_repetition"  -> textRepetition,
@@ -361,6 +395,34 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_pipeline" ->
+      (s"""WITH base AS (
+        |  SELECT doc_id, lang,
+        |         string_split(regexp_replace(text, '$scrubPattern',
+        |           '[REDACTED]', 'g'), ' ') AS stoks
+        |  FROM documents),
+        |flags AS (
+        |  SELECT doc_id, lang, stoks,
+        |         len(stoks) AS n_tokens,
+        |         len(list_filter(stoks, t -> t IN ('the', 'a'))) AS stop_cnt
+        |  FROM base),
+        |ok AS (
+        |  SELECT *,
+        |         CAST(stop_cnt AS DOUBLE) / n_tokens <= 0.2
+        |           AND n_tokens >= 5 AS ok
+        |  FROM flags),
+        |ded AS (
+        |  SELECT lang, count(*) AS n_unique FROM (
+        |    SELECT lang, array_to_string(list_sort(list_distinct(stoks)), ' ') AS sig,
+        |           min(doc_id)
+        |    FROM ok WHERE ok GROUP BY lang, sig)
+        |  GROUP BY lang)
+        |SELECT f.lang, count(*) AS n_raw,
+        |       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |       coalesce(any_value(ded.n_unique), 0) AS n_unique
+        |FROM ok f LEFT JOIN ded ON f.lang = ded.lang
+        |GROUP BY f.lang
+        |ORDER BY f.lang ASC""").stripMargin,
     "q_text_invindex" ->
       """WITH x AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
