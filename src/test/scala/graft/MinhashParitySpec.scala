@@ -9,6 +9,20 @@ import org.apache.spark.sql.functions._
   * fold, same minima — just without the interpreted HOF or the shuffle. */
 class MinhashParitySpec extends SparkSpec {
 
+  test("minhash_sigs rejects non-INT perm counts with a real message") {
+    functions.VectorExprs.register(spark)
+    import spark.implicits._
+    val df = Seq(Seq("a b", "b c")).toDF("sh")
+    val eLong = intercept[Exception] {
+      df.selectExpr("minhash_sigs(sh, 32L)").collect()
+    }
+    assert(eLong.getMessage.contains("INT literal"), eLong.getMessage)
+    val eCol = intercept[Exception] {
+      df.selectExpr("minhash_sigs(sh, size(sh))").collect()
+    }
+    assert(eCol.getMessage.contains("foldable"), eCol.getMessage)
+  }
+
   test("minhash_sigs equals the xxhash64/pmod SQL formulation") {
     functions.VectorExprs.register(spark)
     val p = 2147483647L
