@@ -29,14 +29,17 @@ object Graph {
     * 'c<custkey>' / 's<suppkey>' strings so both halves share one rank
     * column. */
   def pagerank(s: SparkSession, d: String, rounds: Int = 2): DataFrame = {
+    // Checkpoint the DIRECTED edge list, then symmetrize: a checkpoint of
+    // the union would execute the fact⋈fact join + distinct twice (once
+    // per union branch); over the cached leaf the swap projection is free.
     val e0 = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(concat(lit("c"), col("o_custkey")).as("src"),
         concat(lit("s"), col("l_suppkey")).as("dst"))
       .distinct()
-    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
     var rank = deg.select(col("node"), lit(1000000L).as("pr"))
