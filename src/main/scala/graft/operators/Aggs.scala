@@ -143,7 +143,48 @@ object Aggs {
       .orderBy(col("l_returnflag").asc)
   }
 
+  /** Wide→long UNPIVOT (melt): per-returnflag counts of rows / distinct
+    * parts / distinct suppliers pivoted into (flag, metric, value) rows —
+    * the inverse of q_agg_pivot and the standard reshape before a generic
+    * metric sink. Narrow generator after one aggregation: the unpivot
+    * itself is a per-row Expand, no extra shuffle. All measures cast to
+    * BIGINT because unpivot requires a common value type. */
+  def aggUnpivot(s: SparkSession, d: String): DataFrame = {
+    val wide = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        countDistinct(col("l_partkey")).cast("long").as("n_parts"),
+        countDistinct(col("l_suppkey")).cast("long").as("n_supps"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("n_rows"), col("n_parts"), col("n_supps")),
+        "metric", "value")
+      .orderBy(col("l_returnflag").asc, col("metric").asc)
+  }
+
+  /** MERGEABLE distinct-count sketches — the 100 TB rollup pattern the
+    * single-shot approx_count_distinct can't express: per-(type, day)
+    * partial HLL sketches are built once, then UNIONED up the hierarchy
+    * (day → type) without touching raw rows again. At scale the partials
+    * live in a metrics table and every re-aggregation is sketch-sized,
+    * not data-sized. Sketch bytes are engine-specific → declared
+    * no-oracle; SketchSpec pins the estimates against exact counts. */
+  def approxHll(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("day", date_trunc("DAY", col("ts")))
+    val partials = ev.groupBy(col("event_type"), col("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+        count(lit(1)).as("n"))
+    partials.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"),
+        sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_days"))
+      .orderBy(col("event_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_unpivot"     -> aggUnpivot,
+    "q_approx_hll"      -> approxHll,
     "q_agg_median_mode" -> aggMedianMode,
     "q_topk_groups"     -> topkGroups,
     "q_agg_global"      -> aggGlobal,
@@ -158,6 +199,19 @@ object Aggs {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |         CAST(count(*) AS BIGINT) AS n_rows,
+        |         CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'n_parts', n_parts FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'n_supps', n_supps FROM wide
+        |ORDER BY l_returnflag ASC, metric ASC""".stripMargin,
     "q_agg_median_mode" ->
       """WITH med AS (
         |  SELECT l_returnflag,

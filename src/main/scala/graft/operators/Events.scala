@@ -106,7 +106,62 @@ object Events {
       .orderBy(col("user_id").asc)
   }
 
+  /** Time-series gap fill + forward fill: densify per-type daily counts
+    * onto the full observed calendar (sequence of days from one tiny
+    * global agg, cross-joined with the 5-row type dim — both broadcast),
+    * left-join the real daily aggregates, then zero-fill counts and
+    * carry the last observed daily cents forward. The dense grid is
+    * |days|×|types| — calendar-sized, never event-sized — and the only
+    * shuffle over events is the daily pre-aggregation; at 100 TB the
+    * grid join stays a broadcast no matter how the fact grows. */
+  def tsGapfill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("cents", centsCol)
+    val daily = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt_raw"), sum(col("cents")).as("cents_raw"))
+    val cal = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val types = ev.select(col("event_type")).distinct()
+    val ffill = Window.partitionBy(col("event_type"))
+      .orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.crossJoin(broadcast(types))
+      .join(daily, Seq("event_type", "day"), "left")
+      .withColumn("cnt", coalesce(col("cnt_raw"), lit(0L)))
+      .withColumn("carried_cents",
+        coalesce(last(col("cents_raw"), ignoreNulls = true).over(ffill), lit(0L)))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("d"),
+        col("cnt"), col("carried_cents"))
+      .orderBy(col("event_type").asc, col("d").asc)
+  }
+
+  /** SCD-2 interval construction from an event stream: per user, collapse
+    * consecutive same-type runs to change points, then stamp each with
+    * [valid_from, valid_to) via lead() — valid_to NULL marks the current
+    * version. The whole history is two window passes over one shuffle on
+    * the business key; MERGE-less and deterministic (µs + event_id tie
+    * order, same discipline as q_evt_latest). Modulus bounds the declared
+    * output; the plan shape is key-count independent. */
+  def evtScd2(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .filter(col("user_id") % 17 === 0)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(byUser))
+      .withColumn("valid_to_us", lead(col("us"), 1).over(byUser))
+      .select(col("user_id"), col("version").cast("long").as("version"),
+        col("event_type"), col("us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.cast("int").as("is_current"))
+      .orderBy(col("user_id").asc, col("version").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_gapfill"   -> tsGapfill,
+    "q_evt_scd2"     -> evtScd2,
     "q_evt_latest"   -> evtLatest,
     "q_evt_tumbling" -> evtTumbling,
     "q_evt_sliding"  -> evtSliding,
@@ -115,6 +170,48 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_gapfill" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |daily AS (
+        |  SELECT event_type, day, count(*) AS cnt_raw,
+        |         CAST(sum(cents) AS BIGINT) AS cents_raw
+        |  FROM ev GROUP BY event_type, day),
+        |cal AS (
+        |  SELECT unnest(generate_series(min(day), max(day),
+        |                                INTERVAL 1 DAY))::DATE AS day
+        |  FROM ev),
+        |types AS (SELECT DISTINCT event_type FROM ev)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS d,
+        |       coalesce(cnt_raw, 0) AS cnt,
+        |       coalesce(last_value(cents_raw IGNORE NULLS) OVER (
+        |         PARTITION BY event_type ORDER BY day ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+        |         AS carried_cents
+        |FROM cal CROSS JOIN types
+        |LEFT JOIN daily USING (event_type, day)
+        |ORDER BY event_type ASC, d ASC""".stripMargin,
+    "q_evt_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE user_id % 17 = 0),
+        |c AS (
+        |  SELECT *, lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY us ASC, event_id ASC) AS prev_type
+        |  FROM e),
+        |ch AS (
+        |  SELECT * FROM c
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id,
+        |       CAST(row_number() OVER w AS BIGINT) AS version,
+        |       event_type, us AS valid_from_us,
+        |       lead(us) OVER w AS valid_to_us,
+        |       CAST(lead(us) OVER w IS NULL AS INT) AS is_current
+        |FROM ch
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+        |ORDER BY user_id ASC, version ASC""".stripMargin,
     // rank on epoch_us, not raw ts: the parquet carries NANOSECOND
     // timestamps which Spark truncates to µs on read — ranking the oracle
     // by ns-precision ts could pick a different same-µs survivor.

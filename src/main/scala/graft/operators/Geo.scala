@@ -70,13 +70,64 @@ object Geo {
       .agg(count(lit(1)).as("cnt"), min(col("c_custkey")).as("first_cust"))
       .orderBy(col("cell_lat").asc, col("cell_lon").asc)
 
+  /** 8-bit-per-axis Morton (Z-order) interleave as portable integer
+    * arithmetic: bit b of x lands at position 2b, of y at 2b+1. Written
+    * with div/mod + power-of-two multipliers (no shift operators) so the
+    * SAME formula renders for Spark (`div`) and DuckDB (`//`) — generated
+    * from one constant, like the langid/decontam oracles. */
+  private def mortonSql(divOp: String): String =
+    (0 until 8).map { b =>
+      s"((zx $divOp ${1L << b}) % 2) * ${1L << (2 * b)} + " +
+        s"((zy $divOp ${1L << b}) % 2) * ${1L << (2 * b + 1)}"
+    }.mkString(" + ")
+
+  /** Z-ORDER data layout: map each row's 2-D cell to a Morton code and
+    * roll up per 64-cell z-block (morton div 64). Consecutive z-blocks
+    * cover spatially COMPACT regions — bbox_area per block stays small —
+    * which is what makes `repartitionByRange(morton) + write` prune
+    * multi-dimensional predicates from file-level min/max stats at
+    * 100 TB; a row-order layout gives every file a corpus-wide bbox. The
+    * declared output is the per-block locality audit (count + bbox), all
+    * exact integer math. */
+  def geoZorder(s: SparkSession, d: String): DataFrame =
+    withCoords(Tables.customer(s, d))
+      .withColumn("zx", (floor((col("lon") + 180.0) / 2.0)).cast("long"))
+      .withColumn("zy", (floor((col("lat") + 90.0) / 2.0)).cast("long"))
+      .withColumn("morton", expr(mortonSql("div")))
+      .withColumn("zblock", expr("morton div 64"))
+      .groupBy(col("zblock"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("zx")).as("min_x"), max(col("zx")).as("max_x"),
+        min(col("zy")).as("min_y"), max(col("zy")).as("max_y"))
+      .withColumn("bbox_area",
+        (col("max_x") - col("min_x") + 1) * (col("max_y") - col("min_y") + 1))
+      .orderBy(col("zblock").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geo_zorder"    -> geoZorder,
     "q_geo_bbox"      -> geoBbox,
     "q_geo_haversine" -> geoHaversine,
     "q_geo_grid"      -> geoGrid
   )
 
   val oracle: Map[String, String] = Map(
+    "q_geo_zorder" ->
+      s"""WITH cells AS (
+        |  SELECT CAST(floor((lon + 180.0) / 2.0) AS BIGINT) AS zx,
+        |         CAST(floor((lat + 90.0) / 2.0) AS BIGINT) AS zy
+        |  FROM (
+        |    SELECT CAST(c_custkey % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+        |           CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) + 0.5 AS lon
+        |    FROM customer)),
+        |m AS (
+        |  SELECT zx, zy, ${mortonSql("//")} AS morton FROM cells)
+        |SELECT morton // 64 AS zblock, count(*) AS cnt,
+        |       min(zx) AS min_x, max(zx) AS max_x,
+        |       min(zy) AS min_y, max(zy) AS max_y,
+        |       (max(zx) - min(zx) + 1) * (max(zy) - min(zy) + 1) AS bbox_area
+        |FROM m
+        |GROUP BY zblock
+        |ORDER BY zblock ASC""".stripMargin,
     "q_geo_grid" ->
       """SELECT CAST(floor(lat / 10.0) AS BIGINT) AS cell_lat,
         |       CAST(floor(lon / 10.0) AS BIGINT) AS cell_lon,

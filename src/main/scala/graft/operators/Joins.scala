@@ -229,7 +229,23 @@ object Joins {
       .orderBy(col("nk").asc)
   }
 
+  /** Explicit CROSS join — dimension × dimension ONLY (5 × 25 = 125 rows).
+    * Plans as BroadcastNestedLoopJoin, which is exactly right for bounded
+    * dims; an unbounded cross join is banned everywhere else in the engine
+    * (see joinTheta's equi-key discipline). The pair table is the standard
+    * "all combinations" scaffold (calendar × entity, region × class). */
+  def joinCross(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).select(col("r_regionkey"), col("r_name"))
+    val n = Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    r.crossJoin(n)
+      .withColumn("is_home", (col("n_regionkey") === col("r_regionkey")).cast("int"))
+      .select(col("r_name"), col("n_name"), col("is_home"))
+      .orderBy(col("r_name").asc, col("n_name").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_cross"     -> joinCross,
     "q_join_full"      -> joinFull,
     "q_join_range"     -> joinRange,
     "q_join_bucketed"  -> joinBucketed,
@@ -245,6 +261,11 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_cross" ->
+      """SELECT r_name, n_name,
+        |       CAST(n_regionkey = r_regionkey AS INT) AS is_home
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_name ASC, n_name ASC""".stripMargin,
     "q_join_full" ->
       """SELECT coalesce(c.nk, s.nk) AS nk,
         |       coalesce(n_cust, 0) AS n_cust,

@@ -172,7 +172,25 @@ object Scalars {
           " cast(0 AS double), (a, x) -> a + x), 4)").as("sumsq"))
       .orderBy(col("vec_id").asc)
 
+  /** VARIANT semi-structured path (Spark 4): parse_json once into a
+    * binary VARIANT value, then typed variant_get extraction — the
+    * open-schema column pattern that replaces string re-parsing per
+    * field. Unlike get_json_object (string in, string out, re-parse per
+    * call), the parse cost is paid once per row and every extraction is
+    * a typed pointer walk. Output counts per extracted key parity +
+    * the min/max key observed, all exact integers. */
+  def jsonVariant(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("v", expr("parse_json(props)"))
+      .withColumn("k", expr("variant_get(v, '$.k', 'bigint')"))
+      .groupBy((col("k") % 2).as("k_parity"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("k_parity").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_variant"   -> jsonVariant,
     "q_str_funcs"      -> strFuncs,
     "q_str_normalize"  -> strNormalize,
     "q_tag_classify"   -> tagClassify,
@@ -186,6 +204,13 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_json_variant" ->
+      """SELECT k % 2 AS k_parity, count(*) AS cnt,
+        |       min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY k_parity
+        |ORDER BY k_parity ASC""".stripMargin,
     "q_str_funcs" ->
       """SELECT c_custkey,
         |       upper(c_name) AS uname,

@@ -85,7 +85,51 @@ object SqlReport {
             |ORDER BY event_type ASC, d ASC""".stripMargin)
   }
 
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT: top-2 orders per
+    * customer — the per-row dependent subplan Catalyst decorrelates into
+    * a ranked window join (run `.explain`: no nested-loop re-execution
+    * per outer row, one shuffle on the correlation key). The modulus
+    * keeps the declared output bounded; the decorrelation shape is
+    * identical at any customer count. */
+  def sqlLateral(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+            |FROM customer_v c,
+            |LATERAL (SELECT o_orderkey, o_totalprice
+            |         FROM orders_v
+            |         WHERE o_custkey = c.c_custkey
+            |         ORDER BY o_totalprice DESC, o_orderkey ASC
+            |         LIMIT 2) t
+            |WHERE c.c_custkey % 29 = 0
+            |ORDER BY c.c_custkey ASC, t.o_totalprice DESC,
+            |         t.o_orderkey ASC""".stripMargin)
+  }
+
+  /** Recursive CTE (Spark 4 WITH RECURSIVE): per-order amortization — pay
+    * 30% + a fixed 500.00 each step until the balance clears. Exact
+    * integer-cents arithmetic so every step is bit-identical on both
+    * engines; `bal > 0` bounds the recursion (~15 levels for the largest
+    * order). Each iteration is a distributed step over the frontier —
+    * the engine-level pattern behind graph reachability and org rollups. */
+  def sqlRecursive(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql("""WITH RECURSIVE pay(k, bal, n) AS (
+            |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT),
+            |         0
+            |  FROM orders_v WHERE o_orderkey % 500 = 0
+            |  UNION ALL
+            |  SELECT k, bal - (bal * 3 div 10 + 50000), n + 1
+            |  FROM pay WHERE bal > 0
+            |)
+            |SELECT k, CAST(max(n) AS BIGINT) AS n_payments,
+            |       min(bal) AS final_bal
+            |FROM pay GROUP BY k ORDER BY k ASC""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_lateral"       -> sqlLateral,
+    "q_sql_recursive"     -> sqlRecursive,
     "q_sql_window"        -> sqlWindow,
     "q_sql_topusers"      -> sqlTopUsers,
     "q_sql_contrib_dist"  -> sqlContribDist,
@@ -95,6 +139,28 @@ object SqlReport {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice
+        |         FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey ASC
+        |         LIMIT 2) t
+        |WHERE c.c_custkey % 29 = 0
+        |ORDER BY c.c_custkey ASC, t.o_totalprice DESC,
+        |         t.o_orderkey ASC""".stripMargin,
+    "q_sql_recursive" ->
+      """WITH RECURSIVE pay(k, bal, n) AS (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT), 0
+        |  FROM orders WHERE o_orderkey % 500 = 0
+        |  UNION ALL
+        |  SELECT k, bal - (bal * 3 // 10 + 50000), n + 1
+        |  FROM pay WHERE bal > 0
+        |)
+        |SELECT k, CAST(max(n) AS BIGINT) AS n_payments,
+        |       min(bal) AS final_bal
+        |FROM pay GROUP BY k ORDER BY k ASC""".stripMargin,
     "q_sql_window" ->
       """SELECT event_type, d, cnt,
         |       cnt - lag(cnt, 1) OVER w AS delta

@@ -374,7 +374,38 @@ object Text {
       .orderBy(col("lang").asc)
   }
 
+  private val shingle5 =
+    """array_distinct(CASE WHEN size(toks) >= 5 THEN
+      |  transform(sequence(1, size(toks) - 4),
+      |    i -> concat_ws(' ', slice(toks, i, 5)))
+      |ELSE slice(toks, 1, 0) END)""".stripMargin
+
+  /** Cross-document n-gram duplication (the exact-substring-dedup signal
+    * at 5-gram granularity): for each doc, the fraction of its DISTINCT
+    * 5-grams that also occur in at least one other doc. Two grouped
+    * passes, both keyed on the shingle — df is a hash agg on the gram,
+    * the per-doc rollup a hash agg on doc_id; no pair join ever forms,
+    * so unlike all-pairs overlap this stays linear in corpus size. The
+    * permille is integer-derived (no float division). Docs shorter than
+    * 5 tokens have no 5-grams and drop out on both engines. */
+  def textNgramDup(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.spread(Tables.documents(s, d))
+      .withColumn("toks", toks)
+      .select(col("doc_id"), explode(expr(shingle5)).as("g"))
+    val dfs = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+    grams.join(dfs, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_permille",
+        expr("n_dup * 1000 div n_grams"))
+      .filter(col("n_dup") > 0)
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_ngram_dup"   -> textNgramDup,
     "q_text_pipeline"    -> textPipeline,
     "q_text_invindex"    -> textInvindex,
     "q_text_salient"     -> textSalient,
@@ -395,6 +426,25 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_ngram_dup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(tk) - 3),
+        |           i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]
+        |                || ' ' || tk[i + 3] || ' ' || tk[i + 4]))) AS g
+        |  FROM toks),
+        |dfs AS (SELECT g, count(*) AS df FROM grams GROUP BY g)
+        |SELECT doc_id, count(*) AS n_grams,
+        |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup,
+        |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         * 1000 // count(*) AS dup_permille
+        |FROM grams JOIN dfs USING (g)
+        |GROUP BY doc_id
+        |HAVING n_dup > 0
+        |ORDER BY doc_id ASC""".stripMargin,
     "q_text_pipeline" ->
       (s"""WITH base AS (
         |  SELECT doc_id, lang,
