@@ -80,7 +80,75 @@ object Analytics {
       .orderBy(col("bucket").asc_nulls_first)
   }
 
+  /** Revenue in integer MICRO-units: cents × (100 − discount basis
+    * points). Both factors are exact small integers recovered from the
+    * 2-decimal doubles, so every per-row product and every sum order is
+    * bit-identical on both engines — the discipline that lets a revenue
+    * ranking be hash-compared where sum(double·double) cannot be. */
+  private val revMicros =
+    expr("""CAST(round(l_extendedprice * 100) AS BIGINT)
+           | * (100 - CAST(round(l_discount * 100) AS BIGINT))""".stripMargin)
+
+  /** TPC-H Q3 shape (shipping priority): the 3-table fact⋈fact⋈dim
+    * pipeline — customer filter broadcast into orders, orders⋈lineitem
+    * shuffling on the order key, grouped revenue, top-10 by revenue.
+    * The canonical join-ordering/broadcast benchmark query; at 100 TB
+    * the o⋈l shuffle is the bucketed-table candidate (see Joins
+    * scaladoc) and everything else rides broadcasts. */
+  def tpchQ3(s: SparkSession, d: String): DataFrame = {
+    val cut = "1996-03-15"
+    val c = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < cut)
+    val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .withColumn("rev_micros", revMicros)
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_orderpriority"))
+      .agg(sum(col("rev_micros")).as("revenue_micros"))
+      .orderBy(col("revenue_micros").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape (local supplier volume): 6-table join — the two
+    * facts shuffle once on the order key; supplier, nation, region are
+    * broadcast by hint (true dims), customer is left to the planner —
+    * broadcast-sized here, a shuffle at real scale, and AQE makes that
+    * call from runtime stats. The c_nationkey = s_nationkey residual
+    * makes "local" volume. Grouped per nation in exact integer
+    * micro-units. */
+  def tpchQ5(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val su = Tables.supplier(s, d)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") < "1998-01-01")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+        col("l_discount"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .withColumn("rev_micros", revMicros)
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev_micros")).as("revenue_micros"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue_micros").desc, col("n_name").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q3"         -> tpchQ3,
+    "q_tpch_q5"         -> tpchQ5,
     "q_percentile"  -> percentiles,
     "q_stats_agg"   -> statsAgg,
     "q_dedup_hash"  -> dedupHash,
@@ -101,6 +169,40 @@ object Analytics {
       .orderBy(col("p_size").asc)
 
   val oracle: Map[String, String] = Map(
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |       o_orderpriority,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |         AS BIGINT) AS revenue_micros
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1996-03-15'
+        |  AND l_shipdate > TIMESTAMP '1996-03-15'
+        |GROUP BY l_orderkey, o_date, o_orderpriority
+        |ORDER BY revenue_micros DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |         AS BIGINT) AS revenue_micros,
+        |       count(*) AS n_lines
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue_micros DESC, n_name ASC""".stripMargin,
     "q_percentile" ->
       """SELECT o_orderpriority,
         |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

@@ -152,4 +152,50 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("REPARTITION_BY_NUM") || p.contains("REPARTITION_BY_COL"),
       s"pair-key repartition missing — verify stage can collapse to 1 task:\n$p")
   }
+
+  test("tpch q3: dim broadcast + top-10 heap, no cartesian") {
+    val p = plan("q_tpch_q3")
+    assert(p.contains("BroadcastHashJoin"), s"customer filter not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 materialized a full sort:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("tpch q5: six-table join rides broadcasts, facts join on the order key") {
+    val p = plan("q_tpch_q5")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("lateral top-2 decorrelates (no per-row re-execution, no cartesian)") {
+    val p = executedPlan("q_sql_lateral")
+    assert(!p.contains("CartesianProduct"), s"lateral degenerated to cartesian:\n$p")
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
+      s"correlated LIMIT did not become a ranked window:\n$p")
+  }
+
+  test("cross join is the bounded dim x dim BroadcastNestedLoop, by design") {
+    val p = plan("q_join_cross")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"dim cross join should broadcast the 5-row side:\n$p")
+  }
+
+  test("gapfill grid stays calendar-sized (broadcasts, no unpartitioned window)") {
+    val p = plan("q_ts_gapfill")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"grid join must broadcast the calendar/type side:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ngram-dup is two hash aggs on the gram key — never a pair join") {
+    val p = plan("q_text_ngram_dup")
+    assert(p.contains("HashAggregate"), s"df count lost map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("zorder locality audit is one narrow pass + grouped agg (no window, no join)") {
+    val p = plan("q_geo_zorder")
+    assert(p.contains("HashAggregate"), s"block rollup lost hash agg:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window "),
+      s"layout audit should not need a join or window:\n$p")
+  }
 }
