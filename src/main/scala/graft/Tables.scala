@@ -38,6 +38,16 @@ object Tables {
   def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
 
+  /** Write `df` Hive-partitioned by `key`: one directory per key value,
+    * so an equality/IN predicate on the key prunes whole directories at
+    * PLANNING time (PartitionFilters in the scan — zero I/O for pruned
+    * values). The complement of bucketing: partitioning kills the scan
+    * for selective key predicates, bucketing kills the shuffle for joins
+    * on the key. Low-cardinality keys only — a high-cardinality partition
+    * key makes a small-files problem, use bucketing for those. */
+  def writePartitioned(df: DataFrame, path: String, key: String): Unit =
+    df.write.mode("overwrite").partitionBy(key).parquet(path)
+
   /** Write `df` as a bucketed+sorted catalog table: the storage-level
     * answer to the repeated fact⋈fact shuffle (see Joins scaladoc). Both
     * sides of a join bucketed on the join key with the same bucket count

@@ -182,7 +182,31 @@ object Aggs {
       .orderBy(col("event_type").asc)
   }
 
+  /** Count-min frequency estimates vs exact counts for a probe key set.
+    * One pass builds the mergeable DEPTH×WIDTH sketch (8 KiB crosses the
+    * shuffle, never a key-count table); the finished matrix — an
+    * aggregate RESULT, driver-sized by design like approxQuantile's
+    * cutoffs — parameterizes a probe UDF. `overcount` makes the sketch's
+    * one-sided error auditable in the output; CountMinSpec pins the
+    * ≥-exact guarantee and merge associativity. No oracle: the row
+    * hashes rely on Java's wrapping long multiply, which DuckDB's
+    * checked BIGINT arithmetic cannot express. */
+  def approxCms(s: SparkSession, d: String): DataFrame = {
+    val cms = udaf(graft.functions.CountMinSketch)
+    val ev = Tables.events(s, d)
+    val sketch = ev.agg(cms(col("user_id")).as("sk"))
+      .head().getSeq[Long](0).toArray
+    val est = udf((u: Long) => graft.functions.CountMinSketch.estimate(sketch, u))
+    ev.filter(col("user_id") % 5 === 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("exact"))
+      .withColumn("cms_est", est(col("user_id")))
+      .withColumn("overcount", col("cms_est") - col("exact"))
+      .orderBy(col("user_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_cms"      -> approxCms,
     "q_agg_unpivot"     -> aggUnpivot,
     "q_approx_hll"      -> approxHll,
     "q_agg_median_mode" -> aggMedianMode,

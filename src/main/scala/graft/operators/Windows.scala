@@ -155,7 +155,42 @@ object Windows {
       .orderBy(col("o_orderkey").asc)
   }
 
+  /** EWMA with dyadic weights (α = 1/2) over the trailing 8 events per
+    * user: weight 2^(7−j) for the j-th lag, i.e. scaled = Σ lag_j·2^(7−j)
+    * — PURE INTEGER once values are cents, so the "float-hostile"
+    * exponential smoother becomes hash-exact on both engines (divide by
+    * 255 downstream when a unit-weight value is needed). Missing lags at
+    * a partition head contribute 0 and n_terms records how many were
+    * real. One shuffle on user_id like every window here; the 8-term
+    * expression is generated from one constant, Spark and oracle alike. */
+  private def ewmaTerms(lagFn: Int => String): String =
+    (0 until 8).map(j => s"coalesce(${lagFn(j)}, 0) * ${1L << (7 - j)}")
+      .mkString(" + ")
+
+  def winEwma(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    // the window partitions by user_id, so pruning users FIRST cannot
+    // change any surviving user's frame — and it pushes to the scan.
+    val withLags = (0 until 8).foldLeft(
+      Tables.events(s, d)
+        .filter(col("user_id") % 17 === 0)
+        .withColumn("us", expr("unix_micros(ts)"))
+        .withColumn("cents",
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))) {
+      (df, j) => df.withColumn(s"l$j", lag(col("cents"), j).over(w))
+    }
+    withLags
+      .withColumn("ewma_scaled", expr(ewmaTerms(j => s"l$j")))
+      .withColumn("n_terms",
+        least(row_number().over(w), lit(8)).cast("long"))
+      .select(col("event_id"), col("user_id"), col("cents"),
+        col("ewma_scaled"), col("n_terms"))
+      .orderBy(col("user_id").asc, col("event_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_ewma"         -> winEwma,
     "q_win_firstlast"    -> winFirstLast,
     "q_win_ntile_approx" -> winNtileApprox,
     "q_win_rank"        -> winRank,
@@ -167,6 +202,17 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_ewma" ->
+      s"""WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE user_id % 17 = 0)
+        |SELECT event_id, user_id, cents,
+        |       ${ewmaTerms(j => s"lag(cents, $j) OVER w")} AS ewma_scaled,
+        |       CAST(least(row_number() OVER w, 8) AS BIGINT) AS n_terms
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+        |ORDER BY user_id ASC, event_id ASC""".stripMargin,
     "q_win_firstlast" ->
       """SELECT o_orderkey, o_orderpriority, first_key, last_key, second_key
         |FROM (

@@ -192,6 +192,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("partitioned layout prunes directories at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.writePartitioned(
+      Tables.documents(spark, sf0001), dir, "lang")
+    val pruned = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("lang"),
+      s"lang predicate did not become a partition filter:\n$p")
+    // the pruned scan must read strictly fewer files than the full scan
+    def files(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+    }
+    val nAll = files(spark.read.parquet(dir))
+    val nPruned = files(pruned)
+    assert(nPruned > 0 && nPruned < nAll,
+      s"pruned=$nPruned all=$nAll — no directory pruning happened")
+    // correctness: pruning never changes the answer
+    assert(pruned.count() ==
+      Tables.documents(spark, sf0001)
+        .filter(org.apache.spark.sql.functions.col("lang") === "en").count())
+  }
+
   test("zorder locality audit is one narrow pass + grouped agg (no window, no join)") {
     val p = plan("q_geo_zorder")
     assert(p.contains("HashAggregate"), s"block rollup lost hash agg:\n$p")

@@ -73,6 +73,33 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getAs[Long]("ad_id") == 1L)
   }
 
+  test("stream-static join: dimension enrichment matches the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The most common production join: an unbounded stream enriched
+    // against a static (or slowly-refreshed) dimension. The static side
+    // broadcasts per micro-batch — no streaming state at all, unlike
+    // stream-stream joins — so it scales with the dim, not the stream.
+    val dim = Tables.nation(spark, sf0001)
+      .select(col("n_nationkey"), col("n_name"))
+    val mem = MemoryStream[(Long, Int)]
+    val enriched = mem.toDF().toDF("event_id", "nk")
+      .join(dim, col("nk") === col("n_nationkey"))
+      .select(col("event_id"), col("n_name"))
+    val q = enriched.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    mem.addData((1L, 0), (2L, 3), (3L, 24), (4L, 99)) // 99: no dim match
+    q.processAllAvailable()
+    mem.addData((5L, 3))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ss_join").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dimMap = dim.collect().map(r => r.getInt(0).toLong -> r.getString(1)).toMap
+    assert(got == Map(1L -> dimMap(0L), 2L -> dimMap(3L), 3L -> dimMap(24L),
+      5L -> dimMap(3L)), "stream-static enrichment diverged from the dim")
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark suppresses replays across batches") {
     // The streaming face of the dedup suite: exactly-once-per-key output
     // under at-least-once delivery, state bounded by the watermark — the
