@@ -16,6 +16,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[functions.DotProduct].getName, "vec_dot"),
       (exprs: Seq[Expression]) => functions.DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("haversine_km"),
+      new ExpressionInfo(classOf[functions.HaversineKm].getName, "haversine_km"),
+      (exprs: Seq[Expression]) =>
+        functions.HaversineKm(exprs(0), exprs(1), exprs(2), exprs(3))))
     // Pure range joins (abs(a-b) <= w with no equi key) rewrite to the
     // bucketed-interval equi-join — see graft.plans.RangeJoinRewrite.
     ext.injectOptimizerRule(_ => plans.RangeJoinRewrite)

@@ -184,11 +184,15 @@ case class MinHashSigs(child: Expression, numPerms: Int)
 }
 
 object VectorExprs {
-  /** Register `vec_dot` and `minhash_sigs` in the session's function
-    * registry so query code can use them via expr(...). Idempotent. */
+  /** Register `vec_dot`, `minhash_sigs` and `haversine_km` in the
+    * session's function registry so query code can use them via
+    * expr(...). Idempotent. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "haversine_km",
+      exprs => HaversineKm(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sigs", { exprs =>
         // Checked foldable-literal extraction: a non-integer perm count

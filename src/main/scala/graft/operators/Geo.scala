@@ -14,17 +14,11 @@ object Geo {
 
   /** Haversine great-circle distance in km. Registered as a Scala UDF —
     * note UDFs are opaque to Catalyst (never put one in a filter that
-    * should push down); it runs post-filter here. */
+    * should push down); it runs post-filter here. Delegates to the same
+    * static formula the native `haversine_km` expression evaluates and
+    * code-generates, so the two surfaces cannot drift (GeoExprSpec). */
   val haversineKm: (Double, Double, Double, Double) => Double =
-    (lat1, lon1, lat2, lon2) => {
-      val r = 6371.0088
-      val dLat = math.toRadians(lat2 - lat1)
-      val dLon = math.toRadians(lon2 - lon1)
-      val a = math.pow(math.sin(dLat / 2), 2) +
-        math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
-          math.pow(math.sin(dLon / 2), 2)
-      2 * r * math.asin(math.sqrt(a))
-    }
+    (lat1, lon1, lat2, lon2) => graft.functions.Haversine.km(lat1, lon1, lat2, lon2)
 
   private def withCoords(df: DataFrame): DataFrame =
     df.withColumn("lat", (col("c_custkey") % 180 - 90).cast("double") + 0.5)
@@ -103,14 +97,45 @@ object Geo {
         (col("max_x") - col("min_x") + 1) * (col("max_y") - col("min_y") + 1))
       .orderBy(col("zblock").asc)
 
+  /** The same nearest-50 ranking as q_geo_haversine, computed by the
+    * NATIVE codegen expression instead of the UDF — the "functions, not
+    * UDFs" tier of the preference order: no closure boxing per row, and
+    * the distance stays inside whole-stage codegen (plan-asserted). The
+    * oracle is identical to q_geo_haversine's formula SQL. */
+  def geoDistNative(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    withCoords(Tables.customer(s, d))
+      .withColumn("dist_km",
+        round(expr("haversine_km(lat, lon, 43.6532d, -79.3832d)"), 3))
+      .select(col("c_custkey"), col("lat"), col("lon"), col("dist_km"))
+      .orderBy(col("dist_km").asc, col("c_custkey").asc)
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geo_dist_native" -> geoDistNative,
     "q_geo_zorder"    -> geoZorder,
     "q_geo_bbox"      -> geoBbox,
     "q_geo_haversine" -> geoHaversine,
     "q_geo_grid"      -> geoGrid
   )
 
+  private val haversineOracle =
+    """SELECT c_custkey, lat, lon,
+      |       round(2 * 6371.0088 * asin(sqrt(
+      |         pow(sin(radians(43.6532 - lat) / 2), 2)
+      |         + cos(radians(lat)) * cos(radians(43.6532))
+      |           * pow(sin(radians(-79.3832 - lon) / 2), 2))), 3) AS dist_km
+      |FROM (
+      |  SELECT c_custkey,
+      |         CAST(c_custkey % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+      |         CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) + 0.5 AS lon
+      |  FROM customer)
+      |ORDER BY dist_km ASC, c_custkey ASC
+      |LIMIT 50""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_geo_dist_native" -> haversineOracle,
     "q_geo_zorder" ->
       s"""WITH cells AS (
         |  SELECT CAST(floor((lon + 180.0) / 2.0) AS BIGINT) AS zx,
@@ -152,18 +177,6 @@ object Geo {
         |WHERE lat BETWEEN -45.0 AND 45.0 AND lon BETWEEN -90.0 AND 90.0
         |GROUP BY n_name
         |ORDER BY n_name ASC""".stripMargin,
-    "q_geo_haversine" ->
-      """SELECT c_custkey, lat, lon,
-        |       round(2 * 6371.0088 * asin(sqrt(
-        |         pow(sin(radians(43.6532 - lat) / 2), 2)
-        |         + cos(radians(lat)) * cos(radians(43.6532))
-        |           * pow(sin(radians(-79.3832 - lon) / 2), 2))), 3) AS dist_km
-        |FROM (
-        |  SELECT c_custkey,
-        |         CAST(c_custkey % 180 - 90 AS DOUBLE) + 0.5 AS lat,
-        |         CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) + 0.5 AS lon
-        |  FROM customer)
-        |ORDER BY dist_km ASC, c_custkey ASC
-        |LIMIT 50""".stripMargin
+    "q_geo_haversine" -> haversineOracle
   )
 }

@@ -219,6 +219,28 @@ class PlanQualitySpec extends SparkSpec {
         .filter(org.apache.spark.sql.functions.col("lang") === "en").count())
   }
 
+  test("range-partitioned write yields non-overlapping per-file key ranges") {
+    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin}
+    val dir = java.nio.file.Files.createTempDirectory("graft-range").toString
+    Tables.orders(spark, sf0001)
+      .repartitionByRange(4, col("o_totalprice"))
+      .write.mode("overwrite").parquet(dir)
+    // per-file [min, max] of the sort key must tile without overlap —
+    // that is precisely what lets footer min/max stats prune a range
+    // predicate down to one file out of N at scale.
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length >= 3, s"expected >=3 range files, got ${files.length}")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(fmin(col("o_totalprice")), fmax(col("o_totalprice"))).head()
+      (r.getDouble(0), r.getDouble(1))
+    }.sortBy(_._1)
+    for (Array(a, b) <- ranges.sliding(2).map(_.toArray))
+      assert(a._2 <= b._1,
+        s"file ranges overlap: ${a._2} > ${b._1} — range partitioning broken")
+  }
+
   test("zorder locality audit is one narrow pass + grouped agg (no window, no join)") {
     val p = plan("q_geo_zorder")
     assert(p.contains("HashAggregate"), s"block rollup lost hash agg:\n$p")
