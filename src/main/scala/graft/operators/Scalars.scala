@@ -189,7 +189,40 @@ object Scalars {
         max(col("k")).as("max_k"))
       .orderBy(col("k_parity").asc)
 
+  /** Canonical lexicon entries for the fuzzy-reconciliation query —
+    * deliberately including misspelled forms so distances are nonzero.
+    * ONE constant renders both the Spark literal array and the oracle's
+    * VALUES list. */
+  private val fuzzyLex = Seq("widgit", "bolt", "gear", "washor", "valv", "sproket")
+
+  /** Fuzzy lexicon reconciliation (the data-cleaning join): map each
+    * distinct product noun to its nearest lexicon entry by levenshtein
+    * distance, tie-broken (dist, word). The SCALE DISCIPLINE is the
+    * pre-aggregation: dedupe to distinct keys FIRST, then fuzzy-compare
+    * |distinct| × |lexicon| — never fact-row × lexicon. The lexicon
+    * broadcast keeps the bounded nested-loop map-side; a real catalog
+    * reconciliation swaps the 6 literals for a dimension table and
+    * nothing else changes. */
+  def strFuzzy(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nouns = Tables.part(s, d)
+      .withColumn("noun", element_at(split(col("p_name"), " "), -1))
+      .groupBy(col("noun")).agg(count(lit(1)).as("n_parts"))
+    val lex = s.createDataFrame(fuzzyLex.map(Tuple1(_)))
+      .toDF("w")
+    val byDist = Window.partitionBy(col("noun"))
+      .orderBy(col("dist").asc, col("w").asc)
+    nouns.crossJoin(broadcast(lex))
+      .withColumn("dist", levenshtein(col("noun"), col("w")).cast("long"))
+      .withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") === 1)
+      .select(col("noun"), col("w").as("best_match"), col("dist"),
+        col("n_parts"))
+      .orderBy(col("noun").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_str_fuzzy"      -> strFuzzy,
     "q_json_variant"   -> jsonVariant,
     "q_str_funcs"      -> strFuncs,
     "q_str_normalize"  -> strNormalize,
@@ -204,6 +237,20 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_str_fuzzy" ->
+      s"""WITH nouns AS (
+        |  SELECT string_split(p_name, ' ')[-1] AS noun, count(*) AS n_parts
+        |  FROM part GROUP BY noun),
+        |lex(w) AS (VALUES ${fuzzyLex.map(w => s"('$w')").mkString(", ")}),
+        |cand AS (
+        |  SELECT noun, w, CAST(levenshtein(noun, w) AS BIGINT) AS dist,
+        |         n_parts,
+        |         row_number() OVER (PARTITION BY noun
+        |                            ORDER BY levenshtein(noun, w) ASC, w ASC) AS rn
+        |  FROM nouns CROSS JOIN lex)
+        |SELECT noun, w AS best_match, dist, n_parts
+        |FROM cand WHERE rn = 1
+        |ORDER BY noun ASC""".stripMargin,
     "q_json_variant" ->
       """SELECT k % 2 AS k_parity, count(*) AS cnt,
         |       min(k) AS min_k, max(k) AS max_k
