@@ -404,7 +404,39 @@ object Text {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Sparse document similarity via the inverted index: top-20 doc pairs
+    * by raw term-frequency dot product over a posting-list self-join —
+    * the SPARSE complement to the dense embedding cosine (q_sim_topk).
+    * The scale knob is the df cap: tokens present in more than 1/4 of
+    * the corpus are dropped BEFORE the self-join, because a posting list
+    * of length df contributes df² pair terms — the classic hot-posting
+    * skew. What survives joins on the token (equi key), aggregates per
+    * pair, and top-20s through a bounded heap. Integer tf products, so
+    * the ranking is hash-exact. */
+  def textDocsim(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, d))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val keep = dfTab.crossJoin(broadcast(nDocs))
+      .filter(col("df") <= expr("n div 4"))
+      .select(col("tok"))
+    val v = tf.join(broadcast(keep), "tok")
+    val a = v.select(col("tok"), col("doc_id").as("a_id"), col("tf").as("a_tf"))
+    val b = v.select(col("tok"), col("doc_id").as("b_id"), col("tf").as("b_tf"))
+    a.join(b, Seq("tok"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("a_tf") * col("b_tf")).as("dot"))
+      .orderBy(col("dot").desc, col("a_id").asc, col("b_id").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_docsim"      -> textDocsim,
     "q_text_ngram_dup"   -> textNgramDup,
     "q_text_pipeline"    -> textPipeline,
     "q_text_invindex"    -> textInvindex,
@@ -426,6 +458,24 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_docsim" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY doc_id, tok),
+        |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |keep AS (
+        |  SELECT tok FROM dft
+        |  WHERE df <= (SELECT count(*) FROM documents) // 4),
+        |v AS (SELECT tf.doc_id, tf.tok, tf.tf FROM tf JOIN keep USING (tok))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        |FROM v a JOIN v b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |GROUP BY a_id, b_id
+        |ORDER BY dot DESC, a_id ASC, b_id ASC
+        |LIMIT 20""".stripMargin,
     "q_text_ngram_dup" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

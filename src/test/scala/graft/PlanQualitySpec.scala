@@ -241,6 +241,12 @@ class PlanQualitySpec extends SparkSpec {
         s"file ranges overlap: ${a._2} > ${b._1} — range partitioning broken")
   }
 
+  test("sparse docsim joins postings on the token key with a bounded heap") {
+    val p = plan("q_text_docsim")
+    assert(!p.contains("CartesianProduct"), s"posting join degenerated:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 materialized a full sort:\n$p")
+  }
+
   test("zorder locality audit is one narrow pass + grouped agg (no window, no join)") {
     val p = plan("q_geo_zorder")
     assert(p.contains("HashAggregate"), s"block rollup lost hash agg:\n$p")
