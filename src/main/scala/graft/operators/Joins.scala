@@ -244,7 +244,30 @@ object Joins {
       .orderBy(col("r_name").asc, col("n_name").asc)
   }
 
+  /** The q_join_asof2 semantics through the NATIVE tier-(c) operator:
+    * graft.plans.AsOfJoin (custom LogicalPlan) planned by AsOfJoinStrategy
+    * into AsOfJoinExec (sorted-merge SparkPlan). Each side shuffles once
+    * on user_id, sorts (key, time) in-partition, then one streaming merge
+    * pass holds O(1) state per task — vs the union+window formulation's
+    * per-user window buffer. Same DuckDB ASOF LEFT JOIN oracle as
+    * q_join_asof2; AsOfJoinSpec additionally pins row-for-row equality
+    * between the two engine paths. */
+  def joinAsofNative(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("us", expr("unix_micros(ts)"))
+    val l = ev.filter(col("event_type") =!= "signup")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val r = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("sig_id"), col("user_id").as("sig_user"),
+        col("us").as("sig_us"))
+    graft.plans.AsOfJoinApi.join(l, r, "user_id", "sig_user", "us", "sig_us")
+      .select(col("event_id"), col("user_id"),
+        col("sig_id").as("asof_sig_id"),
+        (col("us") - col("sig_us")).as("since_signup_us"))
+      .orderBy(col("event_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_asof_native" -> joinAsofNative,
     "q_join_cross"     -> joinCross,
     "q_join_full"      -> joinFull,
     "q_join_range"     -> joinRange,
@@ -261,6 +284,13 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_asof_native" ->
+      """SELECT e.event_id, e.user_id, s.event_id AS asof_sig_id,
+        |       epoch_us(e.ts) - epoch_us(s.ts) AS since_signup_us
+        |FROM (SELECT * FROM events WHERE event_type <> 'signup') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY e.event_id ASC""".stripMargin,
     "q_join_cross" ->
       """SELECT r_name, n_name,
         |       CAST(n_regionkey = r_regionkey AS INT) AS is_home
