@@ -48,6 +48,16 @@ object Tables {
   def writePartitioned(df: DataFrame, path: String, key: String): Unit =
     df.write.mode("overwrite").partitionBy(key).parquet(path)
 
+  /** Write `df` range-partitioned on `key`: rows are globally range-split
+    * into `n` files whose per-file [min, max] key ranges tile WITHOUT
+    * overlap (plan-asserted in PlanQualitySpec), so parquet footer
+    * min/max stats prune a range predicate to the few files that can
+    * match. The third layout lever: partitionBy kills equality scans,
+    * this kills range scans, bucketBy kills the join shuffle. */
+  def writeRange(df: DataFrame, path: String, key: String, n: Int = 8): Unit =
+    df.repartitionByRange(n, df.col(key))
+      .write.mode("overwrite").parquet(path)
+
   /** Write `df` as a bucketed+sorted catalog table: the storage-level
     * answer to the repeated fact⋈fact shuffle (see Joins scaladoc). Both
     * sides of a join bucketed on the join key with the same bucket count

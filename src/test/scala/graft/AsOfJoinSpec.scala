@@ -52,6 +52,15 @@ class AsOfJoinSpec extends SparkSpec {
     ), s"asof edge semantics wrong: $got")
   }
 
+  test("api: a missing column fails with the column list, not a blind get") {
+    import spark.implicits._
+    val l = Seq((1L, 2L)).toDF("k", "t")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoinApi.join(l, l, "k", "nope", "t", "t")
+    }
+    assert(e.getMessage.contains("nope") && e.getMessage.contains("k, t"))
+  }
+
   test("merge state resets across key boundaries within one partition") {
     import spark.implicits._
     // force everything into one partition: adjacent keys share a task,

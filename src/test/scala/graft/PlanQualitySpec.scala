@@ -222,9 +222,7 @@ class PlanQualitySpec extends SparkSpec {
   test("range-partitioned write yields non-overlapping per-file key ranges") {
     import org.apache.spark.sql.functions.{col, max => fmax, min => fmin}
     val dir = java.nio.file.Files.createTempDirectory("graft-range").toString
-    Tables.orders(spark, sf0001)
-      .repartitionByRange(4, col("o_totalprice"))
-      .write.mode("overwrite").parquet(dir)
+    Tables.writeRange(Tables.orders(spark, sf0001), dir, "o_totalprice", 4)
     // per-file [min, max] of the sort key must tile without overlap —
     // that is precisely what lets footer min/max stats prune a range
     // predicate down to one file out of N at scale.
@@ -239,6 +237,19 @@ class PlanQualitySpec extends SparkSpec {
     for (Array(a, b) <- ranges.sliding(2).map(_.toArray))
       assert(a._2 <= b._1,
         s"file ranges overlap: ${a._2} > ${b._1} — range partitioning broken")
+  }
+
+  test("DISTRIBUTE BY / SORT BY through SQL text plan as hash exchange + local sort") {
+    Tables.events(spark, sf0001).createOrReplaceTempView("events_dist")
+    val df = spark.sql(
+      """SELECT user_id, event_id FROM events_dist
+        |DISTRIBUTE BY user_id SORT BY user_id, event_id""".stripMargin)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(user_id"),
+      s"DISTRIBUTE BY did not hash-partition:\n$p")
+    // SORT BY is per-partition: a local sort, never a global range exchange
+    assert(p.contains("Sort [user_id") && !p.contains("rangepartitioning"),
+      s"SORT BY must stay partition-local:\n$p")
   }
 
   test("sparse docsim joins postings on the token key with a bounded heap") {

@@ -39,6 +39,21 @@ class SinksSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("JSON-lines sink round-trips documents with schema and values intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    docs.write.mode("overwrite").json(s"$dir/docs")
+    // read back WITH the schema (json inference would widen/reorder);
+    // the newline-delimited layout is splittable, so at scale the read
+    // parallelizes per line block exactly like CSV
+    val back = spark.read.schema(docs.schema).json(s"$dir/docs")
+    assert(back.count() == docs.count())
+    val a = docs.orderBy(col("doc_id")).collect()
+    val b = back.orderBy(col("doc_id")).collect()
+    assert(a.sameElements(b), "JSONL round-trip altered rows")
+  }
+
   test("XML sink round-trips the nodes table (sample.py writes OSM XML)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-xml").toString
     val nodes = sources.OsmXml.nodes(spark, getClass.getResource("/sample.osm").getPath)
