@@ -235,11 +235,13 @@ object Dedup {
     * into per-document survivors: connected components by iterative
     * min-label propagation (each round every member adopts the smallest
     * label among itself and its neighbors; GraphX-free, pure joins).
-    * Rounds are FIXED (3) so the job count is static and deterministic;
-    * convergence needs rounds ≥ component diameter, and near-dup
-    * clusters are clique-like (diameter 1–2 here; DedupSimSpec asserts a
-    * diameter-3 chain converges, and the oracle — a true transitive
-    * closure — fails the gate if real data ever exceeds that). Each doc in any pair reports its
+    * Rounds are FIXED (2) so the job count is static and deterministic;
+    * min-label propagation converges in rounds ≥ the distance from the
+    * min-label member, and near-dup clusters are clique-like (diameter
+    * 1–2 here, which 2 rounds covers; DedupSimSpec asserts a diameter-3
+    * chain still converges via the convergence-check extension rounds,
+    * and the oracle — a true transitive closure — fails the gate if
+    * real data ever needs more). Each doc in any pair reports its
     * canonical id (= min doc_id of its component) — survivors are the
     * docs where canon_id = doc_id. The edge list is tiny relative to the
     * corpus (pairs, not docs), so it persists across rounds; at 100 TB
@@ -253,12 +255,13 @@ object Dedup {
     * aggregate), so the lazy plan doubles per round — 2^rounds subtree
     * copies. The ONE load-bearing materialization is the pair list
     * (eager localCheckpoint): with the expensive candidate DAG truncated
-    * to a cached leaf, 2^3 copies of the remaining tiny subtrees are
-    * free, while un-truncated they re-derived the whole LSH pipeline at
-    * every leaf (measured: minutes of optimizer+recompute at 8 rounds).
-    * More rounds would want per-round checkpoints; 3 rounds deliberately
-    * does not pay those sequential job barriers. */
-  def clusterLabels(pairs: DataFrame, rounds: Int = 3,
+    * to a cached leaf, 2^rounds copies of the remaining tiny subtrees
+    * are free, while un-truncated they re-derived the whole LSH pipeline
+    * at every leaf (measured: minutes of optimizer+recompute at 8
+    * rounds). More fixed rounds would want per-round checkpoints; the
+    * fixed 2 deliberately does not pay those sequential job barriers —
+    * only the rare extension rounds do. */
+  def clusterLabels(pairs: DataFrame, rounds: Int = 2,
       maxRounds: Int = 12): DataFrame = {
     val p = pairs.localCheckpoint(true)
     val edges = p.union(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
