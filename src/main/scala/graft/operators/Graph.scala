@@ -44,15 +44,21 @@ object Graph {
       .agg(count(lit(1)).as("deg"))
     var rank = deg.select(col("node"), lit(1000000L).as("pr"))
     for (_ <- 1 to rounds) {
+      // node state is node-count-sized and the checkpointed edge leaf
+      // carries no size statistics, so without the explicit hint the
+      // planner shuffle-joins a 16k-row state table every round (same
+      // statistics cliff as clusterLabels). At a scale where the node
+      // state outgrows broadcast, drop the hint and this is the standard
+      // shuffled PageRank round — the algebra is unchanged.
       val st = deg.join(rank, "node")
-      rank = edges.join(st, edges("src") === st("node"))
+      rank = edges.join(broadcast(st), edges("src") === st("node"))
         .select(col("dst"), expr("pr div deg").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("in_sum"))
         .select(col("dst").as("node"),
           (lit(150000L) + expr("(850 * in_sum) div 1000")).as("pr"))
     }
-    rank.join(deg, "node")
+    rank.join(broadcast(deg), "node")
       .select(col("node"), col("pr"), col("deg"))
   }
 
