@@ -159,7 +159,31 @@ object Events {
       .orderBy(col("user_id").asc, col("version").asc)
   }
 
+  /** Cohort retention matrix: users grouped by first-seen week (the
+    * cohort), counted by how many are active in each later week —
+    * THE product-analytics query. Two grouped passes over one shuffle
+    * key (user): first-seen week per user (a min agg), then distinct
+    * (user, week) activity joined back to its cohort. Cohort and offset
+    * are exact integer week indices from epoch-µs division, identical
+    * on both engines; retained counts are distinct users, so replays
+    * within a week don't inflate retention. */
+  def evtRetention(s: SparkSession, d: String): DataFrame = {
+    // epoch µs → week index by INTEGER division (div / //): float
+    // division + truncation could flip a week boundary by one ulp
+    val ev = Tables.events(s, d)
+      .withColumn("w", expr("unix_micros(ts) div 604800000000"))
+      .select(col("user_id"), col("w"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("w")).as("w0"))
+    val active = ev.distinct()
+    active.join(cohort, "user_id")
+      .groupBy(col("w0").as("cohort_week"),
+        (col("w") - col("w0")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("retained"))
+      .orderBy(col("cohort_week").asc, col("week_offset").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_evt_retention" -> evtRetention,
     "q_ts_gapfill"   -> tsGapfill,
     "q_evt_scd2"     -> evtScd2,
     "q_evt_latest"   -> evtLatest,
@@ -170,6 +194,18 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_evt_retention" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id,
+        |         epoch_us(ts) // 604800000000 AS w
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(w) AS w0 FROM ev GROUP BY user_id)
+        |SELECT w0 AS cohort_week, w - w0 AS week_offset,
+        |       CAST(count(DISTINCT ev.user_id) AS BIGINT) AS retained
+        |FROM ev JOIN cohort USING (user_id)
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week ASC, week_offset ASC""".stripMargin,
     "q_ts_gapfill" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

@@ -39,6 +39,23 @@ class SinksSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("ORC sink round-trips lineitem columns byte-exact with pushdown intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+    li.write.mode("overwrite").orc(s"$dir/li")
+    val back = spark.read.orc(s"$dir/li")
+    assert(back.count() == li.count())
+    assert(back.orderBy(col("l_orderkey"), col("l_linenumber")).collect()
+      .sameElements(li.orderBy(col("l_orderkey"), col("l_linenumber")).collect()))
+    // the second columnar format keeps the same pushdown contract
+    val filtered = back.filter(col("l_quantity") < 10)
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("LessThan"),
+      s"ORC scan lost predicate pushdown:\n$p")
+  }
+
   test("JSON-lines sink round-trips documents with schema and values intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
     val docs = Tables.documents(spark, sf0001)
