@@ -189,7 +189,27 @@ object Windows {
       .orderBy(col("user_id").asc, col("event_id").asc)
   }
 
+  /** Rolling DISTINCT count — the window family's missing aggregate:
+    * distinct event types within each user's trailing-5-event frame.
+    * Spark has no windowed count(distinct); `size(collect_set)` over the
+    * frame is the idiomatic equivalent (bounded frame ⇒ bounded set per
+    * row — never use this shape on an unbounded frame at scale). Same
+    * one-shuffle-per-window-key discipline as the rest of the module. */
+  def winDistinct(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(-4, Window.currentRow)
+    Tables.events(s, d)
+      .filter(col("user_id") % 17 === 0)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("d_types",
+        size(collect_set(col("event_type")).over(w)).cast("long"))
+      .select(col("event_id"), col("user_id"), col("d_types"))
+      .orderBy(col("user_id").asc, col("event_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_distinct"     -> winDistinct,
     "q_win_ewma"         -> winEwma,
     "q_win_firstlast"    -> winFirstLast,
     "q_win_ntile_approx" -> winNtileApprox,
@@ -202,6 +222,15 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_distinct" ->
+      """SELECT event_id, user_id,
+        |       count(DISTINCT event_type) OVER (
+        |         PARTITION BY user_id
+        |         ORDER BY epoch_us(ts) ASC, event_id ASC
+        |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS d_types
+        |FROM events
+        |WHERE user_id % 17 = 0
+        |ORDER BY user_id ASC, event_id ASC""".stripMargin,
     "q_win_ewma" ->
       s"""WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS us,
