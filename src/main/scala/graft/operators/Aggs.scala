@@ -205,7 +205,26 @@ object Aggs {
       .orderBy(col("user_id").asc)
   }
 
+  /** Fixed-width histogram of order totals — $5,000 bins by integer-cents
+    * floor division (`div`, not float divide-and-truncate: the bin edge
+    * must never move by an ulp). One hash agg over the fact; bins are the
+    * group key, so the histogram is a few dozen rows no matter how the
+    * fact grows — the profile query that precedes any skew/salting
+    * decision at 100 TB. */
+  def aggHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("cents",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .groupBy(expr("cents div 500000").as("bin"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"),
+        sum(col("cents")).as("sum_cents"))
+      .withColumn("bin_lo_cents", col("bin") * 500000)
+      .orderBy(col("bin").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_histogram"   -> aggHistogram,
     "q_approx_cms"      -> approxCms,
     "q_agg_unpivot"     -> aggUnpivot,
     "q_approx_hll"      -> approxHll,
@@ -223,6 +242,20 @@ object Aggs {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_histogram" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders)
+        |SELECT cents // 500000 AS bin,
+        |       count(*) AS n_orders,
+        |       min(cents) AS min_cents,
+        |       max(cents) AS max_cents,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       bin * 500000 AS bin_lo_cents
+        |FROM c
+        |GROUP BY bin
+        |ORDER BY bin ASC""".stripMargin,
     "q_agg_unpivot" ->
       """WITH wide AS (
         |  SELECT l_returnflag,

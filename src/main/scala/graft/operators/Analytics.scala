@@ -146,7 +146,32 @@ object Analytics {
       .orderBy(col("revenue_micros").desc, col("n_name").asc)
   }
 
+  /** Exact distinct-set accounting over a SMALL domain via bitmaps:
+    * event types get dense bit indices (a ranked 5-row dim), each user's
+    * type set ORs into one BIGINT, bit_count reads the distinct count,
+    * and the final distribution groups users by it. The scale point:
+    * `bit_or` is a plain mergeable agg — partial bitmaps combine
+    * map-side and across shuffles — so this replaces count(DISTINCT)'s
+    * expand-or-reshuffle with one narrow pass, the standard trick for
+    * distinct-over-small-domain at 100 TB (and the exact counterpart of
+    * the HLL rollup, which covers the unbounded-domain case). */
+  def aggBitmap(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    // Dense bit index per priority: a ranked distinct over a 5-row domain
+    // (single-partition window on the dim only, never the fact).
+    val idx = o.select(col("o_orderpriority")).distinct()
+      .withColumn("bit", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("o_orderpriority"))) - 1)
+    o.join(broadcast(idx), "o_orderpriority")
+      .groupBy(col("o_custkey"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bmp"))
+      .groupBy(expr("bit_count(bmp)").as("n_prios"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("bmp")).as("sum_bmp"))
+      .orderBy(col("n_prios").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_bitmap"      -> aggBitmap,
     "q_tpch_q3"         -> tpchQ3,
     "q_tpch_q5"         -> tpchQ5,
     "q_percentile"  -> percentiles,
@@ -169,6 +194,22 @@ object Analytics {
       .orderBy(col("p_size").asc)
 
   val oracle: Map[String, String] = Map(
+    "q_agg_bitmap" ->
+      """WITH idx AS (
+        |  SELECT o_orderpriority,
+        |         row_number() OVER (ORDER BY o_orderpriority ASC) - 1 AS bit
+        |  FROM (SELECT DISTINCT o_orderpriority FROM orders)),
+        |bm AS (
+        |  SELECT o_custkey,
+        |         bit_or(1::BIGINT << bit) AS bmp
+        |  FROM orders JOIN idx USING (o_orderpriority)
+        |  GROUP BY o_custkey)
+        |SELECT CAST(bit_count(bmp) AS INT) AS n_prios,
+        |       count(*) AS n_customers,
+        |       CAST(sum(bmp) AS BIGINT) AS sum_bmp
+        |FROM bm
+        |GROUP BY n_prios
+        |ORDER BY n_prios ASC""".stripMargin,
     "q_tpch_q3" ->
       """SELECT l_orderkey,
         |       strftime(o_orderdate, '%Y-%m-%d') AS o_date,

@@ -182,7 +182,66 @@ object Events {
       .orderBy(col("cohort_week").asc, col("week_offset").asc)
   }
 
+  /** Longest consecutive-day activity streak per user — gaps-and-islands
+    * over the distinct (user, day) grid: within a user, `day − row_number`
+    * is constant exactly along a run of consecutive days, so the island
+    * key falls out of one window pass with no self-join. The grid is
+    * distinct days (≤ calendar×users), orders-of-magnitude smaller than
+    * the raw stream, and everything after the dedup partitions by
+    * user_id — one shuffle key end to end. Days are exact integer
+    * epoch-day indices (µs div), never date arithmetic. */
+  def evtStreaks(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+    val days = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val islands = days
+      .withColumn("island", col("day") - row_number().over(byUser))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+    // Longest streak per user; ties break to the EARLIEST streak so the
+    // survivor is unique (row_number over a total order, never first()).
+    val best = Window.partitionBy(col("user_id"))
+      .orderBy(col("len").desc, col("start_day").asc)
+    islands
+      .withColumn("rn", row_number().over(best))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(when(col("rn") === 1, col("len"))).as("best_streak"),
+        max(when(col("rn") === 1, col("start_day"))).as("best_start_day"))
+      .orderBy(col("user_id").asc)
+  }
+
+  /** Daily-volume anomaly days per event type — a 2σ outlier test run in
+    * PURE INTEGER arithmetic: with n days, S = Σx, Q = Σx², the test
+    * (x−μ)² > k²σ² rescales by n² to (n·x − S)² > k²(n·Q − S²), all
+    * BIGINT — no float mean/stddev to drift between engines. The daily
+    * pre-aggregation is the only pass over the stream; the per-type
+    * moments are a second agg over calendar-sized data, joined back
+    * broadcast-small. The flag rides along for every day (not just
+    * outliers) so the declared output can never be empty. */
+  def evtAnomaly(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val moments = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+        sum(col("cnt") * col("cnt")).as("q"))
+    daily.join(broadcast(moments), "event_type")
+      .withColumn("dev", col("n") * col("cnt") - col("s"))
+      .withColumn("is_outlier",
+        (col("dev") * col("dev") >
+          lit(4L) * (col("n") * col("q") - col("s") * col("s"))).cast("int"))
+      .select(col("event_type"), col("day"), col("cnt"), col("is_outlier"))
+      .orderBy(col("event_type").asc, col("day").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_evt_streaks"  -> evtStreaks,
+    "q_evt_anomaly"  -> evtAnomaly,
     "q_evt_retention" -> evtRetention,
     "q_ts_gapfill"   -> tsGapfill,
     "q_evt_scd2"     -> evtScd2,
@@ -194,6 +253,47 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_evt_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |         epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id,
+        |         day - row_number() OVER (PARTITION BY user_id
+        |                                  ORDER BY day ASC) AS island,
+        |         day
+        |  FROM days),
+        |runs AS (
+        |  SELECT user_id, island,
+        |         count(*) AS len, min(day) AS start_day
+        |  FROM isl GROUP BY user_id, island),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |            ORDER BY len DESC, start_day ASC) AS rn
+        |  FROM runs)
+        |SELECT user_id,
+        |       CAST(sum(len) AS BIGINT) AS active_days,
+        |       count(*) AS n_streaks,
+        |       CAST(max(CASE WHEN rn = 1 THEN len END) AS BIGINT) AS best_streak,
+        |       max(CASE WHEN rn = 1 THEN start_day END) AS best_start_day
+        |FROM rk
+        |GROUP BY user_id
+        |ORDER BY user_id ASC""".stripMargin,
+    "q_evt_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY event_type, day),
+        |m AS (
+        |  SELECT event_type, count(*) AS n, sum(cnt) AS s,
+        |         sum(cnt * cnt) AS q
+        |  FROM daily GROUP BY event_type)
+        |SELECT daily.event_type, day, cnt,
+        |       CAST((n * cnt - s) * (n * cnt - s) >
+        |            4 * (n * q - s * s) AS INT) AS is_outlier
+        |FROM daily JOIN m ON daily.event_type = m.event_type
+        |ORDER BY daily.event_type ASC, day ASC""".stripMargin,
     "q_evt_retention" ->
       """WITH ev AS (
         |  SELECT DISTINCT user_id,

@@ -435,7 +435,50 @@ object Text {
       .limit(20)
   }
 
+  /** Content-defined chunking (the dedup-stable splitter): a chunk
+    * boundary opens where a rolling fingerprint of the last 3 tokens
+    * hits `≡ 0 (mod 8)`, so inserting or deleting a token re-chunks only
+    * its neighborhood — unlike fixed windows (q_text_chunk) where one
+    * edit shifts every downstream chunk and defeats chunk-level dedup.
+    * The fingerprint is engine-neutral integer algebra over per-token
+    * values (first/last char codes + length — no library hash), the
+    * rolling window is a lag pair per exploded token, and everything
+    * partitions by doc_id: one narrow window pass per doc, no
+    * cross-document anything. Expected chunk length is the modulus (8
+    * tokens), the CDC parameter a caller would tune. */
+  def textCdc(s: SparkSession, d: String): DataFrame =
+    cdcChunks(Tables.spread(Tables.documents(s, d)))
+
+  /** CDC core over any (doc_id, text) frame — split out so the stability
+    * property (an edit re-chunks only its 3-token neighborhood) is
+    * testable on crafted docs, not just the fixture corpus. */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    docs
+      .select(col("doc_id"), posexplode(toks))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        (ascii(col("col")) * 961 +
+          ascii(substring(col("col"), -1, 1)) * 31 +
+          length(col("col"))).cast("long").as("v"))
+      .withColumn("w",
+        ((lag(col("v"), 2).over(byDoc) * 31 + lag(col("v"), 1).over(byDoc)) * 31
+          + col("v")) % 1048576)
+      .withColumn("brk",
+        when(col("pos") === 0, 1L)
+          .when(col("pos") >= 2 && col("w") % 8 === 0, 1L)
+          .otherwise(0L))
+      .withColumn("chunk_id",
+        sum(col("brk")).over(
+          byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_toks"), min(col("pos")).as("start_pos"),
+        sum(col("v")).as("sum_v"))
+      .orderBy(col("doc_id").asc, col("chunk_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_cdc"         -> textCdc,
     "q_text_docsim"      -> textDocsim,
     "q_text_ngram_dup"   -> textNgramDup,
     "q_text_pipeline"    -> textPipeline,
@@ -458,6 +501,39 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_cdc" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |p AS (
+        |  SELECT doc_id, unnest(range(0, len(t))) AS pos, t FROM tk),
+        |v AS (
+        |  SELECT doc_id, pos,
+        |         CAST(ascii(t[pos + 1]) * 961
+        |            + ascii(t[pos + 1][-1:]) * 31
+        |            + len(t[pos + 1]) AS BIGINT) AS v
+        |  FROM p),
+        |w AS (
+        |  SELECT *, (lag(v, 2) OVER win * 31 + lag(v, 1) OVER win) * 31 + v
+        |         AS raw
+        |  FROM v WINDOW win AS (PARTITION BY doc_id ORDER BY pos ASC)),
+        |b AS (
+        |  SELECT doc_id, pos, v,
+        |         CASE WHEN pos = 0 THEN 1
+        |              WHEN pos >= 2 AND (raw % 1048576) % 8 = 0 THEN 1
+        |              ELSE 0 END AS brk
+        |  FROM w),
+        |c AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+        |         AS chunk_id
+        |  FROM b)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       count(*) AS n_toks,
+        |       CAST(min(pos) AS BIGINT) AS start_pos,
+        |       CAST(sum(v) AS BIGINT) AS sum_v
+        |FROM c
+        |GROUP BY doc_id, chunk_id
+        |ORDER BY doc_id ASC, chunk_id ASC""".stripMargin,
     "q_text_docsim" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
