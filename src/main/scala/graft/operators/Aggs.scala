@@ -223,7 +223,28 @@ object Aggs {
       .withColumn("bin_lo_cents", col("bin") * 500000)
       .orderBy(col("bin").asc)
 
+  /** Heavy hitters via the native approx_top_k sketch (Spark 4's
+    * bounded-memory frequent-items aggregate). Run in its EXACT regime —
+    * maxItemsTracked (65536) far exceeds the user domain, so every count
+    * is exact and the declared output equals the true top-10, which is
+    * what licenses a plain SQL oracle (the same contract as the HLL/CMS
+    * rows, which stay no-oracle because their error is nonzero). The
+    * sketch's own tie order at the fetch boundary is unspecified, so
+    * fetch 100 deep and re-rank under the engine's total order (cnt
+    * desc, user_id asc) before cutting to 10 — a ≥91-way boundary tie
+    * is the only thing that could diverge, and the gate would catch it.
+    * At 100 TB the same one-pass sketch replaces the exact two-phase
+    * top-k whenever the domain outgrows memory. */
+  def approxTopK(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .agg(expr("approx_top_k(user_id, 100, 65536)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("user_id"), col("e.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("user_id").asc)
+      .limit(10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_topk"     -> approxTopK,
     "q_agg_histogram"   -> aggHistogram,
     "q_approx_cms"      -> approxCms,
     "q_agg_unpivot"     -> aggUnpivot,
@@ -242,6 +263,13 @@ object Aggs {
   )
 
   val oracle: Map[String, String] = Map(
+    // legitimate for a sketch: exact regime (maxItemsTracked >> domain)
+    "q_approx_topk" ->
+      """SELECT user_id, count(*) AS cnt
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY cnt DESC, user_id ASC
+        |LIMIT 10""".stripMargin,
     "q_agg_histogram" ->
       """WITH c AS (
         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)

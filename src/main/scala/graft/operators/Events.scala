@@ -239,7 +239,38 @@ object Events {
       .orderBy(col("event_type").asc, col("day").asc)
   }
 
+  /** OHLC downsampling — the timeseries "candlestick" resample: per
+    * (event_type, hour), the first and last value in event-time order
+    * plus min/max/count/sum. First/last are argmin/argmax with the µs +
+    * event_id composite tie order made explicit via two ranked windows
+    * over ONE partitioning (a single shuffle, two local sorts) — never
+    * first()/last() aggregates, whose result is partition-arrival order,
+    * i.e. nondeterministic under retries. Output is calendar-sized
+    * (hours × types); values are exact integer cents. */
+  def evtOhlc(s: SparkSession, d: String): DataFrame = {
+    val part = Seq(col("event_type"), col("hr"))
+    val asc = Window.partitionBy(part: _*)
+      .orderBy(col("us").asc, col("event_id").asc)
+    val desc = Window.partitionBy(part: _*)
+      .orderBy(col("us").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("hr", expr("unix_micros(ts) div 3600000000"))
+      .withColumn("cents", centsCol)
+      .withColumn("ra", row_number().over(asc))
+      .withColumn("rd", row_number().over(desc))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(max(when(col("ra") === 1, col("cents"))).as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max(when(col("rd") === 1, col("cents"))).as("close_cents"),
+        count(lit(1)).as("n"),
+        sum(col("cents")).as("vol_cents"))
+      .orderBy(col("event_type").asc, col("hr").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_evt_ohlc"     -> evtOhlc,
     "q_evt_streaks"  -> evtStreaks,
     "q_evt_anomaly"  -> evtAnomaly,
     "q_evt_retention" -> evtRetention,
@@ -253,6 +284,30 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_evt_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |         epoch_us(ts) AS us,
+        |         epoch_us(ts) // 3600000000 AS hr,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY event_type, hr
+        |                            ORDER BY us ASC, event_id ASC) AS ra,
+        |         row_number() OVER (PARTITION BY event_type, hr
+        |                            ORDER BY us DESC, event_id DESC) AS rd
+        |  FROM e)
+        |SELECT event_type, hr,
+        |       max(CASE WHEN ra = 1 THEN cents END) AS open_cents,
+        |       max(cents) AS high_cents,
+        |       min(cents) AS low_cents,
+        |       max(CASE WHEN rd = 1 THEN cents END) AS close_cents,
+        |       count(*) AS n,
+        |       CAST(sum(cents) AS BIGINT) AS vol_cents
+        |FROM r
+        |GROUP BY event_type, hr
+        |ORDER BY event_type ASC, hr ASC""".stripMargin,
     "q_evt_streaks" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id,

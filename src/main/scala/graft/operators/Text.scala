@@ -477,7 +477,52 @@ object Text {
       .orderBy(col("doc_id").asc, col("chunk_id").asc)
   }
 
+  /** Quality pruning at an exact per-language quartile — "drop the worst
+    * 25% of each language" — with the threshold computed in RATIONAL
+    * integer arithmetic: the interpolated p25 over sorted integer scores
+    * s_1..s_n sits at rank h = (n−1)/4, i.e. thresh×4 = s_lo·(4−r) +
+    * s_{lo+1}·r with lo = (n−1) div 4 + 1, r = (n−1) mod 4 — so the
+    * keep/drop comparison (score×4 ≥ thresh×4) is BIGINT on both engines,
+    * where a float quantile_cont threshold could flip a boundary doc by
+    * one ulp (Spark interpolates (1−g)a+gb, DuckDB a+(b−a)g — not the
+    * same rounding). Exact order statistics need a per-language sort; at
+    * 100 TB the same pipeline swaps in approx quartiles
+    * (q_win_ntile_approx) — exactness here is what licenses the oracle.
+    * Score = n_uniq·1000 + n_tokens: lexicographic (vocab richness,
+    * length) in one integer. */
+  def textQfilter(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy(col("lang"))
+    val scored = Tables.documents(s, d)
+      .withColumn("score",
+        size(array_distinct(toks)).cast("long") * 1000 +
+          size(toks).cast("long"))
+    val ranked = scored
+      .withColumn("rn", row_number().over(
+        byLang.orderBy(col("score").asc, col("doc_id").asc)))
+      .withColumn("n", count(lit(1)).over(byLang))
+    val thresh = ranked
+      .withColumn("lo", expr("(n - 1) div 4 + 1"))
+      .withColumn("r", (col("n") - 1) % 4)
+      .filter(col("rn") === col("lo") || col("rn") === col("lo") + 1)
+      .groupBy(col("lang"))
+      .agg(sum(
+        when(col("rn") === col("lo"), col("score") * (lit(4) - col("r")))
+          .otherwise(col("score") * col("r"))).as("thresh_x4"))
+    scored.join(broadcast(thresh), "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("thresh_x4")).as("thresh_x4"),
+        sum((col("score") * 4 >= col("thresh_x4")).cast("long")).as("n_kept"),
+        min(when(col("score") * 4 >= col("thresh_x4"), col("score")))
+          .as("min_kept_score"),
+        max(when(col("score") * 4 < col("thresh_x4"), col("score")))
+          .as("max_dropped_score"))
+      .orderBy(col("lang").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_qfilter"     -> textQfilter,
     "q_text_cdc"         -> textCdc,
     "q_text_docsim"      -> textDocsim,
     "q_text_ngram_dup"   -> textNgramDup,
@@ -501,6 +546,38 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_qfilter" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |           * 1000
+        |         + len(string_split(text, ' ')) AS score
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |            ORDER BY score ASC, doc_id ASC) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM scored),
+        |th AS (
+        |  SELECT lang,
+        |         CAST(sum(CASE WHEN rn = (n - 1) // 4 + 1
+        |                  THEN score * (4 - (n - 1) % 4)
+        |                  ELSE score * ((n - 1) % 4) END) AS BIGINT) AS thresh_x4
+        |  FROM ranked
+        |  WHERE rn = (n - 1) // 4 + 1 OR rn = (n - 1) // 4 + 2
+        |  GROUP BY lang)
+        |SELECT scored.lang,
+        |       count(*) AS n_docs,
+        |       max(thresh_x4) AS thresh_x4,
+        |       CAST(sum(CASE WHEN score * 4 >= thresh_x4 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_kept,
+        |       min(CASE WHEN score * 4 >= thresh_x4 THEN score END)
+        |         AS min_kept_score,
+        |       max(CASE WHEN score * 4 < thresh_x4 THEN score END)
+        |         AS max_dropped_score
+        |FROM scored JOIN th ON scored.lang = th.lang
+        |GROUP BY scored.lang
+        |ORDER BY scored.lang ASC""".stripMargin,
     "q_text_cdc" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

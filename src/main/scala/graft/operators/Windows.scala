@@ -208,7 +208,36 @@ object Windows {
       .orderBy(col("user_id").asc, col("event_id").asc)
   }
 
+  /** Rolling EXACT median over each user's trailing-5 value frame,
+    * reported doubled (med×2 = sum of the two middle order statistics)
+    * so odd and even windows alike stay in BIGINT — the interpolated
+    * float median is (a+b)/2, whose ulp behavior differs between
+    * engines, but a+b never does. The frame median materializes as
+    * sort-of-a-5-array per row (collect_list over a bounded frame):
+    * constant work per row regardless of corpus size, the same scale
+    * contract as the EWMA/rolling-distinct family. Ramp-up rows (k<5)
+    * use the true k-element median, not a null fence. */
+  def winMedian(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(-4, Window.currentRow)
+    Tables.events(s, d)
+      .filter(col("user_id") % 17 === 0)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("cents",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .withColumn("fr", array_sort(collect_list(col("cents")).over(w)))
+      .withColumn("k", size(col("fr")))
+      .withColumn("med_x2",
+        element_at(col("fr"), expr("CAST((k + 1) div 2 AS INT)")) +
+          element_at(col("fr"), expr("CAST(k div 2 + 1 AS INT)")))
+      .select(col("event_id"), col("user_id"), col("cents"),
+        col("k").cast("long").as("k"), col("med_x2"))
+      .orderBy(col("user_id").asc, col("event_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_median"       -> winMedian,
     "q_win_distinct"     -> winDistinct,
     "q_win_ewma"         -> winEwma,
     "q_win_firstlast"    -> winFirstLast,
@@ -222,6 +251,22 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_median" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE user_id % 17 = 0),
+        |f AS (
+        |  SELECT event_id, user_id, cents,
+        |         list_sort(list(cents) OVER w) AS fr,
+        |         len(list(cents) OVER w) AS k
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |         ORDER BY us ASC, event_id ASC
+        |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, cents, CAST(k AS BIGINT) AS k,
+        |       fr[(k + 1) // 2] + fr[k // 2 + 1] AS med_x2
+        |FROM f
+        |ORDER BY user_id ASC, event_id ASC""".stripMargin,
     "q_win_distinct" ->
       """SELECT event_id, user_id,
         |       count(DISTINCT event_type) OVER (
