@@ -146,6 +146,72 @@ object Analytics {
       .orderBy(col("revenue_micros").desc, col("n_name").asc)
   }
 
+  /** TPC-H Q18 shape (large-volume customers): the HAVING-over-fact-agg
+    * gate pattern. The inner aggregate runs partial+final on the fact's
+    * own key, its survivors (~0.1% of orders here) broadcast back as the
+    * join filter, and only then does the customer join run — at 100 TB
+    * the expensive join is gated by the cheap aggregate, never the other
+    * way around. Quantities are integral doubles (1..50), so their sums
+    * are exact and order-free below 2^53; totalprice reports in integer
+    * cents. */
+  def tpchQ18(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    o.join(broadcast(big), o("o_orderkey") === big("l_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("total_cents"),
+        col("sum_qty"))
+      .orderBy(col("total_cents").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** MERGE INTO / upsert semantics — the incremental-pipeline core every
+    * warehouse user runs (Delta/Iceberg MERGE), expressed engine-neutral
+    * as ONE full-outer join of base against a keyed change set, per-row
+    * action = delete/update/insert/keep. The change set derives
+    * deterministically from the same tables (updates: customers with an
+    * open 2000+ order, +$10.00; deletes: every 97th key, winning over
+    * update; inserts: suppliers re-keyed past the customer id range), so
+    * the apply is oracle-able end to end in integer cents. At scale this
+    * is one equi-shuffle of each side on the merge key — the same plan a
+    * table format's MERGE compiles to before file rewriting. */
+  def sqlMerge(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+    val del = base.filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey"), lit("D").as("op"), lit(0L).as("arg"))
+    val upd = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "O" && col("o_orderdate") >= "2000-01-01")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+      .filter(col("c_custkey") % 97 =!= 0)
+      .select(col("c_custkey"), lit("U").as("op"), lit(1000L).as("arg"))
+    val ins = Tables.supplier(s, d)
+      .select((col("s_suppkey") + 1000000L).as("c_custkey"), lit("I").as("op"),
+        expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("arg"))
+    val changes = del.unionByName(upd).unionByName(ins)
+    base.join(changes, Seq("c_custkey"), "full_outer")
+      .withColumn("action",
+        when(col("op") === "D", "delete")
+          .when(col("op") === "U", "update")
+          .when(col("op") === "I", "insert")
+          .otherwise("keep"))
+      .withColumn("final_cents",
+        when(col("action") === "delete", lit(0L))
+          .when(col("action") === "update", col("bal_cents") + col("arg"))
+          .when(col("action") === "insert", col("arg"))
+          .otherwise(col("bal_cents")))
+      .groupBy(col("action"))
+      .agg(count(lit(1)).as("n"), sum(col("final_cents")).as("bal_cents"))
+      .orderBy(col("action").asc)
+  }
+
   /** Exact distinct-set accounting over a SMALL domain via bitmaps:
     * event types get dense bit indices (a ranked 5-row dim), each user's
     * type set ORs into one BIGINT, bit_count reads the distinct count,
@@ -174,6 +240,8 @@ object Analytics {
     "q_agg_bitmap"      -> aggBitmap,
     "q_tpch_q3"         -> tpchQ3,
     "q_tpch_q5"         -> tpchQ5,
+    "q_tpch_q18"        -> tpchQ18,
+    "q_sql_merge"       -> sqlMerge,
     "q_percentile"  -> percentiles,
     "q_stats_agg"   -> statsAgg,
     "q_dedup_hash"  -> dedupHash,
@@ -194,6 +262,54 @@ object Analytics {
       .orderBy(col("p_size").asc)
 
   val oracle: Map[String, String] = Map(
+    "q_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(l_quantity) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+        |       sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_cents DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+    "q_sql_merge" ->
+      """WITH base AS (
+        |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |del AS (
+        |  SELECT c_custkey, 'D' AS op, CAST(0 AS BIGINT) AS arg
+        |  FROM base WHERE c_custkey % 97 = 0),
+        |upd AS (
+        |  SELECT DISTINCT o_custkey AS c_custkey, 'U' AS op,
+        |         CAST(1000 AS BIGINT) AS arg
+        |  FROM orders
+        |  WHERE o_orderstatus = 'O' AND o_orderdate >= TIMESTAMP '2000-01-01'
+        |    AND o_custkey % 97 <> 0),
+        |ins AS (
+        |  SELECT s_suppkey + 1000000 AS c_custkey, 'I' AS op,
+        |         CAST(round(s_acctbal * 100) AS BIGINT) AS arg
+        |  FROM supplier),
+        |changes AS (
+        |  SELECT * FROM del UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins),
+        |m AS (
+        |  SELECT CASE WHEN op = 'D' THEN 'delete'
+        |              WHEN op = 'U' THEN 'update'
+        |              WHEN op = 'I' THEN 'insert'
+        |              ELSE 'keep' END AS action,
+        |         CASE WHEN op = 'D' THEN 0
+        |              WHEN op = 'U' THEN bal_cents + arg
+        |              WHEN op = 'I' THEN arg
+        |              ELSE bal_cents END AS final_cents
+        |  FROM base FULL OUTER JOIN changes USING (c_custkey))
+        |SELECT action, count(*) AS n,
+        |       CAST(sum(final_cents) AS BIGINT) AS bal_cents
+        |FROM m GROUP BY action
+        |ORDER BY action ASC""".stripMargin,
     "q_agg_bitmap" ->
       """WITH idx AS (
         |  SELECT o_orderpriority,

@@ -123,7 +123,28 @@ object Relational {
       .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
       .orderBy(col("user_id").asc)
 
+  /** Deterministic train/val/test split — the assignment every training
+    * pipeline needs to be STABLE across reruns, engines, and cluster
+    * sizes, which rand()-based splits are not. Bucket = last hex digit of
+    * md5(doc_id) (a uniform 0..15 draw that any engine reproduces
+    * bit-identically), split 12/2/2. A narrow map with no shuffle until
+    * the per-(split, lang) audit counts; at 100 TB the same expression
+    * tags each row in place — no global coordination, no sampling state. */
+  def sampleSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket",
+        (expr("instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 32, 1))") - 1)
+          .cast("long"))
+      .withColumn("split",
+        when(col("bucket") < 12, "train")
+          .when(col("bucket") < 14, "val")
+          .otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split").asc, col("lang").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_split"      -> sampleSplit,
     "q_set_except_all"    -> setExceptAll,
     "q_set_intersect_all" -> setIntersectAll,
     "q_scan_project"      -> scanProject,
@@ -138,6 +159,19 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sample_split" ->
+      """SELECT CASE WHEN bucket < 12 THEN 'train'
+        |            WHEN bucket < 14 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM (
+        |  SELECT lang, n_chars,
+        |         CAST(strpos('0123456789abcdef',
+        |           substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 AS BIGINT)
+        |           AS bucket
+        |  FROM documents)
+        |GROUP BY split, lang
+        |ORDER BY split ASC, lang ASC""".stripMargin,
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |       strftime(l_shipdate, '%Y-%m-%d') AS ship_date,

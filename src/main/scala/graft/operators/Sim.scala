@@ -205,7 +205,66 @@ object Sim {
         col("sum_q").cast("double") / (col("n_vecs") * 64))
       .orderBy(col("label").asc)
 
+  /** One full k-means (Lloyd) iteration over int8-quantized embeddings,
+    * hash-exact end to end — the trainable loop IVF/q_emb_stats only
+    * gestured at. Assign: L2 to 4 deterministic seed centroids (the
+    * first 4 vectors), computed ENTIRELY in BIGINT on the quantized
+    * components, so the argmin needs no float at all. Update: per-cluster
+    * per-component integer sums via posexplode → groupBy — the standard
+    * feature-major shuffle shape (key = (cluster, component), arbitrary
+    * width, no wide-row state). Reassign: distance to the new rational
+    * centroid s/n compared as the integer numerator Σ(v·n − s)² over the
+    * shared n² denominator; the only float is one division of identical
+    * integers (bit-equal on any engine). Cluster sizes stay bounded
+    * (4 centroids broadcast, ~100 B each), so each extra Lloyd round at
+    * 100 TB costs exactly one narrow crossJoin pass + one component
+    * shuffle — this query IS that round, measured and oracled. Output per
+    * cluster: size after reassignment, how many vectors moved, and the
+    * integer inertia numerator. */
+  def simKmeans(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d)
+      .withColumn("qv", expr(
+        "transform(embedding, x -> CAST(least(127, greatest(-128, " +
+          "floor(CAST(x AS DOUBLE) * 64.0D + 0.5D))) AS BIGINT))"))
+      .select(col("vec_id"), col("qv"))
+    val c0 = q.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("qv").as("cqv"))
+    val w0 = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist0").asc, col("cid").asc)
+    val a0 = q.crossJoin(broadcast(c0))
+      .withColumn("dist0", expr(
+        "aggregate(zip_with(qv, cqv, (a, b) -> (a - b) * (a - b)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("rn", row_number().over(w0))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("qv"), col("cid").as("cid0"))
+    val comp = a0.select(col("cid0"), posexplode(col("qv")).as(Seq("idx", "v")))
+      .groupBy(col("cid0"), col("idx"))
+      .agg(sum(col("v")).as("s2"))
+      .groupBy(col("cid0"))
+      .agg(expr("transform(sort_array(collect_list(struct(idx, s2))), p -> p.s2)")
+        .as("sarr"))
+    val cnt = a0.groupBy(col("cid0")).agg(count(lit(1)).as("n"))
+    val c1 = comp.join(cnt, "cid0")
+      .select(col("cid0").as("cid"), col("sarr"), col("n"))
+    val w1 = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist1").asc, col("cid").asc)
+    a0.crossJoin(broadcast(c1))
+      .withColumn("num", expr(
+        "aggregate(zip_with(qv, sarr, (v, s2) -> (v * n - s2) * (v * n - s2)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("dist1", col("num").cast("double") / (col("n") * col("n")))
+      .withColumn("rn", row_number().over(w1))
+      .filter(col("rn") === 1)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("cid") =!= col("cid0"), 1L).otherwise(0L)).as("n_moved"),
+        sum(col("num")).as("inertia_num"))
+      .orderBy(col("cid").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_kmeans"     -> simKmeans,
     "q_emb_stats"      -> embStats,
     "q_emb_quant"      -> embQuant,
     "q_sim_topk"       -> simTopk,
@@ -230,6 +289,53 @@ object Sim {
       |           (a, x) -> a + x) / (q.nrm * c.nrm)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_sim_kmeans" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(least(127, greatest(-128,
+        |           floor(CAST(x AS DOUBLE) * 64.0 + 0.5))) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id < 4),
+        |d0 AS (
+        |  SELECT q.vec_id, q.qv, c0.cid,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(list_zip(q.qv, c0.cqv),
+        |             z -> (z[1] - z[2]) * (z[1] - z[2]))),
+        |           (acc, x) -> acc + x) AS dist0
+        |  FROM q CROSS JOIN c0),
+        |a0 AS (
+        |  SELECT vec_id, qv, cid AS cid0 FROM (
+        |    SELECT vec_id, qv, cid,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY dist0 ASC, cid ASC) AS rn
+        |    FROM d0)
+        |  WHERE rn = 1),
+        |comp AS (
+        |  SELECT cid0, idx, CAST(sum(qv[idx]) AS BIGINT) AS s2
+        |  FROM a0, range(1, 65) r(idx)
+        |  GROUP BY cid0, idx),
+        |cent AS (
+        |  SELECT cid0 AS cid, list(s2 ORDER BY idx ASC) AS sarr
+        |  FROM comp GROUP BY cid0),
+        |cnt AS (SELECT cid0 AS cid, count(*) AS n FROM a0 GROUP BY cid0),
+        |d1 AS (
+        |  SELECT a0.vec_id, a0.cid0, cent.cid, cnt.n,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(list_zip(a0.qv, cent.sarr),
+        |             z -> (z[1] * n - z[2]) * (z[1] * n - z[2]))),
+        |           (acc, x) -> acc + x) AS num
+        |  FROM a0 CROSS JOIN cent JOIN cnt ON cent.cid = cnt.cid),
+        |a1 AS (
+        |  SELECT vec_id, cid0, cid, num,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY CAST(num AS DOUBLE) / (n * n) ASC, cid ASC) AS rn
+        |  FROM d1)
+        |SELECT cid, count(*) AS n_vecs,
+        |       CAST(sum(CASE WHEN cid <> cid0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_moved,
+        |       CAST(sum(num) AS BIGINT) AS inertia_num
+        |FROM a1 WHERE rn = 1
+        |GROUP BY cid ORDER BY cid ASC""".stripMargin,
     "q_emb_stats" ->
       """WITH q AS (
         |  SELECT label,

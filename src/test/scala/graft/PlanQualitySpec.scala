@@ -166,6 +166,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("tpch q18: the HAVING survivors broadcast back into the join, agg is partial+final") {
+    val p = plan("q_tpch_q18")
+    assert(p.contains("BroadcastHashJoin"), s"agg gate not broadcast:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial"), s"no map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("merge applies as one keyed outer join (no cartesian, no nested loop)") {
+    val p = plan("q_sql_merge")
+    assert(p.contains("FullOuter"), s"merge lost its outer-join core:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("kmeans centroids broadcast in both Lloyd passes; components shuffle on (cluster, idx)") {
+    val p = plan("q_sim_kmeans")
+    // 4-row centroid sides must never shuffle the corpus: both the assign
+    // and the reassign crossJoin ride BroadcastNestedLoop on a bounded
+    // broadcast (the intentional exception the embcos pin forbids for
+    // unbounded sides).
+    assert(p.contains("BroadcastNestedLoop"), s"centroid join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Generate"), s"component update lost its posexplode pass:\n$p")
+  }
+
   test("lateral top-2 decorrelates (no per-row re-execution, no cartesian)") {
     val p = executedPlan("q_sql_lateral")
     assert(!p.contains("CartesianProduct"), s"lateral degenerated to cartesian:\n$p")
