@@ -66,6 +66,36 @@ class Round6OpsSpec extends SparkSpec {
     assert(cents.zip(cents.tail).forall { case (a, b) => a >= b })
   }
 
+  test("markov: transition counts conserve events and from-totals are row-consistent") {
+    val rows = operators.Events.evtMarkov(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // Every user with k events contributes exactly k-1 transitions.
+    val perUser = Tables.events(spark, sf0001)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("k"))
+      .collect().map(_.getLong(1))
+    assert(rows.map(_._3).sum == perUser.map(_ - 1).sum)
+    // from_total on each row equals the sum of n over that from-state.
+    val byFrom = rows.groupBy(_._1)
+    for ((f, rs) <- byFrom) {
+      assert(rs.map(_._4).distinct.size == 1, s"inconsistent from_total for $f")
+      assert(rs.head._4 == rs.map(_._3).sum, s"from_total mismatch for $f")
+    }
+  }
+
+  test("rarity: engine scores equal a local df replay") {
+    val got = operators.Text.textRarity(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val df = docs.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    for ((id, ts) <- docs) {
+      val rarity = ts.map(t => 1000000L / df(t)).sum
+      assert(got(id) == ((ts.size.toLong, rarity, rarity / ts.size)), s"doc $id")
+    }
+  }
+
   test("kmeans: the Lloyd round matches an in-memory replay on the same integers") {
     val got = operators.Sim.simKmeans(spark, sf0001).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap

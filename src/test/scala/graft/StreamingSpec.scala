@@ -73,6 +73,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getAs[Long]("ad_id") == 1L)
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched rows once the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The outer variant is the attribution-with-nulls shape: an unmatched
+    // impression must surface with a null click — but only after the
+    // watermark proves no click can still arrive. That state eviction IS
+    // the scale contract (without it, outer-join state grows forever).
+    val imps = MemoryStream[(Timestamp, Long)]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val impDf = imps.toDF().toDF("imp_ts", "ad_id").withWatermark("imp_ts", "5 minutes")
+    val clkDf = clicks.toDF().toDF("clk_ts", "clk_ad").withWatermark("clk_ts", "5 minutes")
+    val joined = impDf.join(clkDf, expr(
+      """ad_id = clk_ad AND
+        |clk_ts >= imp_ts AND clk_ts <= imp_ts + interval 5 minutes""".stripMargin),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssoj_test")
+      .outputMode("append").start()
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    imps.addData((t(0), 1L), (t(0), 2L))
+    clicks.addData((t(3), 1L)) // ad 1 matched; ad 2 never clicked
+    q.processAllAvailable()
+    // Advance both watermarks far past imp_ts + bound so the engine can
+    // prove ad 2 is unmatchable and emit its null row.
+    imps.addData((t(40), 9L))
+    clicks.addData((t(40), 9L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssoj_test").collect()
+      .map(r => r.getAs[Long]("ad_id") -> Option(r.getAs[Any]("clk_ad")))
+    assert(rows.contains(1L -> Some(1L)), s"matched row missing: ${rows.toSeq}")
+    assert(rows.contains(2L -> None), s"unmatched row not emitted: ${rows.toSeq}")
+  }
+
   test("stream-static join: dimension enrichment matches the batch join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
