@@ -269,7 +269,32 @@ object Events {
       .orderBy(col("event_type").asc, col("hr").asc)
   }
 
+  /** First-order Markov transition matrix over each user's event stream —
+    * the sequence-model feature every behavioral pipeline extracts before
+    * training. One lead() over the per-user time order (a single shuffle
+    * on user_id, the natural partition key), then a grouped count per
+    * (from, to) pair plus the from-state total, so the transition
+    * probability ships as the exact integer pair n/from_total instead of
+    * a float that could never hash-compare. The (ts, event_id) tiebreak
+    * makes the sequence — and therefore every count — engine-identical. */
+  def evtMarkov(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val trans = Tables.events(s, d)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+    val totals = trans.groupBy(col("from_type"))
+      .agg(count(lit(1)).as("from_total"))
+    trans.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"), col("from_total"))
+      .orderBy(col("from_type").asc, col("to_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_evt_markov"   -> evtMarkov,
     "q_evt_ohlc"     -> evtOhlc,
     "q_evt_streaks"  -> evtStreaks,
     "q_evt_anomaly"  -> evtAnomaly,
@@ -284,6 +309,20 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_evt_markov" ->
+      """WITH t AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts ASC, event_id ASC)
+        |           AS to_type
+        |  FROM events),
+        |tr AS (SELECT from_type, to_type FROM t WHERE to_type IS NOT NULL),
+        |tot AS (SELECT from_type, count(*) AS from_total
+        |        FROM tr GROUP BY from_type)
+        |SELECT tr.from_type, to_type, count(*) AS n, from_total
+        |FROM tr JOIN tot ON tr.from_type = tot.from_type
+        |GROUP BY tr.from_type, to_type, from_total
+        |ORDER BY tr.from_type ASC, to_type ASC""".stripMargin,
     "q_evt_ohlc" ->
       """WITH e AS (
         |  SELECT event_type, event_id,

@@ -521,7 +521,30 @@ object Text {
       .orderBy(col("lang").asc)
   }
 
+  /** Rare-token density score — the integer analog of perplexity-based
+    * quality filtering (CCNet-style): rare tokens carry the information,
+    * so each token occurrence scores 1e6 div df(token) and a document's
+    * rarity is the exact integer sum. Two grouped passes over the posting
+    * shape (explode → df, then occurrence⋈df on the token key — the same
+    * join discipline as the inverted index; the df side is
+    * vocabulary-sized, so AQE broadcasts it here and shuffles it when a
+    * 100 TB vocabulary won't fit), no floats anywhere, so the score — and
+    * any threshold cut on it — hash-compares across engines. */
+  def textRarity(s: SparkSession, d: String): DataFrame = {
+    val occ = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), explode(toks).as("tok"))
+    val dfs = occ.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    occ.join(dfs, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(expr("1000000 div df")).as("rarity"))
+      .withColumn("rarity_per_tok", expr("rarity div n_toks"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_rarity"      -> textRarity,
     "q_text_qfilter"     -> textQfilter,
     "q_text_cdc"         -> textCdc,
     "q_text_docsim"      -> textDocsim,
@@ -546,6 +569,21 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_rarity" ->
+      """WITH occ AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |dfs AS (
+        |  SELECT tok, count(*) AS df FROM (
+        |    SELECT DISTINCT doc_id, tok FROM occ)
+        |  GROUP BY tok)
+        |SELECT doc_id, count(*) AS n_toks,
+        |       CAST(sum(1000000 // df) AS BIGINT) AS rarity,
+        |       CAST(sum(1000000 // df) // count(*) AS BIGINT)
+        |         AS rarity_per_tok
+        |FROM occ JOIN dfs USING (tok)
+        |GROUP BY doc_id
+        |ORDER BY doc_id ASC""".stripMargin,
     "q_text_qfilter" ->
       """WITH scored AS (
         |  SELECT doc_id, lang,
