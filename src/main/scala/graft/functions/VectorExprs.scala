@@ -183,6 +183,94 @@ case class MinHashSigs(child: Expression, numPerms: Int)
     copy(child = newChild)
 }
 
+/** Native Catalyst expression for the SimHash dedup hot loop: the 32-bit
+  * frequency-weighted SimHash of a shingle array in one codegen'd pass —
+  * hash each shingle once, accumulate 32 per-bit ±1 votes in registers,
+  * emit the sign bits. Same rationale as [[MinHashSigs]]: a signature is
+  * a per-document property, so explode → 32-column vote aggregate pays a
+  * corpus-wide shuffle for a narrow map's worth of work.
+  *
+  * The shingle hash is the oracle-shared polynomial char hash (seed 7,
+  * ×131, mod 2^31−1), evaluated over the string's BYTES — identical to
+  * the oracle's per-character ord() fold on this corpus's ASCII text
+  * (the documents data contract; non-ASCII would need codepoint
+  * iteration on both sides). Empty arrays yield sig 0 — callers drop
+  * shingle-less docs upstream, as with MinHashSigs sentinels. */
+case class SimHashSig(child: Expression) extends UnaryExpression {
+
+  private val P = 2147483647L // 2^31 - 1
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_sig expects array<string>, got ${dt.simpleString}")
+    }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](32)
+    var j = 0
+    while (j < arr.numElements()) {
+      val s = arr.getUTF8String(j)
+      var h = 7L
+      var k = 0
+      val nb = s.numBytes()
+      while (k < nb) { h = (h * 131 + (s.getByte(k) & 0xff)) % P; k += 1 }
+      var b = 0
+      while (b < 32) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 32) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val b = ctx.freshName("b")
+      val n = ctx.freshName("n")
+      val nb = ctx.freshName("nb")
+      val h = ctx.freshName("h")
+      val s = ctx.freshName("s")
+      val votes = ctx.freshName("votes")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $x.numElements();
+         |int[] $votes = new int[32];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  org.apache.spark.unsafe.types.UTF8String $s = $x.getUTF8String($j);
+         |  long $h = 7L;
+         |  int $nb = $s.numBytes();
+         |  for (int $k = 0; $k < $nb; $k++) {
+         |    $h = ($h * 131L + ($s.getByte($k) & 0xff)) % ${P}L;
+         |  }
+         |  for (int $b = 0; $b < 32; $b++) {
+         |    $votes[$b] += ((($h >> $b) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 32; $b++) {
+         |  if ($votes[$b] > 0) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Register `vec_dot`, `minhash_sigs` and `haversine_km` in the
     * session's function registry so query code can use them via
@@ -193,6 +281,8 @@ object VectorExprs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "haversine_km",
       exprs => HaversineKm(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_sig", exprs => SimHashSig(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sigs", { exprs =>
         // Checked foldable-literal extraction: a non-integer perm count

@@ -146,6 +146,42 @@ object Analytics {
       .orderBy(col("revenue_micros").desc, col("n_name").asc)
   }
 
+  /** TPC-H Q7 shape (volume shipping between two trading nations): the
+    * double-dimension-path join — lineitem reaches nation once through
+    * supplier and once through orders→customer, with the nation-pair
+    * predicate applied on the joined pair in both directions. Both
+    * nation legs broadcast (dim-sized), the two fact joins shuffle on
+    * their own keys; revenue in exact integer micro-units per
+    * (supp_nation, cust_nation, ship year). */
+  def tpchQ7(s: SparkSession, d: String): DataFrame = {
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1998-01-01")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+        col("l_discount"), col("l_shipdate"))
+    val su = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .withColumn("rev_micros", revMicros)
+      .withColumn("l_year", year(col("l_shipdate")).cast("long"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("rev_micros")).as("revenue_micros"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("supp_nation").asc, col("cust_nation").asc,
+        col("l_year").asc)
+  }
+
   /** TPC-H Q18 shape (large-volume customers): the HAVING-over-fact-agg
     * gate pattern. The inner aggregate runs partial+final on the fact's
     * own key, its survivors (~0.1% of orders here) broadcast back as the
@@ -240,6 +276,7 @@ object Analytics {
     "q_agg_bitmap"      -> aggBitmap,
     "q_tpch_q3"         -> tpchQ3,
     "q_tpch_q5"         -> tpchQ5,
+    "q_tpch_q7"         -> tpchQ7,
     "q_tpch_q18"        -> tpchQ18,
     "q_sql_merge"       -> sqlMerge,
     "q_percentile"  -> percentiles,
@@ -360,6 +397,25 @@ object Analytics {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name
         |ORDER BY revenue_micros DESC, n_name ASC""".stripMargin,
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |         AS BIGINT) AS revenue_micros,
+        |       count(*) AS n_lines
+        |FROM lineitem, orders, customer, supplier, nation n1, nation n2
+        |WHERE l_orderkey = o_orderkey
+        |  AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n1.n_nationkey
+        |  AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation ASC, cust_nation ASC, l_year ASC""".stripMargin,
     "q_percentile" ->
       """SELECT o_orderpriority,
         |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

@@ -357,6 +357,70 @@ object Dedup {
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     simhash(Tables.documents(s, d)).orderBy(col("doc_id").asc)
 
+  // ------------------------------------- deterministic banded hamming dedup
+
+  private val HamBits = 32
+  private val HamBands = 4 // 8 bits each
+
+  /** 32-bit frequency-weighted SimHash per doc over BIGRAM shingle
+    * occurrences: per-bit ±1 votes per occurrence, sign → bit, computed
+    * as a NARROW MAP through the codegen'd
+    * [[graft.functions.SimHashSig]] expression — same design argument as
+    * [[minhashSignatures]]: a signature is a per-document property, so
+    * explode → 32-column vote aggregate would shuffle the whole shingle
+    * stream for it (and measured ~2× slower at sf0.1). The shingle hash
+    * is the polynomial char hash shared verbatim with the oracle (seed 7,
+    * ×131, mod 2^31−1 — overflow-free under ANSI); xxhash64 would be
+    * better-mixed but has no DuckDB twin, and determinism buys the
+    * oracle.
+    *
+    * Bigrams for the same reason as [[nearDupPairs]] — on this corpus's
+    * ~31-token vocabulary, unigram frequency profiles barely differ
+    * (measured: 3% of ALL pairs land at hamming ≤ 3, and the top
+    * signature byte takes 15 distinct values — hot buckets), while the
+    * ~1k-bigram profile spreads signatures to near-uniform bands.
+    * Docs with <2 tokens have no shingles and are dropped, as in
+    * [[minhashSignatures]]. */
+  def hammingSigs(docs: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    withToks(Tables.spread(docs))
+      .filter(size(col("toks")) >= 2)
+      .withColumn("sh2", expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat_ws(' ', slice(toks, i, 2)))"))
+      .withColumn("sig", expr("simhash_sig(sh2)"))
+      .select(col("doc_id"), col("sig"))
+  }
+
+  /** Banded hamming near-dup pairs — the SimHash counterpart of
+    * [[nearDupPairs]], with a PROVABLE recall guarantee in place of
+    * MinHash's probabilistic one: 4 disjoint 8-bit bands pigeonhole any
+    * pair at hamming ≤ 3, since 3 differing bits cannot dirty all 4
+    * bands — band equality misses nothing at the verify threshold, so
+    * the all-pairs oracle compares against the exact answer by
+    * construction, not by tuned probability. Candidates come from 4
+    * equi-joins (the band value is the shuffle key, same streamed-join
+    * discipline as [[minhashCandidates]]); verify is one
+    * bit_count(xor) per candidate. */
+  def dedupHamming(s: SparkSession, d: String): DataFrame = {
+    val sigs = hammingSigs(Tables.documents(s, d))
+    val bands = (0 until HamBands).map { k =>
+      struct(lit(k.toLong).as("band_id"),
+        shiftright(col("sig"), k * 8).bitwiseAND(255).as("bv"))
+    }
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band_id"), col("bb.bv"))
+    banded.alias("l").join(banded.alias("r"),
+        col("l.band_id") === col("r.band_id") && col("l.bv") === col("r.bv") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
+        bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+      .orderBy(col("a_id").asc, col("b_id").asc)
+  }
+
   // ------------------------------------------------- hyperplane LSH (ANN)
 
   private val NumPlanes = 8
@@ -391,6 +455,7 @@ object Dedup {
     "q_dedup_neardup"  -> dedupNeardup,
     "q_dedup_clusters" -> dedupClusters,
     "q_dedup_simhash"  -> dedupSimhash,
+    "q_dedup_hamming"  -> dedupHamming,
     "q_sim_ann"        -> simAnnBuckets
   )
 
@@ -478,6 +543,41 @@ object Dedup {
         |FROM reach
         |GROUP BY id
         |ORDER BY doc_id ASC""".stripMargin,
+    // All-pairs oracle is EXACT here (not probabilistic): 4-band
+    // pigeonholing has recall 1 at hamming ≤ 3 by construction.
+    "q_dedup_hamming" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |           i -> tk[i] || ' ' || tk[i + 1])) AS tok
+        |  FROM tk),
+        |h AS (
+        |  SELECT doc_id,
+        |         list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |           list_transform(range(1, length(tok) + 1),
+        |             i -> CAST(ord(substr(tok, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |           (h, c) -> (h * 131 + c) % 2147483647) AS th
+        |  FROM tok
+        |  WHERE length(tok) > 0),
+        |v AS (
+        |  SELECT doc_id, b,
+        |         sum(CASE WHEN ((th >> CAST(b AS INTEGER)) & 1) = 1
+        |                  THEN 1 ELSE -1 END) AS vote
+        |  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bits
+        |  GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN vote > 0
+        |                       THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+        |                       ELSE 0 END) AS BIGINT) AS sh
+        |  FROM v GROUP BY doc_id)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY a_id ASC, b_id ASC""".stripMargin,
     "q_sim_ann" ->
       (s"""SELECT $bucketSql AS bucket, count(*) AS n_vecs
         |FROM embeddings

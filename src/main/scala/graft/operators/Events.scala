@@ -293,7 +293,59 @@ object Events {
       .orderBy(col("from_type").asc, col("to_type").asc)
   }
 
+  /** Last-touch attribution: each purchase credits the user's most recent
+    * click strictly before it and within a 24 h lookback. "Most recent
+    * prior click" is a conditional running max over the user's ordered
+    * stream (`us` is monotone within the frame, so max(us) IS the latest
+    * click) — one window pass over the unified stream, never a
+    * purchases×clicks self-join, which is the shape that survives a
+    * 100 TB event log. Daily report in exact integer cents. */
+  def evtAttribution(s: SparkSession, d: String): DataFrame = {
+    val prior = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("cents", centsCol)
+      .withColumn("last_click_us",
+        max(when(col("event_type") === "click", col("us"))).over(prior))
+      .filter(col("event_type") === "purchase")
+      .withColumn("attributed",
+        col("last_click_us").isNotNull &&
+          col("us") - col("last_click_us") <= lit(86400000000L))
+      .withColumn("day", expr("us div 86400000000"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("attributed"), 1L).otherwise(0L)).as("n_attributed"),
+        sum(when(col("attributed"), col("cents")).otherwise(0L)).as("attr_cents"))
+      .orderBy(col("day").asc)
+  }
+
+  /** DAU / trailing-7-day WAU / stickiness. The rolling distinct is NOT a
+    * windowed count(distinct) over raw events: each distinct (user, day)
+    * CONTRIBUTES to the 7 target days whose trailing window covers it
+    * (a 7-element sequence explode), which turns the rolling distinct
+    * into two plain hash aggregates — linear work, shuffle keyed on
+    * (day, user), no per-day re-scan of the log. The grid is restricted
+    * to days that actually occur. Stickiness in integer permille. */
+  def evtDau(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val dau = days.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = days
+      .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .withColumn("stickiness_pm", expr("(dau * 1000) div wau"))
+      .select(col("day"), col("dau"), col("wau"), col("stickiness_pm"))
+      .orderBy(col("day").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_evt_attribution" -> evtAttribution,
+    "q_evt_dau"      -> evtDau,
     "q_evt_markov"   -> evtMarkov,
     "q_evt_ohlc"     -> evtOhlc,
     "q_evt_streaks"  -> evtStreaks,
@@ -309,6 +361,46 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    // same ROWS BETWEEN ... AND 1 PRECEDING frame as the engine: a click
+    // at the SAME µs but smaller event_id counts as "before".
+    "q_evt_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(ts) AS us,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (
+        |  SELECT *,
+        |         max(CASE WHEN event_type = 'click' THEN us END)
+        |           OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS last_click_us
+        |  FROM e)
+        |SELECT us // 86400000000 AS day,
+        |       count(*) AS n_purchases,
+        |       CAST(sum(CASE WHEN last_click_us IS NOT NULL
+        |                      AND us - last_click_us <= 86400000000
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+        |       CAST(sum(CASE WHEN last_click_us IS NOT NULL
+        |                      AND us - last_click_us <= 86400000000
+        |                     THEN cents ELSE 0 END) AS BIGINT) AS attr_cents
+        |FROM m
+        |WHERE event_type = 'purchase'
+        |GROUP BY day
+        |ORDER BY day ASC""".stripMargin,
+    "q_evt_dau" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM days GROUP BY day),
+        |contrib AS (
+        |  SELECT DISTINCT user_id, day + off AS day
+        |  FROM days CROSS JOIN (SELECT unnest(range(0, 7)) AS off) o),
+        |wau AS (SELECT day, count(*) AS wau FROM contrib GROUP BY day)
+        |SELECT d.day, d.dau, w.wau,
+        |       (d.dau * 1000) // w.wau AS stickiness_pm
+        |FROM dau d JOIN wau w ON d.day = w.day
+        |ORDER BY d.day ASC""".stripMargin,
     "q_evt_markov" ->
       """WITH t AS (
         |  SELECT event_type AS from_type,

@@ -236,7 +236,40 @@ object Windows {
       .orderBy(col("user_id").asc, col("event_id").asc)
   }
 
+  /** Trailing-8 OLS slope per user in exact rational arithmetic: with
+    * x = the event's per-user sequence index and y = value cents, the
+    * least-squares slope over the frame is
+    * (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) — four integer window sums and one
+    * integer-fed division, so the trend detector is hash-exact where a
+    * float regression never is. Full frames only (x ≥ 8): x is
+    * consecutive there, making the denominator the positive constant
+    * n²(n²−1)/12 = 336 — no zero-division row can exist. */
+  def winSlope(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val f = wOrd.rowsBetween(-7, Window.currentRow)
+    Tables.events(s, d)
+      .filter(col("user_id") % 17 === 0)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("cents",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .withColumn("x", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(f))
+      .withColumn("sx", sum(col("x")).over(f))
+      .withColumn("sy", sum(col("cents")).over(f))
+      .withColumn("sxy", sum(col("x") * col("cents")).over(f))
+      .withColumn("sxx", sum(col("x") * col("x")).over(f))
+      .filter(col("x") >= 8)
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope", col("num").cast("double") / col("den"))
+      .select(col("event_id"), col("user_id"), col("x"), col("num"),
+        col("den"), col("slope"))
+      .orderBy(col("user_id").asc, col("x").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_slope"        -> winSlope,
     "q_win_median"       -> winMedian,
     "q_win_distinct"     -> winDistinct,
     "q_win_ewma"         -> winEwma,
@@ -251,6 +284,34 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_slope" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE user_id % 17 = 0),
+        |r AS (
+        |  SELECT event_id, user_id, cents,
+        |         CAST(row_number() OVER w AS BIGINT) AS x
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)),
+        |f AS (
+        |  SELECT event_id, user_id, x,
+        |         count(*) OVER fr AS n,
+        |         sum(x) OVER fr AS sx,
+        |         sum(cents) OVER fr AS sy,
+        |         sum(x * cents) OVER fr AS sxy,
+        |         sum(x * x) OVER fr AS sxx
+        |  FROM r
+        |  WINDOW fr AS (PARTITION BY user_id ORDER BY x ASC
+        |                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, x,
+        |       CAST(n * sxy - sx * sy AS BIGINT) AS num,
+        |       CAST(n * sxx - sx * sx AS BIGINT) AS den,
+        |       CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / (n * sxx - sx * sx) AS slope
+        |FROM f
+        |WHERE x >= 8
+        |ORDER BY user_id ASC, x ASC""".stripMargin,
     "q_win_median" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS us,
