@@ -343,7 +343,26 @@ object Events {
       .orderBy(col("day").asc)
   }
 
+  /** Top event-type paths (3-step sequences): lead() twice over each
+    * user's ordered stream, grouped trigram counts, top-10 — the
+    * sequence-mining staple (funnel discovery, next-action modeling).
+    * One window shuffle on user_id, one grouped count over 125 possible
+    * trigrams. */
+  def evtPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(col("event_type").as("s1"), col("t2").as("s2"), col("t3").as("s3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("s1").asc, col("s2").asc, col("s3").asc)
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_evt_paths"    -> evtPaths,
     "q_evt_attribution" -> evtAttribution,
     "q_evt_dau"      -> evtDau,
     "q_evt_markov"   -> evtMarkov,
@@ -361,6 +380,19 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_evt_paths" ->
+      """WITH t AS (
+        |  SELECT event_type AS s1,
+        |         lead(event_type, 1) OVER w AS s2,
+        |         lead(event_type, 2) OVER w AS s3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        |SELECT s1, s2, s3, count(*) AS n
+        |FROM t
+        |WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+        |GROUP BY s1, s2, s3
+        |ORDER BY n DESC, s1 ASC, s2 ASC, s3 ASC
+        |LIMIT 10""".stripMargin,
     // same ROWS BETWEEN ... AND 1 PRECEDING frame as the engine: a click
     // at the SAME µs but smaller event_id counts as "before".
     "q_evt_attribution" ->

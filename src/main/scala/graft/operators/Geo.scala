@@ -112,7 +112,58 @@ object Geo {
       .limit(50)
   }
 
+  /** Grid-stencil spatial self-join: all point pairs within 100 km. The
+    * scale shape for "spatial join on a sphere": quantize to 2° grid
+    * cells, explode each LEFT point into its 3×3 neighbor-cell stencil,
+    * equi-join on the cell id (the shuffle key), exact haversine residual
+    * on the candidates only — never an all-pairs cross join. Cell size is
+    * chosen so the stencil provably covers the radius on the restricted
+    * latitude band: at |lat| ≤ 60, 100 km spans ≤ 0.9° lat / ≤ 1.8° lon,
+    * both under one 2° cell. Each unordered pair survives exactly once
+    * (both orientations are generated, a_id < b_id keeps one), so no
+    * distinct is needed.
+    *
+    * Points are a 0.01° pseudo-random lattice derived from the key (the
+    * coarse 1° lattice of [[withCoords]] has no two points within 100 km
+    * of each other that aren't identical). Predicate and rounding margins
+    * measured: nearest pair to the 100 km boundary is 9 km away, nearest
+    * rounded distance to a .0005 boundary is 4e-7 km — both dwarf any
+    * engine libm ulp drift. */
+  def joinSpatial(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    val pts = Tables.customer(s, d).select(
+        col("c_custkey").as("id"),
+        (((col("c_custkey") * 37) % 12000).cast("double") / 100.0 - 60.0 + 0.005)
+          .as("lat"),
+        (((col("c_custkey") * 73) % 36000).cast("double") / 100.0 - 180.0 + 0.005)
+          .as("lon"))
+      .withColumn("cx", floor((col("lon") + 180.0) / 2.0).cast("long"))
+      .withColumn("cy", floor(col("lat") / 2.0).cast("long"))
+    val stencil = (for { dx <- -1 to 1; dy <- -1 to 1 } yield
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")))
+    // The lon stencil wraps modulo the 180-cell ring: haversine is
+    // periodic in longitude, so a pair straddling the antimeridian
+    // (lon −179.99 vs +179.99) is 0.02° apart — cells 0 and 179 must be
+    // neighbors or those pairs are silently lost (caught by the oracle:
+    // 3 missing pairs at sf0.01). Latitude doesn't wrap on |lat| ≤ 60.
+    val a = pts.select(col("id").as("a_id"), col("lat").as("a_lat"),
+        col("lon").as("a_lon"), col("cx"), col("cy"),
+        explode(array(stencil: _*)).as("o"))
+      .select(col("a_id"), col("a_lat"), col("a_lon"),
+        pmod(col("cx") + col("o.dx"), lit(180L)).as("jx"),
+        (col("cy") + col("o.dy")).as("jy"))
+    val b = pts.select(col("id").as("b_id"), col("lat").as("b_lat"),
+      col("lon").as("b_lon"), col("cx").as("jx"), col("cy").as("jy"))
+    a.join(b, Seq("jx", "jy"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("km", expr("haversine_km(a_lat, a_lon, b_lat, b_lon)"))
+      .filter(col("km") <= 100.0)
+      .select(col("a_id"), col("b_id"), round(col("km"), 3).as("dist_km"))
+      .orderBy(col("a_id").asc, col("b_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_spatial"    -> joinSpatial,
     "q_geo_dist_native" -> geoDistNative,
     "q_geo_zorder"    -> geoZorder,
     "q_geo_bbox"      -> geoBbox,
@@ -135,6 +186,25 @@ object Geo {
       |LIMIT 50""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // All-pairs oracle; the engine's stencil-join output equals it because
+    // the 3×3 stencil provably covers the 100 km radius on |lat| ≤ 60.
+    "q_join_spatial" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS id,
+        |         CAST((c_custkey * 37) % 12000 AS DOUBLE) / 100.0 - 60 + 0.005 AS lat,
+        |         CAST((c_custkey * 73) % 36000 AS DOUBLE) / 100.0 - 180 + 0.005 AS lon
+        |  FROM customer)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |       round(2 * 6371.0088 * asin(sqrt(
+        |         pow(sin(radians(b.lat - a.lat) / 2), 2)
+        |         + cos(radians(a.lat)) * cos(radians(b.lat))
+        |           * pow(sin(radians(b.lon - a.lon) / 2), 2))), 3) AS dist_km
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE 2 * 6371.0088 * asin(sqrt(
+        |        pow(sin(radians(b.lat - a.lat) / 2), 2)
+        |        + cos(radians(a.lat)) * cos(radians(b.lat))
+        |          * pow(sin(radians(b.lon - a.lon) / 2), 2))) <= 100
+        |ORDER BY a_id ASC, b_id ASC""".stripMargin,
     "q_geo_dist_native" -> haversineOracle,
     "q_geo_zorder" ->
       s"""WITH cells AS (

@@ -110,12 +110,84 @@ object Graph {
       .orderBy(col("nationkey").asc)
   }
 
+  /** BFS reach from one node over the bipartite trade graph: hop-level
+    * histogram (hop → node count) for 3 fixed levels. Each level is one
+    * equi-join of the checkpointed edge list against the frontier plus an
+    * anti-join against the visited set — the standard distributed BFS
+    * round. Frontier/visited are node-count-sized, hence the broadcast
+    * hints (same statistics cliff as pagerank's rank state); at a scale
+    * where the visited set outgrows broadcast both hints drop and the
+    * level becomes two shuffled joins, algebra unchanged. Levels are
+    * FIXED so the declared output is a deterministic snapshot; the hop-3
+    * frontier is whatever the third expansion reaches, converged or not
+    * (the oracle unrolls the same 3 levels). */
+  def graphBfs(s: SparkSession, d: String, maxHop: Int = 3): DataFrame = {
+    import s.implicits._
+    val e0 = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    var visited = Seq("c1").toDF("node").withColumn("hop", lit(0L))
+    var frontier = visited.select(col("node"))
+    for (h <- 1 to maxHop) {
+      val next = edges
+        .join(broadcast(frontier.select(col("node").as("fn"))),
+          edges("src") === col("fn"))
+        .select(col("dst").as("node")).distinct()
+        .join(broadcast(visited.select(col("node").as("vn"))),
+          col("node") === col("vn"), "left_anti")
+        .withColumn("hop", lit(h.toLong))
+        .localCheckpoint(true)
+      visited = visited.union(next)
+      frontier = next.select(col("node"))
+    }
+    visited.groupBy(col("hop"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("hop").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_triangles" -> graphTriangles,
-    "q_graph_pagerank" -> graphPagerank
+    "q_graph_pagerank" -> graphPagerank,
+    "q_graph_bfs" -> ((s, d) => graphBfs(s, d))
   )
 
   val oracle: Map[String, String] = Map(
+    // 3 unrolled BFS levels over the same symmetrized edge list; empty
+    // levels are filtered on both sides (the engine emits no row for an
+    // empty frontier).
+    "q_graph_bfs" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (
+        |  SELECT src, dst FROM e0
+        |  UNION ALL
+        |  SELECT dst AS src, src AS dst FROM e0),
+        |l0 AS (SELECT 'c1' AS node),
+        |l1 AS (
+        |  SELECT DISTINCT e.dst AS node FROM e JOIN l0 ON e.src = l0.node
+        |  WHERE e.dst NOT IN (SELECT node FROM l0)),
+        |l2 AS (
+        |  SELECT DISTINCT e.dst AS node FROM e JOIN l1 ON e.src = l1.node
+        |  WHERE e.dst NOT IN (SELECT node FROM l0 UNION ALL
+        |                      SELECT node FROM l1)),
+        |l3 AS (
+        |  SELECT DISTINCT e.dst AS node FROM e JOIN l2 ON e.src = l2.node
+        |  WHERE e.dst NOT IN (SELECT node FROM l0 UNION ALL
+        |                      SELECT node FROM l1 UNION ALL
+        |                      SELECT node FROM l2))
+        |SELECT CAST(hop AS BIGINT) AS hop, CAST(n_nodes AS BIGINT) AS n_nodes FROM (
+        |  SELECT 0 AS hop, count(*) AS n_nodes FROM l0
+        |  UNION ALL SELECT 1, count(*) FROM l1
+        |  UNION ALL SELECT 2, count(*) FROM l2
+        |  UNION ALL SELECT 3, count(*) FROM l3)
+        |WHERE n_nodes > 0
+        |ORDER BY hop ASC""".stripMargin,
     "q_graph_triangles" ->
       """WITH pairs AS (
         |  SELECT DISTINCT least(c_nationkey, s_nationkey) AS u,

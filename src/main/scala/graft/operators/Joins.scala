@@ -213,6 +213,37 @@ object Joins {
       .orderBy(col("event_id").asc)
   }
 
+  /** Interval-OVERLAP self-join: pairs of the same customer's orders
+    * whose 30-day fulfillment windows overlap, with the exact overlap
+    * length in whole days — "concurrent orders" per customer. The
+    * customer key is the equi key (hash/SMJ shuffle key); the overlap
+    * predicate `a.start ≤ b.end ∧ b.start ≤ a.end` is the residual —
+    * the same equi+residual discipline as joinTheta. A keyless interval
+    * overlap over an order stream is inherently quadratic in output
+    * (every order overlaps its whole 30-day neighborhood), so the scale
+    * path ALWAYS needs a blocking key; time-bucketing (joinRange) covers
+    * the keyless-proximity case. All arithmetic in epoch-µs integers. */
+  def joinOverlap(s: SparkSession, d: String): DataFrame = {
+    val DayUs = 86400000000L
+    val o = Tables.orders(s, d)
+      // o_orderdate reads as TIMESTAMP_NTZ; the cast reinterprets the
+      // wall-clock as a UTC instant (session TZ is pinned UTC), matching
+      // DuckDB's naive epoch_us exactly.
+      .withColumn("s_us", expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"))
+      .withColumn("e_us", col("s_us") + lit(30L * DayUs))
+    val a = o.select(col("o_custkey").as("ck"), col("o_orderkey").as("a_id"),
+      col("s_us").as("a_s"), col("e_us").as("a_e"))
+    val b = o.select(col("o_custkey").as("ck_b"), col("o_orderkey").as("b_id"),
+      col("s_us").as("b_s"), col("e_us").as("b_e"))
+    a.join(b, col("ck") === col("ck_b") && col("a_id") < col("b_id") &&
+        col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .withColumn("ov_days", expr(
+        "(least(a_e, b_e) - greatest(a_s, b_s)) div 86400000000 + 1"))
+      .groupBy(col("ck"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("ov_days")).as("sum_ov_days"))
+      .orderBy(col("ck").asc)
+  }
+
   /** FULL OUTER join — completes the join-type family: per nation key,
     * customer count vs supplier count, keeping nations that have only
     * one side (coalesced to 0). Aggregate-then-join keeps the outer join
@@ -271,6 +302,7 @@ object Joins {
     "q_join_cross"     -> joinCross,
     "q_join_full"      -> joinFull,
     "q_join_range"     -> joinRange,
+    "q_join_overlap"   -> joinOverlap,
     "q_join_bucketed"  -> joinBucketed,
     "q_join_supplier"  -> joinSupplier,
     "q_join_asof2"     -> joinAsofStream,
@@ -309,6 +341,21 @@ object Joins {
         |ORDER BY nk ASC""".stripMargin,
     // The oracle states the range-join SEMANTICS directly (DuckDB's IEJoin
     // handles the inequality); the engine side is the bucketed rewrite.
+    "q_join_overlap" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS ck, o_orderkey AS id,
+        |         epoch_us(o_orderdate) AS s_us,
+        |         epoch_us(o_orderdate) + 30 * 86400000000 AS e_us
+        |  FROM orders)
+        |SELECT a.ck,
+        |       count(*) AS n_pairs,
+        |       CAST(sum((least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us))
+        |         // 86400000000 + 1) AS BIGINT) AS sum_ov_days
+        |FROM o a JOIN o b
+        |  ON a.ck = b.ck AND a.id < b.id
+        | AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+        |GROUP BY a.ck
+        |ORDER BY a.ck ASC""".stripMargin,
     "q_join_range" ->
       """SELECT e.event_id, count(*) AS n_nearby
         |FROM events e JOIN events a

@@ -263,7 +263,43 @@ object Sim {
       .orderBy(col("cid").asc)
   }
 
+  /** Product quantization (the ANN-index compression step): split each
+    * int8-quantized 64-dim vector into 8 contiguous 8-dim subvectors,
+    * assign every subvector to the nearest of 4 per-subspace seed
+    * centroids by exact BIGINT L2 (ties → smallest centroid id), emit the
+    * per-(subspace, centroid) assignment counts and total squared
+    * distortion — the codebook-quality audit. Seeds are the subvectors of
+    * vec_id 0..3 (deterministic, like the k-means seeding). The codebook
+    * is 32 rows and broadcasts; assignment is one narrow pass over the
+    * corpus — the shape that PQ-encodes 100 TB of embeddings without a
+    * shuffle beyond the final 32-group aggregate. */
+  def embPq(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d)
+      .withColumn("qv", expr(
+        "transform(embedding, x -> CAST(least(127, greatest(-128, " +
+          "floor(CAST(x AS DOUBLE) * 64.0D + 0.5D))) AS BIGINT))"))
+      .select(col("vec_id"), col("qv"))
+    val subs = q.select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 7), m -> struct(m AS m, slice(qv, m * 8 + 1, 8) AS sub))"))
+        .as("s"))
+      .select(col("vec_id"), col("s.m").cast("long").as("m"), col("s.sub").as("sub"))
+    val cents = subs.filter(col("vec_id") < 4)
+      .select(col("m").as("cm"), col("vec_id").as("c"), col("sub").as("cent"))
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist").asc, col("c").asc)
+    subs.join(broadcast(cents), col("m") === col("cm"))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(sub, cent, (a, b) -> (a - b) * (a - b)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("m"), col("c"))
+      .agg(count(lit(1)).as("n_assigned"), sum(col("dist")).as("sum_sqerr"))
+      .orderBy(col("m").asc, col("c").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_emb_pq"         -> embPq,
     "q_sim_kmeans"     -> simKmeans,
     "q_emb_stats"      -> embStats,
     "q_emb_quant"      -> embQuant,
@@ -289,6 +325,35 @@ object Sim {
       |           (a, x) -> a + x) / (q.nrm * c.nrm)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_emb_pq" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |           x -> CAST(least(127, greatest(-128,
+        |             floor(CAST(x AS DOUBLE) * 64.0 + 0.5))) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |subs AS (
+        |  SELECT vec_id, m, qv[m * 8 + 1 : m * 8 + 8] AS sub
+        |  FROM q CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms),
+        |cents AS (
+        |  SELECT m AS cm, vec_id AS c, sub AS cent FROM subs WHERE vec_id < 4),
+        |d AS (
+        |  SELECT s.vec_id, s.m, c.c,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(list_zip(s.sub, c.cent),
+        |             z -> (z[1] - z[2]) * (z[1] - z[2]))),
+        |           (acc, x) -> acc + x) AS dist
+        |  FROM subs s JOIN cents c ON s.m = c.cm),
+        |a AS (
+        |  SELECT vec_id, m, c, dist,
+        |         row_number() OVER (PARTITION BY vec_id, m
+        |                            ORDER BY dist ASC, c ASC) AS rn
+        |  FROM d)
+        |SELECT CAST(m AS BIGINT) AS m, CAST(c AS BIGINT) AS c,
+        |       count(*) AS n_assigned,
+        |       CAST(sum(dist) AS BIGINT) AS sum_sqerr
+        |FROM a WHERE rn = 1
+        |GROUP BY m, c
+        |ORDER BY m ASC, c ASC""".stripMargin,
     "q_sim_kmeans" ->
       """WITH q AS (
         |  SELECT vec_id,

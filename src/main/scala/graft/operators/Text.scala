@@ -543,7 +543,42 @@ object Text {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Integer ln lookup (micro-nats), k = 1..128: the constants are
+    * computed ONCE here and embedded verbatim in both the Spark plan
+    * (broadcast table) and the generated oracle SQL (VALUES list), so the
+    * transcendental never runs per-engine — the same shared-constant
+    * discipline as the langid trigram profiles. 128 covers any count in
+    * a ≤100-token document with headroom. */
+  private val lnMicro: Seq[(Long, Long)] =
+    (1 to 128).map(k => (k.toLong, math.round(math.log(k.toDouble) * 1e6)))
+
+  /** Shannon token entropy per doc in EXACT integer micro-nats:
+    * n·H = Σ_t c_t·(ln n − ln c_t) over the shared integer ln table —
+    * the quality-filtering signal (low entropy = repetitive/degenerate
+    * text) made hash-exact where float entropy never is. h_micro is the
+    * integer-div per-token entropy. Two hash aggregates plus a broadcast
+    * lookup join — no shuffle beyond the (doc, token) count. */
+  def textEntropy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ln = lnMicro.toDF("k", "lm")
+    val counts = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    counts
+      .join(broadcast(ln.select(col("k").as("c"), col("lm").as("lc"))), "c")
+      .join(totals, "doc_id")
+      .join(broadcast(ln.select(col("k").as("n"), col("lm").as("ln_n"))), "n")
+      .groupBy(col("doc_id"), col("n").as("n_toks"))
+      .agg(sum(col("c") * (col("ln_n") - col("lc"))).as("ent_micro"))
+      .withColumn("h_micro", expr("ent_micro div n_toks"))
+      .select(col("doc_id"), col("n_toks"), col("ent_micro"), col("h_micro"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_entropy" -> textEntropy,
     "q_text_rarity"      -> textRarity,
     "q_text_qfilter"     -> textQfilter,
     "q_text_cdc"         -> textCdc,
@@ -569,6 +604,28 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_entropy" -> {
+      val values = lnMicro.map { case (k, lm) => s"($k, $lm)" }.mkString(", ")
+      s"""WITH ln(k, lm) AS (SELECT * FROM (VALUES $values) t(k, lm)),
+         |tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY doc_id, tok),
+         |n AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks
+         |  FROM c GROUP BY doc_id)
+         |SELECT c.doc_id, n.n_toks,
+         |       CAST(sum(c.c * (l2.lm - l1.lm)) AS BIGINT) AS ent_micro,
+         |       CAST(sum(c.c * (l2.lm - l1.lm)) // n.n_toks AS BIGINT) AS h_micro
+         |FROM c
+         |JOIN ln l1 ON c.c = l1.k
+         |JOIN n  ON c.doc_id = n.doc_id
+         |JOIN ln l2 ON n.n_toks = l2.k
+         |GROUP BY c.doc_id, n.n_toks
+         |ORDER BY c.doc_id ASC""".stripMargin
+    },
     "q_text_rarity" ->
       """WITH occ AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok

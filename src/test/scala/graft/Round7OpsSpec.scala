@@ -115,6 +115,110 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("spatial join: stencil pairs equal a brute-force scan with the same haversine") {
+    val pts = Tables.customer(spark, sf0001)
+      .select(col("c_custkey"),
+        (((col("c_custkey") * 37) % 12000).cast("double") / 100.0 - 60.0 + 0.005),
+        (((col("c_custkey") * 73) % 36000).cast("double") / 100.0 - 180.0 + 0.005))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val exact = (for {
+      (a, alat, alon) <- pts; (b, blat, blon) <- pts if a < b
+      km = functions.Haversine.km(alat, alon, blat, blon) if km <= 100.0
+    } yield (a, b)).toSet
+    val engine = operators.Geo.joinSpatial(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(engine == exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("bfs: hop histogram equals a local BFS replay") {
+    val edges = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, sf0001).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")), concat(lit("s"), col("l_suppkey")))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    var visited = Map("c1" -> 0L)
+    var frontier = Set("c1")
+    for (h <- 1 to 3) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- visited.keySet
+      visited ++= next.map(_ -> h.toLong)
+      frontier = next
+    }
+    val local = visited.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val engine = operators.Graph.graphBfs(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(engine == local)
+    assert(engine.keySet.contains(1L)) // c1 actually reaches suppliers
+  }
+
+  test("product quantization: assignments partition the corpus, codebook self-distortion is zero") {
+    val rows = operators.Sim.embPq(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = Tables.embeddings(spark, sf0001).count()
+    // every subspace assigns every vector to exactly one centroid
+    rows.groupBy(_._1).foreach { case (_, g) => assert(g.map(_._3).sum == total) }
+    assert(rows.map(_._1).distinct.length == 8)
+    assert(rows.forall(_._4 >= 0L))
+  }
+
+  test("entropy: integer micro-nat entropy equals a local replay of the shared table") {
+    val rows = operators.Text.textEntropy(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ln = (1 to 128).map(k => k.toLong -> math.round(math.log(k.toDouble) * 1e6)).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val local = docs.map { case (id, text) =>
+      val counts = text.split(" ").groupBy(identity).view.mapValues(_.length.toLong)
+      val n = counts.values.sum
+      val ent = counts.values.map(c => c * (ln(n) - ln(c))).sum
+      id -> (n, ent, ent / n) // ent >= 0, so / is floor div
+    }.toMap
+    assert(rows == local)
+    // uniform doc (all counts 1) has max entropy n·ln(n); degenerate has 0
+    rows.foreach { case (id, (n, ent, _)) =>
+      assert(ent >= 0 && ent <= n * ln(n), s"doc $id") }
+  }
+
+  test("overlap join: per-customer pair counts equal a local interval scan") {
+    val rows = operators.Joins.joinOverlap(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val DayUs = 86400000000L
+    val orders = Tables.orders(spark, sf0001)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val local = orders.groupBy(_._1).flatMap { case (ck, os) =>
+      val pairs = for {
+        (_, a, as_) <- os; (_, b, bs) <- os
+        if a < b && as_ <= bs + 30 * DayUs && bs <= as_ + 30 * DayUs
+      } yield (math.min(as_ + 30 * DayUs, bs + 30 * DayUs) -
+        math.max(as_, bs)) / DayUs + 1
+      if (pairs.isEmpty) None else Some(ck -> (pairs.size.toLong, pairs.sum))
+    }
+    assert(rows == local)
+  }
+
+  test("paths: top trigram sequences equal a local lead replay") {
+    val rows = operators.Events.evtPaths(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val tris = ev.groupBy(_._1).values.flatMap { g =>
+      val seq = g.sortBy(e => (e._3, e._2)).map(_._4)
+      seq.sliding(3).filter(_.size == 3).map(w => (w(0), w(1), w(2)))
+    }.toSeq
+    val counts = tris.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((a, b, c), n) => (a, b, c, n) }
+      .sortBy(t => (-t._4, t._1, t._2, t._3)).take(10)
+    assert(rows.toSeq == counts)
+  }
+
   test("tpch q7: both nation-pair directions present and revenue positive") {
     val rows = operators.Analytics.tpchQ7(spark, sf0001).collect()
     val dirs = rows.map(r => (r.getString(0), r.getString(1))).toSet

@@ -4,9 +4,32 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+/** Per-key running event count through the transformWithState typed-state
+  * API: one ValueState[Long] per key, updated each batch, emitted as
+  * (key, running_total). Top-level class — the processor is serialized
+  * into the streaming query. */
+class RunningCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), (Long, Long)] {
+  @transient private var countState: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    countState = getHandle.getValueState[Long]("count",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long)] = {
+    val total = (if (countState.exists()) countState.get() else 0L) + rows.size
+    countState.update(total)
+    Iterator((key, total))
+  }
+}
+
 /** Streaming surface (SURVEY.md §2.10): stream-batch parity for the
-  * tumbling aggregation, watermark late-data dropping, and the built-in
-  * session_window vs the batch lag/cumsum session algebra. */
+  * tumbling aggregation, watermark late-data dropping, the built-in
+  * session_window vs the batch lag/cumsum session algebra, and the
+  * Spark 4 transformWithState typed-state processor. */
 class StreamingSpec extends SparkSpec {
 
   test("stream-batch parity: tumbling agg over events equals batch result") {
@@ -250,6 +273,44 @@ class StreamingSpec extends SparkSpec {
     mem.addData(4L); q.processAllAvailable()
     q.stop()
     assert(seen.sortBy(_._1).map(_._2).toSeq == Seq(3L, 1L))
+  }
+
+  test("transformWithState keeps typed per-key state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState (the Spark 4 arbitrary-state API) requires a
+    // multi-column-family state store — RocksDB, not the default HDFS
+    // provider. Scoped to this query and restored after.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Long)]
+      val counts = mem.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new RunningCountProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      val q = counts.writeStream.format("memory").queryName("tws_test")
+        .outputMode("update").start()
+      mem.addData((1L, 10L), (1L, 20L), (2L, 5L))
+      q.processAllAvailable()
+      mem.addData((1L, 30L), (3L, 1L))
+      q.processAllAvailable()
+      q.stop()
+      val latest = spark.table("tws_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      // key 1 saw 2 events in batch 1 and 1 more in batch 2 — the ValueState
+      // must carry the 2 across the batch boundary
+      assert(latest == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
   }
 
   test("session_window agrees with batch lag/cumsum sessionization") {
