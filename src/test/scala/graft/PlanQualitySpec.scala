@@ -288,4 +288,44 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("Window "),
       s"layout audit should not need a join or window:\n$p")
   }
+
+  test("spatial join is a cell-key equi-join with haversine residual (no cartesian)") {
+    val p = plan("q_join_spatial")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"stencil join degenerated:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"spatial join must never go all-pairs:\n$p")
+    assert(p.contains("haversine_km"), s"native residual missing:\n$p")
+  }
+
+  test("hamming dedup computes signatures as a narrow codegen map (no vote shuffle)") {
+    val p = plan("q_dedup_hamming")
+    assert(p.contains("simhashsig"), s"codegen signature expression missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"band join degenerated:\n$p")
+    // the only explodes are the 4-band Generate on each self-join leg —
+    // the shingle stream itself must NOT be exploded into a corpus-wide
+    // vote aggregate (that would add a third Generate + a wide explode)
+    assert("Generate ".r.findAllIn(p).size <= 2,
+      s"signature stage leaked an explode:\n$p")
+  }
+
+  test("attribution is one window pass — never a purchases x clicks self-join") {
+    val p = plan("q_evt_attribution")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("BroadcastHashJoin"), s"attribution re-joined the stream:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"conditional running max lost its window:\n$p")
+  }
+
+  test("product quantization broadcasts the codebook; assignment has no corpus self-join") {
+    val p = plan("q_emb_pq")
+    assert(p.contains("BroadcastHashJoin"), s"codebook must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"PQ assignment degenerated:\n$p")
+  }
+
+  test("dau/wau rolling distinct is two hash aggregates, not a windowed set") {
+    val p = plan("q_evt_dau")
+    assert(p.contains("HashAggregate"), s"contribution rollup lost hash agg:\n$p")
+    assert(!p.contains("collect_set"), s"rolling distinct fell back to a set window:\n$p")
+  }
 }
