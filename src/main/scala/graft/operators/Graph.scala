@@ -150,13 +150,59 @@ object Graph {
       .orderBy(col("hop").asc)
   }
 
+  /** Common-neighbor link prediction on a DETERMINISTIC customer
+    * subsample (custkey % 100 = 0): customer pairs ranked by shared
+    * suppliers, with set sizes for a Jaccard-style score as exact
+    * integers. The wedge join (per-supplier pair enumeration) is the
+    * textbook shape but quadratic per hub node — on a full corpus the
+    * subsample IS the method (link-prediction candidates are mined per
+    * key-sampled block, then scored); the modulus makes the sample
+    * oracle-reproducible where rand() sampling is not. Top-20 pairs by
+    * (common desc, pair id). */
+  def graphCommon(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_custkey") % 100 === 0)
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .distinct()
+    val deg = e.groupBy(col("ck")).agg(count(lit(1)).as("deg"))
+    val a = e.select(col("ck").as("a_ck"), col("sk"))
+    val b = e.select(col("ck").as("b_ck"), col("sk"))
+    a.join(b, Seq("sk"))
+      .filter(col("a_ck") < col("b_ck"))
+      .groupBy(col("a_ck"), col("b_ck"))
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(deg.select(col("ck").as("a_ck"), col("deg").as("deg_a"))), "a_ck")
+      .join(broadcast(deg.select(col("ck").as("b_ck"), col("deg").as("deg_b"))), "b_ck")
+      .select(col("a_ck"), col("b_ck"), col("common"), col("deg_a"), col("deg_b"))
+      .orderBy(col("common").desc, col("a_ck").asc, col("b_ck").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_triangles" -> graphTriangles,
     "q_graph_pagerank" -> graphPagerank,
-    "q_graph_bfs" -> ((s, d) => graphBfs(s, d))
+    "q_graph_bfs" -> ((s, d) => graphBfs(s, d)),
+    "q_graph_common" -> graphCommon
   )
 
   val oracle: Map[String, String] = Map(
+    "q_graph_common" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_custkey % 100 = 0),
+        |deg AS (SELECT ck, count(*) AS deg FROM e GROUP BY ck)
+        |SELECT a.ck AS a_ck, b.ck AS b_ck, count(*) AS common,
+        |       min(da.deg) AS deg_a, min(db.deg) AS deg_b
+        |FROM e a
+        |JOIN e b ON a.sk = b.sk AND a.ck < b.ck
+        |JOIN deg da ON da.ck = a.ck
+        |JOIN deg db ON db.ck = b.ck
+        |GROUP BY a.ck, b.ck
+        |ORDER BY common DESC, a_ck ASC, b_ck ASC
+        |LIMIT 20""".stripMargin,
     // 3 unrolled BFS levels over the same symmetrized edge list; empty
     // levels are filtered on both sides (the engine emits no row for an
     // empty frontier).

@@ -577,7 +577,54 @@ object Text {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Collocation extraction: top-20 adjacent-bigram collocations by
+    * LIFT = P(ab) / (P(a)·P(b)), the PMI ranking made hash-exact by
+    * integer scaling — lift_ppm = (n_ab · N_uni² · 10⁶) div (n_a · n_b ·
+    * N_bi) compares the exact rational (PMI is monotone in it, so the
+    * ranking is the PMI ranking without a single transcendental).
+    * Support floor n_ab ≥ 5 keeps one-off pairs from dominating, the
+    * standard collocation guard. Two hash aggregates (unigram + bigram
+    * counts) and two broadcast lookups against the unigram table — the
+    * 31-token vocabulary is dimension-sized by construction, and at
+    * corpus scale a unigram count table is always small relative to the
+    * corpus. */
+  def textColloc(s: SparkSession, d: String): DataFrame = {
+    val tk = Tables.spread(Tables.documents(s, d)).withColumn("toks", toks)
+    val uni = tk.select(explode(col("toks")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val biAll = tk.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    // The two totals are plain token/window counts — one narrow scan-agg
+    // job, not a rollup over the count tables (which would re-run the
+    // explode + hash agg just to sum it back up).
+    val totals = tk.agg(
+      sum(size(col("toks")).cast("long")).as("nu"),
+      sum(expr("CASE WHEN size(toks) >= 2 THEN size(toks) - 1 ELSE 0 END")
+        .cast("long")).as("nb")).first()
+    val (nUni, nBi) = (totals.getLong(0), totals.getLong(1))
+    val bi = biAll.filter(col("n_ab") >= 5)
+    // Staged integer divisions, not one big rational: n_ab·N²·10⁶ would
+    // overflow BIGINT at corpus scale; each stage stays ≤ N² because
+    // n_ab ≤ min(n_a, n_b). The floor rounding is shared verbatim with
+    // the oracle, so the ranking is still hash-exact.
+    bi.join(broadcast(uni.select(col("t").as("a"), col("n").as("n_a"))), "a")
+      .join(broadcast(uni.select(col("t").as("b"), col("n").as("n_b"))), "b")
+      .withColumn("lift_ppm", expr(
+        s"((((n_ab * CAST($nUni AS BIGINT)) div n_a) * $nUni) div n_b) " +
+          s"* 1000000 div CAST($nBi AS BIGINT)"))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("a").asc, col("b").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_colloc"  -> textColloc,
     "q_text_entropy" -> textEntropy,
     "q_text_rarity"      -> textRarity,
     "q_text_qfilter"     -> textQfilter,
@@ -604,6 +651,34 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_colloc" ->
+      """WITH tk AS (
+        |  SELECT string_split(text, ' ') AS tk FROM documents),
+        |uni AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(tk) AS t FROM tk) GROUP BY t),
+        |bi_all AS (
+        |  SELECT p[1] AS a, p[2] AS b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM (
+        |    SELECT unnest(list_transform(range(1, len(tk)),
+        |             i -> [tk[i], tk[i + 1]])) AS p
+        |    FROM tk WHERE len(tk) >= 2)
+        |  GROUP BY a, b),
+        |tot AS (
+        |  SELECT CAST(sum(len(tk)) AS BIGINT) AS nu,
+        |         CAST(sum(CASE WHEN len(tk) >= 2 THEN len(tk) - 1
+        |                       ELSE 0 END) AS BIGINT) AS nb
+        |  FROM tk)
+        |SELECT bi.a, bi.b, bi.n_ab, ua.n AS n_a, ub.n AS n_b,
+        |       CAST(((((bi.n_ab * tot.nu) // ua.n) * tot.nu) // ub.n)
+        |         * 1000000 // tot.nb AS BIGINT) AS lift_ppm
+        |FROM bi_all bi
+        |JOIN uni ua ON bi.a = ua.t
+        |JOIN uni ub ON bi.b = ub.t
+        |CROSS JOIN tot
+        |WHERE bi.n_ab >= 5
+        |ORDER BY lift_ppm DESC, bi.a ASC, bi.b ASC
+        |LIMIT 20""".stripMargin,
     "q_text_entropy" -> {
       val values = lnMicro.map { case (k, lm) => s"($k, $lm)" }.mkString(", ")
       s"""WITH ln(k, lm) AS (SELECT * FROM (VALUES $values) t(k, lm)),

@@ -219,6 +219,47 @@ class Round7OpsSpec extends SparkSpec {
     assert(rows.toSeq == counts)
   }
 
+  test("collocations: staged-integer lift equals a local replay") {
+    val rows = operators.Text.textColloc(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val texts = Tables.documents(spark, sf0001)
+      .select(col("text")).collect().map(_.getString(0))
+    val uni = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val bi = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    texts.foreach { t =>
+      val ws = t.split(" ")
+      ws.foreach(w => uni(w) += 1)
+      ws.sliding(2).filter(_.length == 2).foreach(p => bi((p(0), p(1))) += 1)
+    }
+    val nU = uni.values.sum; val nB = bi.values.sum
+    val local = bi.toSeq.filter(_._2 >= 5).map { case ((a, b), nab) =>
+      val lift = ((((nab * nU) / uni(a)) * nU) / uni(b)) * 1000000L / nB
+      (a, b, nab, uni(a), uni(b), lift)
+    }.sortBy(t => (-t._6, t._1, t._2)).take(20)
+    assert(rows.toSeq == local)
+  }
+
+  test("common-neighbor scores equal a local wedge count on the sampled block") {
+    val rows = operators.Graph.graphCommon(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val e = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, sf0001).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_custkey") % 100 === 0)
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byCust = e.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val custs = byCust.keys.toSeq.sorted
+    val local = (for {
+      a <- custs; b <- custs if a < b
+      c = (byCust(a) & byCust(b)).size if c > 0
+    } yield (a, b, c.toLong))
+      .sortBy(t => (-t._3, t._1, t._2)).take(20)
+    assert(rows.toSeq == local)
+  }
+
   test("tpch q7: both nation-pair directions present and revenue positive") {
     val rows = operators.Analytics.tpchQ7(spark, sf0001).collect()
     val dirs = rows.map(r => (r.getString(0), r.getString(1))).toSet
