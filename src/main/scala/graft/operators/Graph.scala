@@ -131,6 +131,14 @@ object Graph {
       .distinct()
       .localCheckpoint(true)
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    // No per-level checkpoint: each level references the previous one
+    // twice (frontier join + visited anti-join), so the lazy plan holds
+    // 2^maxHop copies of the per-level subtrees — but over the
+    // checkpointed edge leaf those subtrees are broadcast-sized joins,
+    // and 2³ copies of them cost less than 3 eager checkpoint job
+    // barriers, which serialize the whole query into sequential jobs.
+    // The clusterLabels rationale: truncate the one expensive lineage,
+    // let the cheap plan fan out.
     var visited = Seq("c1").toDF("node").withColumn("hop", lit(0L))
     var frontier = visited.select(col("node"))
     for (h <- 1 to maxHop) {
@@ -141,7 +149,6 @@ object Graph {
         .join(broadcast(visited.select(col("node").as("vn"))),
           col("node") === col("vn"), "left_anti")
         .withColumn("hop", lit(h.toLong))
-        .localCheckpoint(true)
       visited = visited.union(next)
       frontier = next.select(col("node"))
     }

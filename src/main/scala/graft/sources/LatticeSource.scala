@@ -1,0 +1,154 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 demonstration source — the deepest extension tier on the
+  * read side, complementing the XML star flattener (V1-style) and the
+  * custom AsOfJoin operator (plan side): a `TableProvider` whose
+  * `ScanBuilder` implements REAL filter pushdown and column pruning.
+  *
+  * The table is the deterministic point lattice the spatial join derives
+  * from keys (`spark.read.format("lattice").option("n", …)`): id, the
+  * 0.01°-lattice lat/lon, and a parity tag. What makes it a faithful
+  * pushdown demo rather than a toy:
+  *
+  *  - `pushFilters` CONSUMES id-range predicates (>, >=, <, <=, =) by
+  *    narrowing the generated key range — `planInputPartitions` then
+  *    plans strictly fewer/smaller splits, which is observable in the
+  *    scan description and in the row counts each partition serves
+  *    (the V2 analog of parquet row-group pruning). Non-id filters are
+  *    returned as residuals for Spark to evaluate.
+  *  - `pruneColumns` narrows the produced schema, so a `select(lon)`
+  *    never materializes lat/tag (the V2 analog of columnar projection).
+  *
+  * LatticeSourceSpec pins both behaviors against the physical plan and
+  * the row values against the shared derivation constants. Registered via
+  * META-INF/services as short name `lattice`.
+  */
+class LatticeSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "lattice"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    LatticeTable.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new LatticeTable(properties.getOrDefault("n", "1000").toLong,
+      properties.getOrDefault("slices", "8").toInt)
+}
+
+object LatticeTable {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("lat", DoubleType, nullable = false),
+    StructField("lon", DoubleType, nullable = false),
+    StructField("tag", StringType, nullable = false)))
+
+  /** Shared with q_join_spatial's derivation — one constant set, two
+    * consumers (the V2 reader and the DataFrame expression). */
+  def lat(id: Long): Double = ((id * 37) % 12000) / 100.0 - 60 + 0.005
+  def lon(id: Long): Double = ((id * 73) % 36000) / 100.0 - 180 + 0.005
+}
+
+class LatticeTable(n: Long, slices: Int) extends Table with SupportsRead {
+  override def name(): String = s"lattice($n)"
+  override def schema(): StructType = LatticeTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LatticeScanBuilder(n, slices)
+}
+
+class LatticeScanBuilder(n: Long, slices: Int) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var lo = 0L
+  private var hi = n
+  private var pushed = Array.empty[Filter]
+  private var required: StructType = LatticeTable.schema
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int  => Some(i.toLong)
+    case _       => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val residual = filters.filter {
+      case GreaterThan("id", v) if asLong(v).isDefined =>
+        lo = math.max(lo, asLong(v).get + 1); false
+      case GreaterThanOrEqual("id", v) if asLong(v).isDefined =>
+        lo = math.max(lo, asLong(v).get); false
+      case LessThan("id", v) if asLong(v).isDefined =>
+        hi = math.min(hi, asLong(v).get); false
+      case LessThanOrEqual("id", v) if asLong(v).isDefined =>
+        hi = math.min(hi, asLong(v).get + 1); false
+      case EqualTo("id", v) if asLong(v).isDefined =>
+        lo = math.max(lo, asLong(v).get); hi = math.min(hi, asLong(v).get + 1); false
+      case _ => true
+    }
+    pushed = filters.diff(residual)
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new LatticeScan(lo, math.max(lo, hi), slices, required, pushed)
+}
+
+class LatticeScan(lo: Long, hi: Long, slices: Int, schema: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val span = hi - lo
+    if (span <= 0) return Array.empty
+    val per = math.max(1L, (span + slices - 1) / slices)
+    (0 until slices).iterator.flatMap { i =>
+      val s = lo + i * per
+      val e = math.min(hi, s + per)
+      if (s < e) Some(LatticePartition(s, e): InputPartition) else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LatticeReaderFactory(schema)
+
+  override def description(): String =
+    s"lattice range=[$lo,$hi) pushed=[${pushed.mkString(", ")}]"
+}
+
+case class LatticePartition(start: Long, end: Long) extends InputPartition
+
+class LatticeReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val lp = p.asInstanceOf[LatticePartition]
+    new PartitionReader[InternalRow] {
+      private var cur = lp.start - 1
+      override def next(): Boolean = { cur += 1; cur < lp.end }
+      override def get(): InternalRow = InternalRow.fromSeq(
+        schema.fields.toSeq.map(_.name match {
+          case "id"  => cur
+          case "lat" => LatticeTable.lat(cur)
+          case "lon" => LatticeTable.lon(cur)
+          case "tag" => UTF8String.fromString(if (cur % 2 == 0) "even" else "odd")
+        }))
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the DataSource V2 surface: filter pushdown must shrink the planned
+  * key range (fewer rows ever generated — the V2 analog of row-group
+  * pruning), column pruning must narrow the scan output, residual filters
+  * must still be applied by Spark, and the served values must match the
+  * shared lattice derivation. */
+class LatticeSourceSpec extends SparkSpec {
+
+  private def read(n: Long) =
+    spark.read.format("lattice").option("n", n.toString).load()
+
+  test("short name resolves through META-INF service registration") {
+    assert(read(100).count() == 100)
+  }
+
+  test("id-range filters push into the scan and shrink the planned range") {
+    val df = read(1000).filter(col("id") >= 900 && col("id") < 950)
+    assert(df.count() == 50)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[900,950)"),
+      s"pushed range not visible in scan:\n$plan")
+  }
+
+  test("equality filter narrows to a single-row range") {
+    val df = read(1000).filter(col("id") === 123)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[123,124)"), s"equality not pushed:\n$plan")
+    assert(df.count() == 1)
+  }
+
+  test("non-id filters stay residual and still apply") {
+    val df = read(100).filter(col("id") >= 50 && col("tag") === "even")
+    assert(df.count() == 25)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[50,100)"), s"id filter not pushed:\n$plan")
+    // the tag predicate must remain a Spark-side Filter, not be claimed
+    assert(plan.contains("Filter"), s"residual filter disappeared:\n$plan")
+  }
+
+  test("column pruning narrows the scan output") {
+    val df = read(100).select(col("lon"))
+    val scanLine = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("[lon#") && !scanLine.contains("lat#"),
+      s"scan did not prune columns: $scanLine")
+  }
+
+  test("served values match the shared lattice derivation") {
+    val rows = read(10).collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getString(3)))
+    rows.foreach { case (id, lat, lon, tag) =>
+      assert(lat == sources.LatticeTable.lat(id))
+      assert(lon == sources.LatticeTable.lon(id))
+      assert(tag == (if (id % 2 == 0) "even" else "odd"))
+    }
+    assert(rows.map(_._1).toSeq == (0L until 10L))
+  }
+
+  test("empty range after contradictory filters yields zero partitions, zero rows") {
+    val df = read(1000).filter(col("id") >= 900 && col("id") < 100)
+    assert(df.count() == 0)
+  }
+}
