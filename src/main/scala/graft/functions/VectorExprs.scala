@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, ArrayType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, ArrayType, LongType, StringType, StructField, StructType}
 
 /** Native Catalyst expression for the similarity family's hot loop: the
   * dot product of two numeric arrays, accumulated as a sequential
@@ -271,6 +271,52 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Custom Generator (the UDTF extension tier, SURVEY §2.12): emit every
+  * character n-gram of a string as its own row WITHOUT materializing the
+  * gram array per row first — `explode(transform(sequence(...)))` builds
+  * the whole array in memory before the Generate node consumes it, which
+  * for per-document n-grams means a transient row value proportional to
+  * the document. This generator streams grams straight out of the input
+  * string. Interpreted (CodegenFallback) like Spark's own JsonTuple —
+  * GenerateExec drives it row-by-row either way; the win is the dropped
+  * allocation, not codegen. Strings shorter than n yield no rows (same
+  * contract as the array-building shingle helpers). */
+case class CharNgrams(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(n >= 1, s"char_ngrams: n must be >= 1, got $n")
+
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("gram", StringType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"char_ngrams expects string, got ${dt.simpleString}")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Iterator.empty
+    else {
+      val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      if (s.length < n) Iterator.empty
+      else (0 to s.length - n).iterator.map { i =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(i, i + n)))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Register `vec_dot`, `minhash_sigs` and `haversine_km` in the
     * session's function registry so query code can use them via
@@ -283,6 +329,19 @@ object VectorExprs {
       exprs => HaversineKm(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_sig", exprs => SimHashSig(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_ngrams", { exprs =>
+        val n = exprs(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case other => throw new IllegalArgumentException(
+              s"char_ngrams: n must be an INT literal, got $other")
+          }
+          case e => throw new IllegalArgumentException(
+            s"char_ngrams: n must be a foldable INT literal, got ${e.sql}")
+        }
+        CharNgrams(exprs(0), n)
+      }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sigs", { exprs =>
         // Checked foldable-literal extraction: a non-integer perm count

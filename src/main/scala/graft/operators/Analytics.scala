@@ -182,6 +182,55 @@ object Analytics {
         col("l_year").asc)
   }
 
+  /** TPC-H Q6 shape (forecasting revenue change): the pure scan-and-sum
+    * query — every predicate (date range, discount band, quantity cap)
+    * pushes to the parquet scan, and the single global aggregate is one
+    * partial+final pass with no shuffle beyond the 1-row final. Revenue
+    * = price × discount in integer micro-units (cents × basis points).
+    * The discount band is integer basis points, not a float BETWEEN —
+    * 0.05 ≤ d ≤ 0.07 on binary doubles is exactly the float-equality
+    * trap §7.4 bans. */
+  def tpchQ6(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("disc_bp", expr("CAST(round(l_discount * 100) AS BIGINT)"))
+      .filter(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1997-01-01" &&
+        col("disc_bp").between(5L, 7L) && col("l_quantity") < 24)
+      .withColumn("rev_micros",
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT) * disc_bp"))
+      .agg(sum(col("rev_micros")).as("revenue_micros"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q10 shape (returned-item report): revenue lost to returns per
+    * customer over one quarter — lineitem filtered to returnflag 'R',
+    * orders date-gated (both filters push to the scans), the join
+    * shuffles on the order key, customer/nation ride broadcasts, top-20
+    * by integer micro-unit revenue. */
+  def tpchQ10(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") < "1996-04-01")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"))
+    val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    // nation broadcasts by hint (provably dim-sized); customer is left to
+    // the planner — auto-broadcast here, a shuffled join at a scale where
+    // the customer dimension outgrows the threshold (same choice as Q5).
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rev_micros", revMicros)
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(col("rev_micros")).as("revenue_micros"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue_micros").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
   /** TPC-H Q18 shape (large-volume customers): the HAVING-over-fact-agg
     * gate pattern. The inner aggregate runs partial+final on the fact's
     * own key, its survivors (~0.1% of orders here) broadcast back as the
@@ -277,6 +326,8 @@ object Analytics {
     "q_tpch_q3"         -> tpchQ3,
     "q_tpch_q5"         -> tpchQ5,
     "q_tpch_q7"         -> tpchQ7,
+    "q_tpch_q10"        -> tpchQ10,
+    "q_tpch_q6"         -> tpchQ6,
     "q_tpch_q18"        -> tpchQ18,
     "q_sql_merge"       -> sqlMerge,
     "q_percentile"  -> percentiles,
@@ -416,6 +467,32 @@ object Analytics {
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation ASC, cust_nation ASC, l_year ASC""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |         * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+        |         AS revenue_micros,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+        |  AND l_quantity < 24""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |         AS BIGINT) AS revenue_micros,
+        |       count(*) AS n_lines
+        |FROM lineitem, orders, customer, nation
+        |WHERE l_orderkey = o_orderkey
+        |  AND o_custkey = c_custkey
+        |  AND c_nationkey = n_nationkey
+        |  AND l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue_micros DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
     "q_percentile" ->
       """SELECT o_orderpriority,
         |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

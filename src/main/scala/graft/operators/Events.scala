@@ -343,6 +343,26 @@ object Events {
       .orderBy(col("day").asc)
   }
 
+  /** The BUILT-IN session_window() in batch mode, declared and oracled:
+    * per (user, session) event count and session span. Spark's gap
+    * semantics — the window is [first_ts, last_ts + gap), sessions merge
+    * while the next event starts before the previous window ends — are
+    * mirrored by the lag/cumsum algebra in the oracle (a strictly-greater
+    * 30-min gap starts a new session; evtSession is the same algebra as a
+    * DataFrame plan, and the streaming test pins the two shapes against
+    * each other on crafted boundaries). session_window aggregates with
+    * one shuffle on the user key, exactly like the manual algebra. */
+  def evtSessionNative(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        expr("unix_micros(sw.start) div 1000000").as("start_s"),
+        expr("unix_micros(sw.end) div 1000000").as("end_s"),
+        col("n_events"))
+      .orderBy(col("user_id").asc, col("start_s").asc)
+
   /** Top event-type paths (3-step sequences): lead() twice over each
     * user's ordered stream, grouped trigram counts, top-10 — the
     * sequence-mining staple (funnel discovery, next-action modeling).
@@ -362,6 +382,7 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_evt_session_native" -> evtSessionNative,
     "q_evt_paths"    -> evtPaths,
     "q_evt_attribution" -> evtAttribution,
     "q_evt_dau"      -> evtDau,
@@ -380,6 +401,31 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    // lag/cumsum mirror of session_window's gap semantics: window start =
+    // first event, end = last event + 30 min, new session on gap > 30 min.
+    "q_evt_session_native" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, us,
+        |         CASE WHEN us - lag(us) OVER w IS NULL
+        |                OR us - lag(us) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)),
+        |sess AS (
+        |  SELECT user_id, us,
+        |         sum(new_sess) OVER (PARTITION BY user_id
+        |                             ORDER BY us ASC, event_id ASC
+        |                             ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id,
+        |       min(us) // 1000000 AS start_s,
+        |       (max(us) + 1800000000) // 1000000 AS end_s,
+        |       count(*) AS n_events
+        |FROM sess
+        |GROUP BY user_id, sid
+        |ORDER BY user_id ASC, start_s ASC""".stripMargin,
     "q_evt_paths" ->
       """WITH t AS (
         |  SELECT event_type AS s1,

@@ -143,7 +143,26 @@ object Relational {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("split").asc, col("lang").asc)
 
+  /** Declared query THROUGH the DataSource V2 connector
+    * ([[graft.sources.LatticeSource]]): scan the synthetic point lattice
+    * with an id-range predicate the connector consumes into its partition
+    * planning (LatticeSourceSpec asserts the shrunken range in the plan),
+    * then a per-tag rollup. The oracle regenerates identical rows from
+    * DuckDB's range() — every derived value is the same IEEE expression
+    * on both engines, and the only accumulated aggregate is the INTEGER
+    * lattice numerator (double min/max are selections, never sums). */
+  def srcLattice(s: SparkSession, d: String): DataFrame =
+    s.read.format("lattice").option("n", "20000").load()
+      .filter(col("id") >= 5000 && col("id") < 15000)
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"),
+        min(col("lat")).as("min_lat"),
+        max(col("lat")).as("max_lat"),
+        sum((col("id") * 37) % 12000).as("lat_units"))
+      .orderBy(col("tag").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_src_lattice" -> srcLattice,
     "q_sample_split"      -> sampleSplit,
     "q_set_except_all"    -> setExceptAll,
     "q_set_intersect_all" -> setIntersectAll,
@@ -159,6 +178,15 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_src_lattice" ->
+      """SELECT CASE WHEN i % 2 = 0 THEN 'even' ELSE 'odd' END AS tag,
+        |       count(*) AS n,
+        |       min(CAST((i * 37) % 12000 AS DOUBLE) / 100.0 - 60 + 0.005) AS min_lat,
+        |       max(CAST((i * 37) % 12000 AS DOUBLE) / 100.0 - 60 + 0.005) AS max_lat,
+        |       CAST(sum((i * 37) % 12000) AS BIGINT) AS lat_units
+        |FROM (SELECT unnest(range(5000, 15000)) AS i)
+        |GROUP BY tag
+        |ORDER BY tag ASC""".stripMargin,
     "q_sample_split" ->
       """SELECT CASE WHEN bucket < 12 THEN 'train'
         |            WHEN bucket < 14 THEN 'val'

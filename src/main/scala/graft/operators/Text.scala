@@ -623,7 +623,24 @@ object Text {
       .limit(20)
   }
 
+  /** Character 4-gram frequency profile through the CUSTOM GENERATOR
+    * surface ([[graft.functions.CharNgrams]] — the UDTF tier): grams
+    * stream row-by-row out of each document with no per-row gram-array
+    * materialization, then a plain two-level count/top-20. The langid
+    * trigram machinery is the consumer shape; this is the profile-builder
+    * shape that would TRAIN those profiles at corpus scale. */
+  def textChargrams(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    Tables.spread(Tables.documents(s, d))
+      .select(expr("char_ngrams(text, 4)").as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_chargrams" -> textChargrams,
     "q_text_colloc"  -> textColloc,
     "q_text_entropy" -> textEntropy,
     "q_text_rarity"      -> textRarity,
@@ -651,6 +668,17 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_chargrams" ->
+      """WITH g AS (
+        |  SELECT unnest(list_transform(range(1, length(text) - 2),
+        |           i -> substr(text, CAST(i AS INTEGER), 4))) AS gram
+        |  FROM documents
+        |  WHERE length(text) >= 4)
+        |SELECT gram, count(*) AS n
+        |FROM g
+        |GROUP BY gram
+        |ORDER BY n DESC, gram ASC
+        |LIMIT 20""".stripMargin,
     "q_text_colloc" ->
       """WITH tk AS (
         |  SELECT string_split(text, ' ') AS tk FROM documents),

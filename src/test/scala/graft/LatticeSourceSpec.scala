@@ -59,6 +59,15 @@ class LatticeSourceSpec extends SparkSpec {
     assert(rows.map(_._1).toSeq == (0L until 10L))
   }
 
+  test("the declared q_src_lattice query pushes its id range into the connector") {
+    val df = operators.Relational.srcLattice(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[5000,15000)"),
+      s"declared query did not push its range:\n$plan")
+    val rows = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("even" -> 5000L, "odd" -> 5000L))
+  }
+
   test("empty range after contradictory filters yields zero partitions, zero rows") {
     val df = read(1000).filter(col("id") >= 900 && col("id") < 100)
     assert(df.count() == 0)

@@ -260,6 +260,61 @@ class Round7OpsSpec extends SparkSpec {
     assert(rows.toSeq == local)
   }
 
+  test("native session_window sessions equal the lag/cumsum session algebra") {
+    val native = operators.Events.evtSessionNative(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val manual = operators.Events.evtSession(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4) + 1800L, r.getLong(2))).toSet
+    assert(native == manual) // start, last+gap, count — same sessions
+  }
+
+  test("tpch q10: top returned-revenue customers are ordered and positive") {
+    val rows = operators.Analytics.tpchQ10(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val revs = rows.map(_.getLong(3))
+    assert(revs.sameElements(revs.sorted.reverse) && revs.forall(_ > 0))
+  }
+
+  test("char_ngrams generator equals the explode(transform(...)) formulation") {
+    functions.VectorExprs.register(spark)
+    val docs = Tables.documents(spark, sf0001)
+    val gen = docs.select(expr("char_ngrams(text, 4)").as("gram"))
+      .groupBy("gram").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val arr = docs.filter(length(col("text")) >= 4)
+      .select(explode(expr(
+        "transform(sequence(1, length(text) - 3), i -> substring(text, i, 4))"))
+        .as("gram"))
+      .groupBy("gram").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gen == arr)
+    assert(gen.nonEmpty)
+    // short inputs and n as a non-literal must fail loudly, not mislead
+    import spark.implicits._
+    assert(Seq("abc").toDF("text")
+      .select(expr("char_ngrams(text, 4)")).count() == 0)
+    intercept[Exception] {
+      Seq("abc").toDF("text").select(expr("char_ngrams(text, length(text))")).collect()
+    }
+  }
+
+  test("tpch q6: scan-sum revenue equals the filtered integer recomputation") {
+    val r = operators.Analytics.tpchQ6(spark, sf0001).collect().head
+    val local = Tables.lineitem(spark, sf0001)
+      .select(expr("CAST(CAST(l_shipdate AS DATE) AS STRING)").as("sd"),
+        col("l_quantity"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("bp"))
+      .collect()
+      .filter { row =>
+        val sd = row.getString(0)
+        sd >= "1996-01-01" && sd < "1997-01-01" &&
+          row.getLong(3) >= 5 && row.getLong(3) <= 7 && row.getDouble(1) < 24
+      }
+    assert(r.getLong(1) == local.length)
+    assert(r.getLong(0) == local.map(row => row.getLong(2) * row.getLong(3)).sum)
+  }
+
   test("tpch q7: both nation-pair directions present and revenue positive") {
     val rows = operators.Analytics.tpchQ7(spark, sf0001).collect()
     val dirs = rows.map(r => (r.getString(0), r.getString(1))).toSet
