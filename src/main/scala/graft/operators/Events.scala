@@ -363,6 +363,37 @@ object Events {
         col("n_events"))
       .orderBy(col("user_id").asc, col("start_s").asc)
 
+  /** RFM (recency / frequency / monetary) customer segmentation over the
+    * purchase stream — the marketing-analytics staple, in exact integer
+    * arithmetic: recency in whole days from the corpus max day (a 1-row
+    * broadcast, never a driver-side collect), frequency as purchase
+    * count, monetary in cents; fixed integer band edges (no data-driven
+    * quantiles → no float boundary), segments rolled up to counts. */
+  def evtRfm(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .withColumn("cents", centsCol)
+    val mx = p.agg(max(col("day")).as("max_day"))
+    val per = p.groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(col("cents")).as("mon_cents"))
+    per.crossJoin(broadcast(mx))
+      .withColumn("recency_d", col("max_day") - col("last_day"))
+      .withColumn("r_band",
+        when(col("recency_d") <= 2, 3L).when(col("recency_d") <= 7, 2L)
+          .otherwise(1L))
+      .withColumn("f_band",
+        when(col("freq") >= 15, 3L).when(col("freq") >= 8, 2L).otherwise(1L))
+      .withColumn("m_band",
+        when(col("mon_cents") >= 20000, 3L).when(col("mon_cents") >= 10000, 2L)
+          .otherwise(1L))
+      .groupBy(col("r_band"), col("f_band"), col("m_band"))
+      .agg(count(lit(1)).as("n_users"), sum(col("mon_cents")).as("seg_cents"))
+      .orderBy(col("r_band").desc, col("f_band").desc, col("m_band").desc)
+  }
+
   /** Top event-type paths (3-step sequences): lead() twice over each
     * user's ordered stream, grouped trigram counts, top-10 — the
     * sequence-mining staple (funnel discovery, next-action modeling).
@@ -382,6 +413,7 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_evt_rfm"      -> evtRfm,
     "q_evt_session_native" -> evtSessionNative,
     "q_evt_paths"    -> evtPaths,
     "q_evt_attribution" -> evtAttribution,
@@ -401,6 +433,33 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_evt_rfm" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |mx AS (SELECT max(day) AS max_day FROM p),
+        |per AS (
+        |  SELECT user_id, max(day) AS last_day,
+        |         count(*) AS freq, CAST(sum(cents) AS BIGINT) AS mon_cents
+        |  FROM p GROUP BY user_id),
+        |b AS (
+        |  SELECT CASE WHEN max_day - last_day <= 2 THEN 3
+        |              WHEN max_day - last_day <= 7 THEN 2 ELSE 1 END AS r_band,
+        |         CASE WHEN freq >= 15 THEN 3
+        |              WHEN freq >= 8 THEN 2 ELSE 1 END AS f_band,
+        |         CASE WHEN mon_cents >= 20000 THEN 3
+        |              WHEN mon_cents >= 10000 THEN 2 ELSE 1 END AS m_band,
+        |         mon_cents
+        |  FROM per CROSS JOIN mx)
+        |SELECT CAST(r_band AS BIGINT) AS r_band,
+        |       CAST(f_band AS BIGINT) AS f_band,
+        |       CAST(m_band AS BIGINT) AS m_band,
+        |       count(*) AS n_users,
+        |       CAST(sum(mon_cents) AS BIGINT) AS seg_cents
+        |FROM b
+        |GROUP BY r_band, f_band, m_band
+        |ORDER BY r_band DESC, f_band DESC, m_band DESC""".stripMargin,
     // lag/cumsum mirror of session_window's gap semantics: window start =
     // first event, end = last event + 30 min, new session on gap > 30 min.
     "q_evt_session_native" ->

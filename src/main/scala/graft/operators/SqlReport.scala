@@ -127,7 +127,29 @@ object SqlReport {
             |FROM pay GROUP BY k ORDER BY k ASC""".stripMargin)
   }
 
+  /** SQL-text PIVOT syntax (the declarative twin of the DataFrame
+    * `.pivot()` in q_agg_pivot): daily per-type event cents as columns.
+    * Explicit IN list (plan determinism — never let PIVOT discover its
+    * columns from data), integer cents, zero-filled cells; the oracle is
+    * the portable SUM(CASE) form. */
+  def sqlPivot(s: SparkSession, d: String): DataFrame = {
+    view(s, d)
+    s.sql("""SELECT day,
+            |       coalesce(view_c, 0) AS view_cents,
+            |       coalesce(click_c, 0) AS click_cents,
+            |       coalesce(purchase_c, 0) AS purchase_cents
+            |FROM (
+            |  SELECT unix_micros(ts) div 86400000000 AS day, event_type,
+            |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+            |  FROM events_v)
+            |PIVOT (
+            |  sum(cents) FOR event_type IN ('view' AS view_c, 'click' AS click_c,
+            |                                'purchase' AS purchase_c))
+            |ORDER BY day ASC""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_pivot" -> sqlPivot,
     "q_sql_lateral"       -> sqlLateral,
     "q_sql_recursive"     -> sqlRecursive,
     "q_sql_window"        -> sqlWindow,
@@ -139,6 +161,20 @@ object SqlReport {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_pivot" ->
+      """SELECT epoch_us(ts) // 86400000000 AS day,
+        |       CAST(coalesce(sum(CASE WHEN event_type = 'view'
+        |         THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0)
+        |         AS BIGINT) AS view_cents,
+        |       CAST(coalesce(sum(CASE WHEN event_type = 'click'
+        |         THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0)
+        |         AS BIGINT) AS click_cents,
+        |       CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+        |         THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0)
+        |         AS BIGINT) AS purchase_cents
+        |FROM events
+        |GROUP BY day
+        |ORDER BY day ASC""".stripMargin,
     "q_sql_lateral" ->
       """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
         |FROM customer c,

@@ -315,6 +315,34 @@ class Round7OpsSpec extends SparkSpec {
     assert(r.getLong(0) == local.map(row => row.getLong(2) * row.getLong(3)).sum)
   }
 
+  test("rfm segments partition the purchasing users and conserve cents") {
+    val rows = operators.Events.evtRfm(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val p = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._4).sum == p.map(_._1).distinct.length) // every buyer in one segment
+    assert(rows.map(_._5).sum == p.map(_._2).sum)             // cents conserved
+    assert(rows.forall(t => Seq(t._1, t._2, t._3).forall(b => b >= 1 && b <= 3)))
+  }
+
+  test("sql pivot matches the DataFrame pivot algebra") {
+    val sqlRows = operators.SqlReport.sqlPivot(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val manual = Tables.events(spark, sf0001)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .groupBy("day")
+      .agg(
+        coalesce(sum(when(col("event_type") === "view", col("cents"))), lit(0L)).as("v"),
+        coalesce(sum(when(col("event_type") === "click", col("cents"))), lit(0L)).as("c"),
+        coalesce(sum(when(col("event_type") === "purchase", col("cents"))), lit(0L)).as("p"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(sqlRows == manual)
+  }
+
   test("tpch q7: both nation-pair directions present and revenue positive") {
     val rows = operators.Analytics.tpchQ7(spark, sf0001).collect()
     val dirs = rows.map(r => (r.getString(0), r.getString(1))).toSet

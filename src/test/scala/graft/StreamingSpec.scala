@@ -26,6 +26,40 @@ class RunningCountProcessor
   }
 }
 
+/** Event-time-timer processor: per key, buffer a count and register an
+  * event-time timer 10 minutes after the newest event seen; when the
+  * watermark passes the timer, emit (key, count, "closed") and clear.
+  * Exercises registerTimer + handleExpiredTimer — the timeout machinery
+  * custom sessionization needs. */
+class TimerCloseProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, java.sql.Timestamp), (Long, Long, String)] {
+  @transient private var cnt: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    cnt = getHandle.getValueState[Long]("cnt",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, String)] = {
+    var maxTs = 0L
+    var n = 0L
+    rows.foreach { r => n += 1; maxTs = math.max(maxTs, r._2.getTime) }
+    cnt.update((if (cnt.exists()) cnt.get() else 0L) + n)
+    getHandle.registerTimer(maxTs + 10 * 60 * 1000)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long,
+      timerValues: org.apache.spark.sql.streaming.TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[(Long, Long, String)] = {
+    val total = if (cnt.exists()) cnt.get() else 0L
+    cnt.clear()
+    Iterator((key, total, "closed"))
+  }
+}
+
 /** Streaming surface (SURVEY.md §2.10): stream-batch parity for the
   * tumbling aggregation, watermark late-data dropping, the built-in
   * session_window vs the batch lag/cumsum session algebra, and the
@@ -305,6 +339,44 @@ class StreamingSpec extends SparkSpec {
       // key 1 saw 2 events in batch 1 and 1 more in batch 2 — the ValueState
       // must carry the 2 across the batch boundary
       assert(latest == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("transformWithState event-time timer fires when the watermark passes it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Timestamp)]
+      def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      val out = mem.toDS().toDF("k", "ts")
+        .withWatermark("ts", "0 seconds")
+        .as[(Long, Timestamp)]
+        .groupByKey(_._1)
+        .transformWithState(new TimerCloseProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      val q = out.writeStream.format("memory").queryName("timer_test")
+        .outputMode("append").start()
+      mem.addData((1L, t(0)), (1L, t(2)), (2L, t(1)))
+      q.processAllAvailable()          // watermark now 10:02; timers at 10:12/10:11
+      assert(spark.table("timer_test").count() == 0) // nothing closed yet
+      mem.addData((3L, t(30)))          // advances watermark past both timers
+      q.processAllAvailable()
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("timer_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(rows.toSet.contains((1L, 2L, "closed")))
+      assert(rows.toSet.contains((2L, 1L, "closed")))
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
