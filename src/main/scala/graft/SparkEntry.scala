@@ -16,7 +16,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     operators.Aggs.topkGroups(spark, "/root/testdata/sf0.001")
 
-  private def modules = Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])](
+  private[graft] def modules = Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])](
     (operators.Relational.queries, operators.Relational.oracle),
     (operators.Joins.queries,      operators.Joins.oracle),
     (operators.Aggs.queries,       operators.Aggs.oracle),
