@@ -243,7 +243,38 @@ object Aggs {
       .orderBy(col("cnt").desc, col("user_id").asc)
       .limit(10)
 
+  /** Exact WEIGHTED median per group: the 50%-of-total-weight crossing
+    * point by cumulative-weight window algebra — order prices weighted by
+    * quantity within each priority, take the first value whose running
+    * weight reaches half the total (2·cum ≥ total in integers: no float
+    * half, no interpolation ambiguity). The window runs inside the
+    * group's own partition and the crossing row is a rank-1 filter — one
+    * shuffle, no quantile sketch, exact at any scale where a per-group
+    * sort is acceptable (the approx path for unsorted scale is
+    * percentile_approx, declared as q_win_ntile_approx's family). */
+  def aggWmedian(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("cents").asc, col("o_orderkey").asc)
+    val t = Tables.orders(s, d)
+      .withColumn("cents",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .withColumn("wt", expr("1 + o_orderkey % 5")) // deterministic weights
+      .withColumn("cum", sum(col("wt")).over(w))
+      .withColumn("tot", sum(col("wt")).over(
+        Window.partitionBy(col("o_orderpriority"))))
+    t.filter(col("cum") * 2 >= col("tot"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("cum").asc, col("o_orderkey").asc)))
+      .filter(col("rn") === 1)
+      .select(col("o_orderpriority"), col("cents").as("wmedian_cents"),
+        col("tot").as("total_weight"))
+      .orderBy(col("o_orderpriority").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_wmedian"     -> aggWmedian,
     "q_approx_topk"     -> approxTopK,
     "q_agg_histogram"   -> aggHistogram,
     "q_approx_cms"      -> approxCms,
@@ -270,6 +301,27 @@ object Aggs {
         |GROUP BY user_id
         |ORDER BY cnt DESC, user_id ASC
         |LIMIT 10""".stripMargin,
+    "q_agg_wmedian" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |         1 + o_orderkey % 5 AS wt
+        |  FROM orders),
+        |c AS (
+        |  SELECT *,
+        |         sum(wt) OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY cents ASC, o_orderkey ASC
+        |                       ROWS UNBOUNDED PRECEDING) AS cum,
+        |         sum(wt) OVER (PARTITION BY o_orderpriority) AS tot
+        |  FROM t),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |                               ORDER BY cum ASC, o_orderkey ASC) AS rn
+        |  FROM c WHERE cum * 2 >= tot)
+        |SELECT o_orderpriority, cents AS wmedian_cents,
+        |       CAST(tot AS BIGINT) AS total_weight
+        |FROM r WHERE rn = 1
+        |ORDER BY o_orderpriority ASC""".stripMargin,
     "q_agg_histogram" ->
       """WITH c AS (
         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)

@@ -90,6 +90,33 @@ object Events {
       .orderBy(col("stage").asc)
   }
 
+  /** TIME-BOUND conversion funnel: view → click within 1 h → purchase
+    * within 1 h of that click — the recency-gated metric real funnels
+    * report (q_evt_funnel is the unbounded variant). Same
+    * aggregate-then-join algebra: each stage is one grouped min over
+    * candidates gated on the prior stage's time AND the window, so the
+    * whole funnel stays partitioned by user with no window over the raw
+    * stream. All time arithmetic in integer µs. */
+  def evtFunnelWindow(s: SparkSession, d: String): DataFrame = {
+    val HourUs = 3600000000L
+    val ev = Tables.events(s, d).withColumn("us", expr("unix_micros(ts)"))
+    def stage(typ: String) = ev.filter(col("event_type") === typ)
+    val v = stage("view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val c = stage("click").join(v, "user_id")
+      .filter(col("us") > col("v_us") && col("us") - col("v_us") <= HourUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+    val p = stage("purchase").join(c, "user_id")
+      .filter(col("us") > col("c_us") && col("us") - col("c_us") <= HourUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+    v.select(lit("1_view").as("stage"), col("user_id"))
+      .union(c.select(lit("2_click_1h").as("stage"), col("user_id")))
+      .union(p.select(lit("3_purchase_1h").as("stage"), col("user_id")))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage").asc)
+  }
+
   /** Latest-record resolution per key (the SCD/"current state" pattern):
     * argmax by (ts, event_id) via one ranked window — the canonical
     * replacement for dropDuplicates("user_id") whose survivor is
@@ -363,6 +390,27 @@ object Events {
         col("n_events"))
       .orderBy(col("user_id").asc, col("start_s").asc)
 
+  /** GENERATED calendar-dimension join (the warehouse date-dim pattern):
+    * densify the corpus's day span into a dimension with day-of-week and
+    * weekend attributes (integer epoch-day arithmetic — day 0 was a
+    * Thursday, so Monday-0 dow = (day+3) mod 7), broadcast it, and roll
+    * events up by the DIMENSION's attributes. The dim is span-sized
+    * (days, not events) no matter how the fact grows — the gapfill
+    * grid's sibling for attribute enrichment. */
+  def evtDow(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+    val cal = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("day"))
+      .withColumn("dow", expr("(day + 3) % 7"))
+      .withColumn("is_weekend", (col("dow") >= 5).cast("long"))
+    ev.join(broadcast(cal), "day")
+      .groupBy(col("dow"), col("is_weekend"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("day")).as("n_days"))
+      .orderBy(col("dow").asc)
+  }
+
   /** RFM (recency / frequency / monetary) customer segmentation over the
     * purchase stream — the marketing-analytics staple, in exact integer
     * arithmetic: recency in whole days from the corpus max day (a 1-row
@@ -413,7 +461,9 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_evt_dow"      -> evtDow,
     "q_evt_rfm"      -> evtRfm,
+    "q_evt_funnel_window" -> evtFunnelWindow,
     "q_evt_session_native" -> evtSessionNative,
     "q_evt_paths"    -> evtPaths,
     "q_evt_attribution" -> evtAttribution,
@@ -433,6 +483,47 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_evt_funnel_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (
+        |  SELECT user_id, min(us) AS v_us FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(us) AS c_us FROM e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE event_type = 'click' AND us > v_us
+        |    AND us - v_us <= 3600000000
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(us) AS p_us FROM e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE event_type = 'purchase' AND us > c_us
+        |    AND us - c_us <= 3600000000
+        |  GROUP BY e.user_id)
+        |SELECT stage, CAST(n_users AS BIGINT) AS n_users FROM (
+        |  SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |  UNION ALL SELECT '2_click_1h', count(*) FROM c
+        |  UNION ALL SELECT '3_purchase_1h', count(*) FROM p)
+        |WHERE n_users > 0
+        |ORDER BY stage ASC""".stripMargin,
+    "q_evt_dow" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day FROM events),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+        |cal AS (
+        |  SELECT CAST(unnest(range(lo, hi + 1)) AS BIGINT) AS day FROM b),
+        |dim AS (
+        |  SELECT day, (day + 3) % 7 AS dow,
+        |         CASE WHEN (day + 3) % 7 >= 5 THEN 1 ELSE 0 END AS is_weekend
+        |  FROM cal)
+        |SELECT CAST(dim.dow AS BIGINT) AS dow,
+        |       CAST(dim.is_weekend AS BIGINT) AS is_weekend,
+        |       count(*) AS n_events,
+        |       CAST(count(DISTINCT e.day) AS BIGINT) AS n_days
+        |FROM e JOIN dim ON e.day = dim.day
+        |GROUP BY dim.dow, dim.is_weekend
+        |ORDER BY dow ASC""".stripMargin,
     "q_evt_rfm" ->
       """WITH p AS (
         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,

@@ -343,6 +343,47 @@ class Round7OpsSpec extends SparkSpec {
     assert(sqlRows == manual)
   }
 
+  test("weighted median: crossing point equals a local cumulative-weight scan") {
+    val rows = operators.Aggs.aggWmedian(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val orders = Tables.orders(spark, sf0001)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val local = orders.groupBy(_._1).map { case (pri, g) =>
+      val sorted = g.sortBy(o => (o._3, o._2)).map(o => (o._3, 1 + o._2 % 5))
+      val tot = sorted.map(_._2).sum
+      var cum = 0L
+      val cross = sorted.find { case (_, w) => cum += w; cum * 2 >= tot }.get._1
+      pri -> (cross, tot)
+    }
+    assert(rows == local)
+  }
+
+  test("calendar dim: dow attribution matches java.time on the corpus span") {
+    val rows = operators.Events.evtDow(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val days = Tables.events(spark, sf0001)
+      .select(expr("unix_micros(ts) div 86400000000")).collect().map(_.getLong(0))
+    val local = days.groupBy { d =>
+      val dow = java.time.LocalDate.ofEpochDay(d).getDayOfWeek.getValue - 1 // Mon=0
+      (dow.toLong, if (dow >= 5) 1L else 0L)
+    }.map { case (k, ds) => (k._1, k._2, ds.length.toLong, ds.distinct.length.toLong) }
+      .toSeq.sortBy(_._1)
+    assert(rows.toSeq == local)
+  }
+
+  test("windowed funnel is a subset of the unbounded funnel at every stage") {
+    def counts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0).substring(0, 1) -> r.getLong(1)).toMap
+    val bounded = counts(operators.Events.evtFunnelWindow(spark, sf0001))
+    val open = counts(operators.Events.evtFunnel(spark, sf0001))
+    assert(bounded("1") == open("1")) // stage 1 has no window
+    assert(bounded.getOrElse("2", 0L) <= open("2"))
+    assert(bounded.getOrElse("3", 0L) <= open("3"))
+    assert(bounded.getOrElse("2", 0L) >= bounded.getOrElse("3", 0L))
+  }
+
   test("tpch q7: both nation-pair directions present and revenue positive") {
     val rows = operators.Analytics.tpchQ7(spark, sf0001).collect()
     val dirs = rows.map(r => (r.getString(0), r.getString(1))).toSet
