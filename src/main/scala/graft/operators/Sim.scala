@@ -298,7 +298,33 @@ object Sim {
       .orderBy(col("m").asc, col("c").asc)
   }
 
+  /** ANN quality evaluation — recall@5 of the IVF probe-1 search against
+    * the UNBLOCKED brute-force truth (the label-blocked q_sim_topk is a
+    * bounded variant, not ground truth): per query, how many of the true
+    * top-5 the index returned. The eval every ANN deployment runs before
+    * trusting its index; exact-integer output (hit counts), and both
+    * pipelines are deterministic so the whole evaluation is oracled.
+    * Truth stays feasible because the query set is bounded (broadcast
+    * queries × corpus is linear — the same contract as q_sim_topk). */
+  def simRecall(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    val truth = pairs(s, d, _.filter(col("vec_id") < 10),
+        lit(true), col("q_id") =!= col("c_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("c_id"))
+    val approx = simIvfSearch(s, d).select(col("q_id"), col("c_id"))
+    val hits = truth.join(approx, Seq("q_id", "c_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    truth.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("recall_at_5"))
+      .orderBy(col("q_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_recall"     -> simRecall,
     "q_emb_pq"         -> embPq,
     "q_sim_kmeans"     -> simKmeans,
     "q_emb_stats"      -> embStats,
@@ -325,6 +351,56 @@ object Sim {
       |           (a, x) -> a + x) / (q.nrm * c.nrm)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_sim_recall" ->
+      (eCte + """,
+        |cc AS (
+        |  SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+        |  FROM e WHERE vec_id < 8),
+        |sc AS (
+        |  SELECT e.vec_id, cc.cid,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(list_zip(e.embedding, cc.cemb),
+        |             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),
+        |           (a, x) -> a + x) / (e.nrm * cc.cnrm) AS score
+        |  FROM e, cc),
+        |rk AS (
+        |  SELECT vec_id, cid,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY score DESC, cid ASC) AS rn
+        |  FROM sc),
+        |asgn AS (SELECT vec_id, cid AS list_id FROM rk WHERE rn = 1),
+        |ivf_p AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |         """ + dotSql + """ AS cos
+        |  FROM e q
+        |  JOIN asgn qa ON q.vec_id = qa.vec_id
+        |  JOIN asgn ca ON ca.list_id = qa.list_id
+        |  JOIN e c ON c.vec_id = ca.vec_id AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |ivf AS (
+        |  SELECT q_id, c_id FROM (
+        |    SELECT q_id, c_id,
+        |           row_number() OVER (PARTITION BY q_id
+        |                              ORDER BY cos DESC, c_id ASC) AS rn
+        |    FROM ivf_p) WHERE rn <= 5),
+        |truth_p AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |         """ + dotSql + """ AS cos
+        |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |truth AS (
+        |  SELECT q_id, c_id FROM (
+        |    SELECT q_id, c_id,
+        |           row_number() OVER (PARTITION BY q_id
+        |                              ORDER BY cos DESC, c_id ASC) AS rn
+        |    FROM truth_p) WHERE rn <= 5)
+        |SELECT t.q_id,
+        |       CAST(coalesce(sum(CASE WHEN i.c_id IS NOT NULL
+        |                              THEN 1 END), 0) AS BIGINT) AS recall_at_5
+        |FROM truth t
+        |LEFT JOIN ivf i ON t.q_id = i.q_id AND t.c_id = i.c_id
+        |GROUP BY t.q_id
+        |ORDER BY t.q_id ASC""").stripMargin,
     "q_emb_pq" ->
       """WITH q AS (
         |  SELECT vec_id, list_transform(embedding,

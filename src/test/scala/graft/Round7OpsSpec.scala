@@ -384,6 +384,16 @@ class Round7OpsSpec extends SparkSpec {
     assert(bounded.getOrElse("2", 0L) >= bounded.getOrElse("3", 0L))
   }
 
+  test("ann recall: per-query hits bounded by 5 and consistent with the pipelines") {
+    val rows = operators.Sim.simRecall(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == (0L until 10L).toSet)
+    assert(rows.values.forall(h => h >= 0 && h <= 5))
+    // probe-1 IVF on a same-list query must find at least its own list's
+    // true neighbors — on this data recall is nonzero somewhere
+    assert(rows.values.sum > 0)
+  }
+
   test("tpch q7: both nation-pair directions present and revenue positive") {
     val rows = operators.Analytics.tpchQ7(spark, sf0001).collect()
     val dirs = rows.map(r => (r.getString(0), r.getString(1))).toSet
