@@ -639,7 +639,37 @@ object Text {
       .limit(20)
   }
 
+  /** Winnowing fingerprint selection (the MOSS scheme): hash every char
+    * 5-gram, slide a window of 4 consecutive hashes, keep each window's
+    * minimum — guaranteeing any sufficiently long match between two
+    * documents shares a fingerprint, at ~2/(w+1) selection density. The
+    * paper's rightmost-min tie rule is encoded ARITHMETICALLY: the
+    * comparison key is hash·1024 + (1023 − pos), so the plain integer
+    * min picks the smallest hash and, on ties, the rightmost position —
+    * no struct comparators, the whole selection is three nested
+    * higher-order transforms shared verbatim with the oracle. Per-doc
+    * audit row: windows, distinct fingerprints, density permille. */
+  def textWinnow(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables.documents(s, d))
+      .filter(length(col("text")) >= 8)
+      .withColumn("keys", expr(
+        "transform(sequence(1, length(text) - 4), i -> " +
+          "aggregate(transform(sequence(0, 4), " +
+          "k -> CAST(ascii(substr(text, i + k, 1)) AS BIGINT)), " +
+          "CAST(7 AS BIGINT), (a, c) -> (a * 131 + c) % 2147483647) " +
+          "* 1024 + (1023 - i))"))
+      .withColumn("fps", expr(
+        "array_distinct(transform(sequence(1, size(keys) - 3), " +
+          "i -> array_min(slice(keys, i, 4))))"))
+      .select(col("doc_id"),
+        expr("CAST(size(keys) - 3 AS BIGINT)").as("n_windows"),
+        expr("CAST(size(fps) AS BIGINT)").as("n_fps"),
+        expr("CAST(size(fps) * 1000 div (size(keys) - 3) AS BIGINT)")
+          .as("density_pm"))
+      .orderBy(col("doc_id").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_winnow"  -> textWinnow,
     "q_text_chargrams" -> textChargrams,
     "q_text_colloc"  -> textColloc,
     "q_text_entropy" -> textEntropy,
@@ -668,6 +698,30 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_winnow" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents WHERE length(text) >= 8),
+        |h AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, length(text) - 3), i ->
+        |           list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |             list_transform(range(CAST(i AS INTEGER), CAST(i AS INTEGER) + 5),
+        |               k -> CAST(ord(substr(text, CAST(k AS INTEGER), 1)) AS BIGINT))),
+        |             (a, c) -> (a * 131 + c) % 2147483647)
+        |           * 1024 + (1023 - i)) AS keys
+        |  FROM d),
+        |w AS (
+        |  SELECT doc_id, keys,
+        |         list_distinct(list_transform(range(1, len(keys) - 2),
+        |           i -> list_min(keys[CAST(i AS INTEGER) : CAST(i AS INTEGER) + 3])))
+        |           AS fps
+        |  FROM h)
+        |SELECT doc_id,
+        |       CAST(len(keys) - 3 AS BIGINT) AS n_windows,
+        |       CAST(len(fps) AS BIGINT) AS n_fps,
+        |       CAST(len(fps) * 1000 // (len(keys) - 3) AS BIGINT) AS density_pm
+        |FROM w
+        |ORDER BY doc_id ASC""".stripMargin,
     "q_text_chargrams" ->
       """WITH g AS (
         |  SELECT unnest(list_transform(range(1, length(text) - 2),

@@ -394,6 +394,30 @@ class Round7OpsSpec extends SparkSpec {
     assert(rows.values.sum > 0)
   }
 
+  test("winnowing: fingerprint counts equal a local rightmost-min replay") {
+    val rows = operators.Text.textWinnow(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val P = 2147483647L
+    val local = docs.map { case (id, text) =>
+      val keys = (1 to text.length - 4).map { i =>
+        var h = 7L
+        (0 to 4).foreach { k => h = (h * 131 + text.charAt(i + k - 1).toInt) % P }
+        h * 1024 + (1023 - i)
+      }
+      val fps = (0 to keys.length - 4).map(i => keys.slice(i, i + 4).min).distinct
+      val nw = keys.length - 3L
+      id -> (nw, fps.length.toLong, fps.length * 1000L / nw)
+    }.toMap
+    assert(rows == local)
+    // density near the theoretical 2/(w+1) = 400 permille
+    val meanDensity = rows.values.map(_._3).sum / rows.size
+    assert(meanDensity > 300 && meanDensity < 500, s"density $meanDensity")
+  }
+
   test("tpch q7: both nation-pair directions present and revenue positive") {
     val rows = operators.Analytics.tpchQ7(spark, sf0001).collect()
     val dirs = rows.map(r => (r.getString(0), r.getString(1))).toSet
