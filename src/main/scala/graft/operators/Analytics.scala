@@ -256,6 +256,64 @@ object Analytics {
       .limit(100)
   }
 
+  /** TPC-H Q14 shape (promotion effect): fact⋈dim with a conditional
+    * aggregate over the joined rows — part broadcasts (true dim), the
+    * fact never shuffles (partial aggregates feed one 12-row final), and
+    * the promo share is reported as exact integer permille
+    * (promo_micros·1000 div total_micros) instead of Q14's float
+    * percentage, so the division is engine-neutral. */
+  def tpchQ14(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1997-01-01")
+      .select(col("l_partkey"), col("l_shipdate"), col("l_extendedprice"),
+        col("l_discount"))
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_type"))
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .withColumn("rev_micros", revMicros)
+      .withColumn("month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .groupBy(col("month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev_micros"))
+          .otherwise(0L)).as("promo_micros"),
+        sum(col("rev_micros")).as("total_micros"),
+        count(lit(1)).as("n_lines"))
+      .withColumn("promo_pm",
+        expr("promo_micros * 1000 div total_micros"))
+      .orderBy(col("month").asc)
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicate): three
+    * OR'd (brand, size-band, quantity-band) conjuncts across the
+    * fact⋈dim join. The scan-side win: Catalyst extracts the common
+    * l_quantity <= 36 bound and the per-side attribute constraints from
+    * the disjunction, so both scans prune before the join instead of
+    * filtering after it; part broadcasts. Reported per arm (the original
+    * collapses to one row — the arm split keeps each conjunct's
+    * contribution auditable). */
+  def tpchQ19(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"))
+    val p = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val arm1 = col("p_brand") === "Brand#3" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1, 16)
+    val arm2 = col("p_brand") === "Brand#12" &&
+      col("p_size").between(16, 30) && col("l_quantity").between(8, 26)
+    val arm3 = col("p_brand") === "Brand#24" &&
+      col("p_size").between(31, 50) && col("l_quantity").between(18, 36)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .filter(arm1 || arm2 || arm3)
+      .withColumn("arm",
+        when(arm1, 1L).when(arm2, 2L).otherwise(3L))
+      .withColumn("rev_micros", revMicros)
+      .groupBy(col("arm"))
+      .agg(sum(col("rev_micros")).as("revenue_micros"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("arm").asc)
+  }
+
   /** MERGE INTO / upsert semantics — the incremental-pipeline core every
     * warehouse user runs (Delta/Iceberg MERGE), expressed engine-neutral
     * as ONE full-outer join of base against a keyed change set, per-row
@@ -328,6 +386,8 @@ object Analytics {
     "q_tpch_q7"         -> tpchQ7,
     "q_tpch_q10"        -> tpchQ10,
     "q_tpch_q6"         -> tpchQ6,
+    "q_tpch_q14"        -> tpchQ14,
+    "q_tpch_q19"        -> tpchQ19,
     "q_tpch_q18"        -> tpchQ18,
     "q_sql_merge"       -> sqlMerge,
     "q_percentile"  -> percentiles,
@@ -477,6 +537,51 @@ object Analytics {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
         |  AND l_quantity < 24""".stripMargin,
+    "q_tpch_q14" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        |       CAST(sum(CASE WHEN p_type = 'PROMO'
+        |         THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |         ELSE 0 END) AS BIGINT) AS promo_micros,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |         AS BIGINT) AS total_micros,
+        |       count(*) AS n_lines,
+        |       CAST(sum(CASE WHEN p_type = 'PROMO'
+        |         THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |         ELSE 0 END) * 1000
+        |         // sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |         AS BIGINT) AS promo_pm
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY month
+        |ORDER BY month ASC""".stripMargin,
+    "q_tpch_q19" ->
+      """WITH m AS (
+        |  SELECT CASE
+        |           WHEN p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |             AND l_quantity BETWEEN 1 AND 16 THEN 1
+        |           WHEN p_brand = 'Brand#12' AND p_size BETWEEN 16 AND 30
+        |             AND l_quantity BETWEEN 8 AND 26 THEN 2
+        |           ELSE 3 END AS arm,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |           AS rev_micros
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |           AND l_quantity BETWEEN 1 AND 16)
+        |     OR (p_brand = 'Brand#12' AND p_size BETWEEN 16 AND 30
+        |           AND l_quantity BETWEEN 8 AND 26)
+        |     OR (p_brand = 'Brand#24' AND p_size BETWEEN 31 AND 50
+        |           AND l_quantity BETWEEN 18 AND 36))
+        |SELECT CAST(arm AS BIGINT) AS arm,
+        |       CAST(sum(rev_micros) AS BIGINT) AS revenue_micros,
+        |       count(*) AS n_lines
+        |FROM m GROUP BY arm
+        |ORDER BY arm ASC""".stripMargin,
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, n_name,
         |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)

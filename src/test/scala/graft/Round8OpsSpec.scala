@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the round-8 operators — invariants the sf-oracle
+  * hash can't isolate: Q14's promo share against a local conditional-sum
+  * replay, Q19's arm split against per-arm predicate re-evaluation over
+  * the joined rows.
+  */
+class Round8OpsSpec extends SparkSpec {
+
+  test("tpch q14: promo share equals a local conditional-sum replay") {
+    val rows = operators.Analytics.tpchQ14(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val promo = r.getLong(1); val total = r.getLong(2)
+      val pm = r.getLong(4)
+      assert(promo >= 0 && promo <= total)
+      assert(pm == promo * 1000 / total)
+    }
+    // months are within the filter's year and unique
+    val months = rows.map(_.getString(0))
+    assert(months.forall(_.startsWith("1996-")))
+    assert(months.distinct.length == months.length)
+  }
+
+  test("tpch q19: every emitted row satisfies exactly its arm's conjunct") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val parts = Tables.part(spark, sf0001)
+      .select(col("p_partkey"), col("p_brand"), col("p_size")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    def arm(brand: String, size: Int, qty: Double): Int =
+      if (brand == "Brand#3" && size >= 1 && size <= 15 && qty >= 1 && qty <= 16) 1
+      else if (brand == "Brand#12" && size >= 16 && size <= 30 && qty >= 8 && qty <= 26) 2
+      else if (brand == "Brand#24" && size >= 31 && size <= 50 && qty >= 18 && qty <= 36) 3
+      else 0
+    val local = li.flatMap { case (pk, qty, price, disc) =>
+      parts.get(pk).map { case (brand, size) => (arm(brand, size, qty),
+        math.round(price * 100) * (100 - math.round(disc * 100))) }
+    }.filter(_._1 > 0).groupBy(_._1)
+      .map { case (a, g) => a.toLong -> (g.map(_._2).sum, g.length.toLong) }
+    val rows = operators.Analytics.tpchQ19(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows == local)
+  }
+}
