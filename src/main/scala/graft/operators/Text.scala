@@ -668,7 +668,48 @@ object Text {
           .as("density_pm"))
       .orderBy(col("doc_id").asc)
 
+  /** Span-level duplicated-text coverage — the positional audit behind
+    * exact-substring dedup (dedup the repeated SPANS, not whole docs):
+    * for each doc, the fraction of token positions covered by some
+    * 5-gram that also occurs in another document. textNgramDup counts
+    * duplicated grams; this measures how much of the document they BLANKET
+    * once their [p, p+4] intervals are unioned — the quantity a span-cut
+    * pass would actually remove. Interval union without an island
+    * subquery: each dup position contributes min(5, next_p − p) tokens
+    * (5 for the last), a single lead() over the per-doc dup positions.
+    * Scale shape: two shuffles on the gram key (df + join-back), then a
+    * per-doc window over dup positions only — never a pair join, linear
+    * in corpus size like the dedup path it audits. */
+  def textDupspans(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables.spread(Tables.documents(s, d))
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        posexplode(expr(
+          "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))")))
+      .select(col("doc_id"), col("n_toks"), (col("pos") + 1).as("p"),
+        col("col").as("g"))
+    // cross-doc criterion: the gram must appear in ≥2 DISTINCT docs —
+    // a phrase repeated only within one doc is repetition (q_text_repetition's
+    // signal), not cross-document duplication
+    val dfs = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_g"))
+      .filter(col("n_docs_g") >= 2)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p").asc)
+    grams.join(dfs, "g")
+      .withColumn("cov",
+        least(coalesce(lead(col("p"), 1).over(w) - col("p"), lit(5L)), lit(5L)))
+      .groupBy(col("doc_id"), col("n_toks"))
+      .agg(count(lit(1)).as("n_dup_grams"), sum(col("cov")).as("covered"))
+      .withColumn("cover_pm", expr("covered * 1000 div n_toks"))
+      .select(col("doc_id"), col("n_toks"), col("n_dup_grams"),
+        col("covered"), col("cover_pm"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_dupspans" -> textDupspans,
     "q_text_winnow"  -> textWinnow,
     "q_text_chargrams" -> textChargrams,
     "q_text_colloc"  -> textColloc,
@@ -698,6 +739,34 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_dupspans" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |pg AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+        |         unnest(list_transform(range(1, len(toks) - 3),
+        |           i -> struct_pack(p := i,
+        |             g := array_to_string(
+        |               toks[CAST(i AS INTEGER):CAST(i AS INTEGER) + 4], ' '))))
+        |           AS e
+        |  FROM base),
+        |g2 AS (
+        |  SELECT doc_id, n_toks, e.p AS p, e.g AS g FROM pg),
+        |dfs AS (
+        |  SELECT g FROM g2 GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |dup AS (
+        |  SELECT doc_id, n_toks, p,
+        |         least(coalesce(lead(p) OVER
+        |           (PARTITION BY doc_id ORDER BY p ASC) - p, 5), 5) AS cov
+        |  FROM g2 JOIN dfs USING (g))
+        |SELECT doc_id, n_toks,
+        |       count(*) AS n_dup_grams,
+        |       CAST(sum(cov) AS BIGINT) AS covered,
+        |       CAST(sum(cov) * 1000 // n_toks AS BIGINT) AS cover_pm
+        |FROM dup
+        |GROUP BY doc_id, n_toks
+        |ORDER BY doc_id ASC""".stripMargin,
     "q_text_winnow" ->
       """WITH d AS (
         |  SELECT doc_id, text FROM documents WHERE length(text) >= 8),

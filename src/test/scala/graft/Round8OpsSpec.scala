@@ -24,6 +24,34 @@ class Round8OpsSpec extends SparkSpec {
     assert(months.distinct.length == months.length)
   }
 
+  test("dupspans: coverage equals a brute-force interval-union replay") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+      .filter(_._2.length >= 5)
+    val gramDocs = scala.collection.mutable.Map[String, Set[Long]]()
+    docs.foreach { case (id, toks) =>
+      toks.sliding(5).foreach(g => {
+        val k = g.mkString(" ")
+        gramDocs(k) = gramDocs.getOrElse(k, Set.empty) + id
+      })
+    }
+    val local = docs.flatMap { case (id, toks) =>
+      val dupPos = (0 to toks.length - 5)
+        .filter(p => gramDocs(toks.slice(p, p + 5).mkString(" ")).size >= 2)
+      if (dupPos.isEmpty) None
+      else {
+        // brute-force union of [p, p+4] intervals over token positions
+        val covered = dupPos.flatMap(p => p to p + 4).distinct.size.toLong
+        Some(id -> (toks.length.toLong, dupPos.size.toLong, covered,
+          covered * 1000 / toks.length))
+      }
+    }.toMap
+    val rows = operators.Text.textDupspans(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows == local)
+  }
+
   test("tpch q19: every emitted row satisfies exactly its arm's conjunct") {
     val li = Tables.lineitem(spark, sf0001)
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
