@@ -95,7 +95,13 @@ object Text {
     * (doc, lang), argmax. The 100 TB shape: per-doc featurize (narrow
     * generator, no shuffle) ⋈ broadcast dimension → one grouped agg —
     * no driver-side model state, fully codegen'd, integer-exact oracle. */
-  def textLangid(s: SparkSession, d: String): DataFrame = {
+  def textLangid(s: SparkSession, d: String): DataFrame =
+    langidPerDoc(s, d).orderBy(col("doc_id").asc)
+
+  /** Unsorted per-doc langid core shared by the declared query and the
+    * confusion-matrix eval (the eval re-aggregates, so forcing the
+    * per-doc sort there would only add a dead exchange). */
+  private def langidPerDoc(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val prof = broadcast(langProfiles.toDF("lang_p", "tg", "w"))
@@ -116,7 +122,26 @@ object Text {
       .withColumn("guess", coalesce(col("lang_p"), lit("und")))
       .withColumn("score", coalesce(col("score"), lit(0L)))
       .select(col("doc_id"), col("lang"), col("guess"), col("score"))
-      .orderBy(col("doc_id").asc)
+  }
+
+  /** Classifier-eval confusion matrix over the langid output: per
+    * (declared lang, predicted lang) doc counts plus the row's share of
+    * its declared language in integer permille — the quality report every
+    * deployed classifier ships with. The matrix is classes², so the
+    * per-lang share rides a window over a dimension-sized result — the
+    * corpus-sized work is all in the shared langid core. */
+  def textLidEval(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+    langidPerDoc(s, d)
+      .groupBy(col("lang"), col("guess"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("lang_total", sum(col("n_docs")).over(w))
+      .withColumn("share_pm", expr("n_docs * 1000 div lang_total"))
+      .withColumn("hit", when(col("lang") === col("guess"), 1L).otherwise(0L))
+      .select(col("lang"), col("guess"), col("n_docs"), col("lang_total"),
+        col("share_pm"), col("hit"))
+      .orderBy(col("lang").asc, col("guess").asc)
   }
 
   /** Document fingerprint: polynomial rolling hash over per-token keys —
@@ -710,6 +735,7 @@ object Text {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_dupspans" -> textDupspans,
+    "q_text_lid_eval" -> textLidEval,
     "q_text_winnow"  -> textWinnow,
     "q_text_chargrams" -> textChargrams,
     "q_text_colloc"  -> textColloc,
@@ -1191,6 +1217,39 @@ object Text {
         |            ELSE 'ok' END AS quality
         |FROM documents
         |ORDER BY doc_id ASC""".stripMargin,
+    "q_text_lid_eval" ->
+      (s"""WITH prof(lang_p, tg, w) AS (VALUES
+        |  ${langProfiles.map { case (l, t, w) => s"('$l', '$t', $w)" }
+             .mkString(",\n  ")}),
+        |tg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, length(text) - 1),
+        |         i -> substr(text, CAST(i AS INT), 3))) AS tg
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang_p, CAST(sum(w) AS BIGINT) AS score
+        |  FROM tg JOIN prof USING (tg)
+        |  GROUP BY doc_id, lang_p),
+        |best AS (
+        |  SELECT doc_id, lang_p, score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, lang_p ASC) AS rn
+        |  FROM sc),
+        |per_doc AS (
+        |  SELECT d.doc_id, d.lang, coalesce(b.lang_p, 'und') AS guess
+        |  FROM documents d
+        |  LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)),
+        |cm AS (
+        |  SELECT lang, guess, count(*) AS n_docs
+        |  FROM per_doc GROUP BY lang, guess)
+        |SELECT lang, guess, n_docs,
+        |       CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+        |         AS lang_total,
+        |       CAST(n_docs * 1000 // sum(n_docs) OVER (PARTITION BY lang)
+        |         AS BIGINT) AS share_pm,
+        |       CASE WHEN lang = guess THEN CAST(1 AS BIGINT)
+        |            ELSE CAST(0 AS BIGINT) END AS hit
+        |FROM cm
+        |ORDER BY lang ASC, guess ASC""").stripMargin,
     "q_text_langid" ->
       (s"""WITH prof(lang_p, tg, w) AS (VALUES
         |  ${langProfiles.map { case (l, t, w) => s"('$l', '$t', $w)" }

@@ -52,6 +52,31 @@ class Round8OpsSpec extends SparkSpec {
     assert(rows == local)
   }
 
+  test("lid eval: matrix marginals equal per-lang doc counts") {
+    val rows = operators.Text.textLidEval(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val perLang = Tables.documents(spark, sf0001)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // row marginals: each lang's n_docs sum equals its corpus count, and
+    // lang_total repeats that sum on every row of the lang
+    rows.groupBy(_._1).foreach { case (lang, g) =>
+      assert(g.map(_._3).sum == perLang(lang))
+      assert(g.forall(_._4 == perLang(lang)))
+    }
+    assert(rows.map(_._3).sum == perLang.values.sum)
+    // hit flags mark exactly the diagonal
+    rows.foreach { case (lang, guess, _, _, _, hit) =>
+      assert((hit == 1L) == (lang == guess))
+    }
+    // consistency with the per-doc query it wraps
+    val perDoc = operators.Text.textLangid(spark, sf0001).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val cm = perDoc.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap == cm)
+  }
+
   test("tpch q19: every emitted row satisfies exactly its arm's conjunct") {
     val li = Tables.lineitem(spark, sf0001)
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
