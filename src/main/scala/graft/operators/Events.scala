@@ -163,6 +163,39 @@ object Events {
       .orderBy(col("event_type").asc, col("d").asc)
   }
 
+  /** Linear interpolation of interior gaps in the hourly series — the
+    * complement of q_ts_gapfill's forward-fill: missing hours between two
+    * observations take the line between them, in exact integer
+    * milli-cents ((prev·(nh−h) + next·(h−ph))·1000 div (nh−ph); all terms
+    * non-negative, so truncating division agrees across engines). Only
+    * interior gaps of ≤6 missing hours fill — interpolating across a long
+    * outage fabricates data, and the bound also caps the explode at 6
+    * rows per observed gap. Plan shape: one hourly pre-aggregation over
+    * the fact, then windows + a bounded generator over the hourly
+    * series, which is calendar-sized, never event-sized. */
+  def tsInterp(s: SparkSession, d: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("hr").asc)
+    val obs = Tables.events(s, d)
+      .withColumn("hr", expr("unix_micros(ts) div 3600000000"))
+      .withColumn("cents", centsCol)
+      .groupBy(col("event_type"), col("hr"))
+      .agg(sum(col("cents")).as("cents"))
+      .withColumn("nhr", lead(col("hr"), 1).over(byType))
+      .withColumn("ncents", lead(col("cents"), 1).over(byType))
+    val observed = obs.select(col("event_type"), col("hr"),
+      lit("obs").as("src"), (col("cents") * 1000L).as("value_milli"))
+    val interp = obs
+      .filter(col("nhr").isNotNull &&
+        col("nhr") - col("hr") > 1 && col("nhr") - col("hr") <= 7)
+      .select(col("event_type"), col("hr"), col("nhr"), col("cents"),
+        col("ncents"), explode(expr("sequence(hr + 1, nhr - 1)")).as("h"))
+      .select(col("event_type"), col("h").as("hr"), lit("interp").as("src"),
+        expr("(cents * (nhr - h) + ncents * (h - hr)) * 1000 div (nhr - hr)")
+          .as("value_milli"))
+    observed.union(interp)
+      .orderBy(col("event_type").asc, col("hr").asc)
+  }
+
   /** SCD-2 interval construction from an event stream: per user, collapse
     * consecutive same-type runs to change points, then stamp each with
     * [valid_from, valid_to) via lead() — valid_to NULL marks the current
@@ -474,6 +507,7 @@ object Events {
     "q_evt_anomaly"  -> evtAnomaly,
     "q_evt_retention" -> evtRetention,
     "q_ts_gapfill"   -> tsGapfill,
+    "q_ts_interp"    -> tsInterp,
     "q_evt_scd2"     -> evtScd2,
     "q_evt_latest"   -> evtLatest,
     "q_evt_tumbling" -> evtTumbling,
@@ -483,6 +517,38 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_interp" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) // 3600000000 AS hr,
+        |         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM events
+        |  GROUP BY event_type, hr),
+        |o AS (
+        |  SELECT event_type, hr, cents,
+        |         lead(hr) OVER w AS nhr,
+        |         lead(cents) OVER w AS ncents
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hr ASC)),
+        |obs AS (
+        |  SELECT event_type, hr, 'obs' AS src,
+        |         cents * 1000 AS value_milli
+        |  FROM o),
+        |gaps AS (
+        |  SELECT event_type, hr, nhr, cents, ncents,
+        |         unnest(range(hr + 1, nhr)) AS h
+        |  FROM o
+        |  WHERE nhr IS NOT NULL AND nhr - hr > 1 AND nhr - hr <= 7),
+        |interp AS (
+        |  SELECT event_type, h AS hr, 'interp' AS src,
+        |         (cents * (nhr - h) + ncents * (h - hr)) * 1000 // (nhr - hr)
+        |           AS value_milli
+        |  FROM gaps)
+        |SELECT event_type, CAST(hr AS BIGINT) AS hr, src,
+        |       CAST(value_milli AS BIGINT) AS value_milli
+        |FROM (SELECT * FROM obs UNION ALL SELECT * FROM interp)
+        |ORDER BY event_type ASC, hr ASC""".stripMargin,
     "q_evt_funnel_window" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

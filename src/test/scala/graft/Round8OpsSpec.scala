@@ -52,6 +52,34 @@ class Round8OpsSpec extends SparkSpec {
     assert(rows == local)
   }
 
+  test("ts interp: gap fills equal a local linear replay, edges untouched") {
+    val rows = operators.Events.tsInterp(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val hourly = Tables.events(spark, sf0001)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(e => (e._1, e._2)).map { case (k, g) => k -> g.map(_._3).sum }
+    val local = scala.collection.mutable.ArrayBuffer[(String, Long, String, Long)]()
+    hourly.keys.map(_._1).toSeq.distinct.foreach { typ =>
+      val hrs = hourly.keys.filter(_._1 == typ).map(_._2).toSeq.sorted
+      hrs.foreach(h => local += ((typ, h, "obs", hourly((typ, h)) * 1000)))
+      hrs.zip(hrs.tail).foreach { case (h, nh) =>
+        if (nh - h > 1 && nh - h <= 7) {
+          val (v, nv) = (hourly((typ, h)), hourly((typ, nh)))
+          ((h + 1) until nh).foreach { m =>
+            local += ((typ, m, "interp", (v * (nh - m) + nv * (m - h)) * 1000 / (nh - h)))
+          }
+        }
+      }
+    }
+    assert(rows.toSet == local.toSet)
+    assert(rows.count(_._3 == "interp") > 0, "no gaps filled at sf0.001")
+    // interpolated values lie between (or at) their endpoints' line — never extrapolated
+    val obsSet = rows.filter(_._3 == "obs").map(r => (r._1, r._2)).toSet
+    rows.filter(_._3 == "interp").foreach(r => assert(!obsSet.contains((r._1, r._2))))
+  }
+
   test("lid eval: matrix marginals equal per-lang doc counts") {
     val rows = operators.Text.textLidEval(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
