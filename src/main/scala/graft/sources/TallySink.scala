@@ -1,0 +1,159 @@
+package graft.sources
+
+import java.io.{BufferedWriter, File, FileWriter}
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 demonstration SINK — the write-side complement of
+  * [[LatticeSource]]: a `TableProvider` + `SupportsWrite` whose
+  * `BatchWrite` exercises the full two-phase commit protocol instead of
+  * delegating to a built-in format.
+  *
+  * Output is one TSV file per non-empty input partition under the target
+  * directory. What makes it a faithful protocol demo rather than a toy:
+  *
+  *  - Task isolation: each `DataWriter` streams rows to a hidden
+  *    `.inprogress` temp file named by (partitionId, taskId), so
+  *    speculative or retried attempts of the same partition never clobber
+  *    each other, and a crashed attempt leaves no visible output.
+  *  - Task commit: the rename to the final name happens in
+  *    `DataWriter.commit`, which also returns a typed
+  *    `WriterCommitMessage` carrying the task's row/byte tally.
+  *  - Job commit: `BatchWrite.commit` runs on the driver AFTER every task
+  *    committed, folds the tallies, and writes the `_tally` manifest —
+  *    readers treat its presence as the atomicity marker (the `_SUCCESS`
+  *    pattern). `abort` deletes any files an incomplete job left behind.
+  *
+  * Append-only (`TableCapability.BATCH_WRITE`): the schema is whatever
+  * the query writes (`supportsExternalMetadata`), so
+  * `df.write.format("tally").mode("append").option("path", dir)` works
+  * for any flat schema of atomic types. TallySinkSpec pins file layout,
+  * manifest totals, and read-back parity.
+  */
+class TallySink extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "tally"
+
+  // Write-only: schema always arrives from the query via
+  // supportsExternalMetadata; a read through this provider is a bug.
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new UnsupportedOperationException("tally is a write-only sink")
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty, "tally sink requires option 'path'")
+    new TallyTable(schema, path)
+  }
+}
+
+class TallyTable(writeSchema: StructType, path: String)
+    extends Table with SupportsWrite {
+  override def name(): String = s"tally($path)"
+  override def schema(): StructType = writeSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new TallyBatchWrite(info.schema(), path, info.queryId())
+      }
+    }
+}
+
+/** Task tally returned from executor commit to driver commit. */
+case class TallyCommit(file: String, rows: Long, bytes: Long)
+    extends WriterCommitMessage
+
+class TallyBatchWrite(schema: StructType, path: String, queryId: String)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new TallyWriterFactory(schema, path, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val tallies = messages.collect { case t: TallyCommit if t.rows > 0 => t }
+    val manifest = new File(path, "_tally")
+    val w = new BufferedWriter(new FileWriter(manifest))
+    try {
+      w.write(s"rows=${tallies.map(_.rows).sum}\n")
+      w.write(s"bytes=${tallies.map(_.bytes).sum}\n")
+      w.write(s"files=${tallies.length}\n")
+      tallies.map(_.file).sorted.foreach(f => w.write(s"file=$f\n"))
+    } finally w.close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case t: TallyCommit => t }
+      .foreach(t => new File(path, t.file).delete())
+}
+
+class TallyWriterFactory(schema: StructType, path: String, queryId: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new TallyWriter(schema, path, queryId, partitionId, taskId)
+}
+
+class TallyWriter(schema: StructType, path: String, queryId: String,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+
+  private val finalName = f"part-$queryId-$partitionId%05d.tsv"
+  // taskId in the temp name keeps retried attempts of one partition from
+  // colliding; only the committed attempt ever takes the final name
+  private val tempFile = new File(path, s".$finalName.$taskId.inprogress")
+  private var out: BufferedWriter = _
+  private var rows = 0L
+  private var bytes = 0L
+
+  private def ensureOpen(): Unit = if (out == null) {
+    tempFile.getParentFile.mkdirs()
+    out = new BufferedWriter(new FileWriter(tempFile))
+  }
+
+  override def write(row: InternalRow): Unit = {
+    ensureOpen()
+    val line = schema.fields.indices.map { i =>
+      if (row.isNullAt(i)) "\\N"
+      else schema.fields(i).dataType match {
+        case LongType    => row.getLong(i).toString
+        case IntegerType => row.getInt(i).toString
+        case DoubleType  => row.getDouble(i).toString
+        case BooleanType => row.getBoolean(i).toString
+        case StringType  => row.getUTF8String(i).toString
+        case dt => throw new UnsupportedOperationException(
+          s"tally sink: unsupported type $dt")
+      }
+    }.mkString("\t") + "\n"
+    out.write(line)
+    rows += 1
+    bytes += line.getBytes("UTF-8").length
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) out.close()
+    if (rows == 0) { tempFile.delete(); TallyCommit(finalName, 0, 0) }
+    else {
+      val dst = new File(path, finalName)
+      if (!tempFile.renameTo(dst))
+        throw new java.io.IOException(s"tally sink: rename to $dst failed")
+      TallyCommit(finalName, rows, bytes)
+    }
+  }
+
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    tempFile.delete()
+  }
+
+  override def close(): Unit = ()
+}
