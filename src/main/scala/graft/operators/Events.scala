@@ -163,6 +163,30 @@ object Events {
       .orderBy(col("event_type").asc, col("d").asc)
   }
 
+  /** Week-over-week leaderboard movement: rank event types by weekly
+    * volume, then each type's rank delta vs the previous week (positive
+    * = climbed). Two cheap windows over the weeks×types aggregate — the
+    * corpus-sized work is the single grouped count; everything after is
+    * dimension-sized. Weeks are exact integer epoch-µs divisions, ranks
+    * are row_number with the (count desc, type asc) total tie order, so
+    * the trend report is hash-exact. */
+  def evtRankDelta(s: SparkSession, d: String): DataFrame = {
+    val byWeek = Window.partitionBy(col("week"))
+      .orderBy(col("cnt").desc, col("event_type").asc)
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("week").asc)
+    Tables.events(s, d)
+      .withColumn("week", expr("unix_micros(ts) div 604800000000"))
+      .groupBy(col("week"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(byWeek).cast("long"))
+      .withColumn("prev_rnk", lag(col("rnk"), 1).over(byType))
+      .withColumn("delta", col("prev_rnk") - col("rnk"))
+      .select(col("week"), col("event_type"), col("cnt"), col("rnk"),
+        col("prev_rnk"), col("delta"))
+      .orderBy(col("week").asc, col("rnk").asc)
+  }
+
   /** Linear interpolation of interior gaps in the hourly series — the
     * complement of q_ts_gapfill's forward-fill: missing hours between two
     * observations take the line between them, in exact integer
@@ -508,6 +532,7 @@ object Events {
     "q_evt_retention" -> evtRetention,
     "q_ts_gapfill"   -> tsGapfill,
     "q_ts_interp"    -> tsInterp,
+    "q_evt_rank_delta" -> evtRankDelta,
     "q_evt_scd2"     -> evtScd2,
     "q_evt_latest"   -> evtLatest,
     "q_evt_tumbling" -> evtTumbling,
@@ -517,6 +542,24 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_evt_rank_delta" ->
+      """WITH wk AS (
+        |  SELECT epoch_us(ts) // 604800000000 AS week, event_type,
+        |         count(*) AS cnt
+        |  FROM events
+        |  GROUP BY week, event_type),
+        |r AS (
+        |  SELECT week, event_type, cnt,
+        |         CAST(row_number() OVER (PARTITION BY week
+        |           ORDER BY cnt DESC, event_type ASC) AS BIGINT) AS rnk
+        |  FROM wk)
+        |SELECT CAST(week AS BIGINT) AS week, event_type, cnt, rnk,
+        |       lag(rnk) OVER (PARTITION BY event_type ORDER BY week ASC)
+        |         AS prev_rnk,
+        |       lag(rnk) OVER (PARTITION BY event_type ORDER BY week ASC)
+        |         - rnk AS delta
+        |FROM r
+        |ORDER BY week ASC, rnk ASC""".stripMargin,
     "q_ts_interp" ->
       """WITH hourly AS (
         |  SELECT event_type,

@@ -268,7 +268,34 @@ object Windows {
       .orderBy(col("user_id").asc, col("x").asc)
   }
 
+  /** Rolling argmax over each user's trailing-5 frame WITHOUT an argmax
+    * window primitive: the (value, tiebreak) pair packs into one BIGINT
+    * — key = cents·10⁹ + (10⁹−1−event_id) — so plain windowed max()
+    * means "largest value, ties to the smallest event id", and the
+    * winner's value and identity unpack arithmetically from the max.
+    * The same trick every argmin/argmax-under-window needs on engines
+    * whose max_by has no frame form; exact while event ids stay below
+    * 10⁹ (they are dense indexes here — guarded in the spec). Constant
+    * work per row, the trailing-frame family's scale contract. */
+  def winArgmax(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(-4, Window.currentRow)
+    Tables.events(s, d)
+      .filter(col("user_id") % 17 === 0)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("cents",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .withColumn("mk",
+        max(expr("cents * 1000000000 + (999999999 - event_id)")).over(w))
+      .select(col("event_id"), col("user_id"), col("cents"),
+        expr("mk div 1000000000").as("max_cents"),
+        expr("999999999 - mk % 1000000000").as("argmax_event_id"))
+      .orderBy(col("user_id").asc, col("event_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_argmax"       -> winArgmax,
     "q_win_slope"        -> winSlope,
     "q_win_median"       -> winMedian,
     "q_win_distinct"     -> winDistinct,
@@ -284,6 +311,22 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_argmax" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE user_id % 17 = 0),
+        |m AS (
+        |  SELECT event_id, user_id, cents,
+        |         max(cents * 1000000000 + (999999999 - event_id))
+        |           OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mk
+        |  FROM e)
+        |SELECT event_id, user_id, cents,
+        |       CAST(mk // 1000000000 AS BIGINT) AS max_cents,
+        |       CAST(999999999 - mk % 1000000000 AS BIGINT) AS argmax_event_id
+        |FROM m
+        |ORDER BY user_id ASC, event_id ASC""".stripMargin,
     "q_win_slope" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS us,

@@ -52,6 +52,51 @@ class Round8OpsSpec extends SparkSpec {
     assert(rows == local)
   }
 
+  test("win argmax: packed-key max equals a local trailing-frame replay") {
+    // the packing precondition the scaladoc states
+    val maxId = Tables.events(spark, sf0001).agg(max(col("event_id")))
+      .collect()(0).getLong(0)
+    assert(maxId < 999999999L)
+    val ev = Tables.events(spark, sf0001)
+      .filter(col("user_id") % 17 === 0)
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val local = ev.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(e => (e._3, e._2))
+      sorted.indices.map { i =>
+        val frame = sorted.slice(math.max(0, i - 4), i + 1)
+        val best = frame.maxBy(e => (e._4, -e._2))
+        (sorted(i)._2, sorted(i)._1, sorted(i)._4, best._4, best._2)
+      }
+    }.toSet
+    val rows = operators.Windows.winArgmax(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(rows == local)
+  }
+
+  test("rank delta: per-week ranks are a permutation and deltas match lag") {
+    val rows = operators.Events.evtRankDelta(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._4).sorted.toSeq == (1L to g.length).toSeq)
+      // counts non-increasing down the rank order
+      val byRank = g.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      val byWeek = g.sortBy(_._1)
+      assert(byWeek.head._5.isEmpty && byWeek.head._6.isEmpty)
+      byWeek.zip(byWeek.tail).foreach { case (prev, cur) =>
+        assert(cur._5.contains(prev._4))
+        assert(cur._6.contains(prev._4 - cur._4))
+      }
+    }
+  }
+
   test("ts interp: gap fills equal a local linear replay, edges untouched") {
     val rows = operators.Events.tsInterp(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
