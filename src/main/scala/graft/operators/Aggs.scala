@@ -273,7 +273,31 @@ object Aggs {
       .orderBy(col("o_orderpriority").asc)
   }
 
+  /** The TYPED Dataset aggregation path — groupByKey → mapValues →
+    * reduceGroups over a case-class-free tuple Dataset: the
+    * `KeyValueGroupedDataset` API the DSL queries deliberately avoid.
+    * The trade is explicit and documented: reduceGroups runs the merge
+    * as JVM objects outside whole-stage codegen (fine for a 3-group
+    * reduce; wrong for wide aggregates — use the DSL or an Aggregator
+    * there, cf. q_udaf_wavg). Declared so the typed surface has a
+    * correctness row: the object path must produce byte-identical
+    * results to the SQL oracle. Integer cents keep the reduce
+    * order-free. */
+  def typedAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .reduceGroups(_ + _)
+      .toDF("flag", "sum_cents")
+      .orderBy(col("flag").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_typed_agg"       -> typedAgg,
     "q_agg_wmedian"     -> aggWmedian,
     "q_approx_topk"     -> approxTopK,
     "q_agg_histogram"   -> aggHistogram,
@@ -294,6 +318,13 @@ object Aggs {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_typed_agg" ->
+      """SELECT l_returnflag AS flag,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |         AS BIGINT) AS sum_cents
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY flag ASC""".stripMargin,
     // legitimate for a sketch: exact regime (maxItemsTracked >> domain)
     "q_approx_topk" ->
       """SELECT user_id, count(*) AS cnt

@@ -314,6 +314,25 @@ object Analytics {
       .orderBy(col("arm").asc)
   }
 
+  /** TPC-H Q13 shape (customer distribution): the aggregate-over-
+    * aggregate + outer-join pattern — orders pre-aggregate to per-customer
+    * counts on their own key, the LEFT join keeps zero-order customers
+    * (the rows an inner join silently drops and Q13 exists to count),
+    * and the second aggregate is distribution-sized. At 100 TB the only
+    * fact-sized shuffle is the first groupBy; the join's right side is
+    * already customer-sized. Priority filter stands in for the original's
+    * comment-pattern exclusion (no comment column in this schema). */
+  def tpchQ13(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("c_count"))
+    Tables.customer(s, d).select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .withColumn("c_count", coalesce(col("c_count"), lit(0L)))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   /** MERGE INTO / upsert semantics — the incremental-pipeline core every
     * warehouse user runs (Delta/Iceberg MERGE), expressed engine-neutral
     * as ONE full-outer join of base against a keyed change set, per-row
@@ -386,6 +405,7 @@ object Analytics {
     "q_tpch_q7"         -> tpchQ7,
     "q_tpch_q10"        -> tpchQ10,
     "q_tpch_q6"         -> tpchQ6,
+    "q_tpch_q13"        -> tpchQ13,
     "q_tpch_q14"        -> tpchQ14,
     "q_tpch_q19"        -> tpchQ19,
     "q_tpch_q18"        -> tpchQ18,
@@ -537,6 +557,17 @@ object Analytics {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
         |  AND l_quantity < 24""".stripMargin,
+    "q_tpch_q13" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey, count(*) AS c_count
+        |  FROM orders
+        |  WHERE o_orderpriority <> '1-URGENT'
+        |  GROUP BY o_custkey)
+        |SELECT coalesce(c_count, 0) AS c_count,
+        |       count(*) AS custdist
+        |FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+        |GROUP BY coalesce(c_count, 0)
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q_tpch_q14" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS month,
         |       CAST(sum(CASE WHEN p_type = 'PROMO'
