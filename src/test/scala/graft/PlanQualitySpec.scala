@@ -328,4 +328,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"contribution rollup lost hash agg:\n$p")
     assert(!p.contains("collect_set"), s"rolling distinct fell back to a set window:\n$p")
   }
+
+  test("tpch q14/q19 broadcast the part dim; q19's disjunction stays join-side residual") {
+    val p14 = plan("q_tpch_q14")
+    assert(p14.contains("BroadcastHashJoin"), s"q14 part dim not broadcast:\n$p14")
+    assert(p14.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      p14.contains("GreaterThanOrEqual(l_shipdate"), s"q14 date gate not pushed:\n$p14")
+    val p19 = plan("q_tpch_q19")
+    assert(p19.contains("BroadcastHashJoin"), s"q19 part dim not broadcast:\n$p19")
+    assert(!p19.contains("CartesianProduct"))
+  }
+
+  test("tpch q13's only fact-sized shuffle is the per-customer pre-aggregate") {
+    val p = plan("q_tpch_q13")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    // the outer join must not multiply: one left join, orders pre-aggregated below it
+    assert("LeftOuter".r.findAllIn(p).length == 1, s"expected exactly one outer join:\n$p")
+  }
+
+  test("dupspans never forms a pair join: gram-key aggregates + one bounded window") {
+    val p = plan("q_text_dupspans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    assert(p.contains("Window"), s"interval union lost its lead() window:\n$p")
+  }
+
+  test("ts interp windows + generator run over the hourly aggregate, not the fact") {
+    val p = plan("q_ts_interp")
+    // the explode (generator) must sit ABOVE the hourly HashAggregate in
+    // the plan tree: generating per-gap rows from raw events would be
+    // fact-sized work
+    val genAt = p.indexOf("Generate")
+    val aggAt = p.lastIndexOf("HashAggregate")
+    assert(genAt >= 0 && aggAt > genAt,
+      s"generator not above the hourly aggregate:\n$p")
+  }
 }
