@@ -314,6 +314,51 @@ object Analytics {
       .orderBy(col("arm").asc)
   }
 
+  /** TPC-H Q8 shape (national market share): the conditional-share
+    * report over the DOUBLE dimension path — the customer side restricts
+    * the market (nation→region filter on the order's customer), the
+    * supplier side labels each line with its seller's nation, and the
+    * share is "target nation's revenue over everyone's" per order year.
+    * Both nation legs and supplier broadcast; the two fact joins shuffle
+    * once each on their own keys (Q7's topology plus a conditional
+    * aggregate). Share in integer permille of exact micro-units — Q8's
+    * float division is exactly the §7.4 trap. */
+  def tpchQ8(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val nc = Tables.nation(s, d)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val c = Tables.customer(s, d)
+      .join(broadcast(nc), col("c_nationkey") === col("c_nk"))
+      .select(col("c_custkey"))
+    val ns = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val su = Tables.supplier(s, d)
+      .join(broadcast(ns), col("s_nationkey") === col("s_nk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") < "1998-01-01")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+        col("l_discount"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+      .withColumn("rev_micros", revMicros)
+      .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_3", col("rev_micros"))
+          .otherwise(0L)).as("nation_micros"),
+        sum(col("rev_micros")).as("total_micros"),
+        count(lit(1)).as("n_lines"))
+      .withColumn("share_pm",
+        expr("nation_micros * 1000 div total_micros"))
+      .orderBy(col("o_year").asc)
+  }
+
   /** TPC-H Q13 shape (customer distribution): the aggregate-over-
     * aggregate + outer-join pattern — orders pre-aggregate to per-customer
     * counts on their own key, the LEFT join keeps zero-order customers
@@ -405,6 +450,7 @@ object Analytics {
     "q_tpch_q7"         -> tpchQ7,
     "q_tpch_q10"        -> tpchQ10,
     "q_tpch_q6"         -> tpchQ6,
+    "q_tpch_q8"         -> tpchQ8,
     "q_tpch_q13"        -> tpchQ13,
     "q_tpch_q14"        -> tpchQ14,
     "q_tpch_q19"        -> tpchQ19,
@@ -557,6 +603,35 @@ object Analytics {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
         |  AND l_quantity < 24""".stripMargin,
+    "q_tpch_q8" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |         THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |         ELSE 0 END) AS BIGINT) AS nation_micros,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |         AS BIGINT) AS total_micros,
+        |       count(*) AS n_lines,
+        |       CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |         THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |         ELSE 0 END) * 1000
+        |         // sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |         AS BIGINT) AS share_pm
+        |FROM lineitem, orders, customer, supplier, nation n1, nation n2, region
+        |WHERE l_orderkey = o_orderkey
+        |  AND o_custkey = c_custkey
+        |  AND c_nationkey = n1.n_nationkey
+        |  AND n1.n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n2.n_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY o_year
+        |ORDER BY o_year ASC""".stripMargin,
     "q_tpch_q13" ->
       """WITH per_cust AS (
         |  SELECT o_custkey, count(*) AS c_count

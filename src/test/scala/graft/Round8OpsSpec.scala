@@ -52,6 +52,34 @@ class Round8OpsSpec extends SparkSpec {
     assert(rows == local)
   }
 
+  test("tpch q8: share is the target nation's fraction of the restricted market") {
+    val rows = operators.Analytics.tpchQ8(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1996L, 1997L))
+    rows.foreach { r =>
+      val (nat, tot, pm) = (r.getLong(1), r.getLong(2), r.getLong(4))
+      assert(nat >= 0 && nat <= tot)
+      assert(pm == nat * 1000 / tot)
+    }
+    // cross-check the total against an independent computation of the
+    // market restriction (ASIA customers, date window)
+    val asiaCustkeys = Tables.customer(spark, sf0001)
+      .join(Tables.nation(spark, sf0001)
+          .join(Tables.region(spark, sf0001).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val expect = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001)
+          .filter(col("o_orderdate") >= "1996-01-01" &&
+            col("o_orderdate") < "1998-01-01"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(asiaCustkeys, col("o_custkey") === col("c_custkey"))
+      .agg(sum(expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))")))
+      .collect()(0).getLong(0)
+    assert(rows.map(_.getLong(2)).sum == expect)
+  }
+
   test("win argmax: packed-key max equals a local trailing-frame replay") {
     // the packing precondition the scaladoc states
     val maxId = Tables.events(spark, sf0001).agg(max(col("event_id")))
