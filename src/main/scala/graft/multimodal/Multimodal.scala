@@ -129,9 +129,25 @@ object Multimodal {
         md5(col("frame")).as("frame_md5"))
       .orderBy(col("doc_id").asc, col("frame_id").asc)
 
+  /** Resize end-to-end: the every-k-th-byte downsample stub through the
+    * same typed partition-wise path as decode, digested flat. Docs at or
+    * under the 24-byte budget pass through identity — the oracle mirrors
+    * both branches. */
+  def mmResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).select(col("doc_id"), col("media")).as[MediaIn]
+      .mapPartitions(_.map(m => resizeStub(m, 24)))
+      .toDF()
+      .select(col("doc_id"),
+        length(col("resized")).cast("long").as("resized_len"),
+        md5(col("resized")).as("resized_md5"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_binary"   -> mmBinary,
     "q_mm_features" -> mmFeatures,
+    "q_mm_resize"   -> mmResize,
     "q_mm_frames"   -> mmFrames
   )
 
@@ -153,6 +169,20 @@ object Multimodal {
         |       md5(substr(text, (length(text) * frame_id) // 3 + 1, 16)) AS frame_md5
         |FROM documents CROSS JOIN (VALUES (0), (1), (2)) f(frame_id)
         |ORDER BY doc_id ASC, frame_id ASC""".stripMargin,
+    "q_mm_resize" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(text) <= 24 THEN text
+        |              ELSE array_to_string(list_transform(range(0, 24),
+        |                i -> substr(text,
+        |                  CAST((length(text) * i) // 24 AS INTEGER) + 1, 1)), '')
+        |         END AS resized
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(length(resized) AS BIGINT) AS resized_len,
+        |       md5(resized) AS resized_md5
+        |FROM r
+        |ORDER BY doc_id ASC""".stripMargin,
     "q_mm_features" ->
       """SELECT doc_id,
         |       length(text) AS n_bytes,
