@@ -707,22 +707,8 @@ object Text {
     * in corpus size like the dedup path it audits. */
   def textDupspans(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = Tables.spread(Tables.documents(s, d))
-      .withColumn("toks", toks)
-      .filter(size(col("toks")) >= 5)
-      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
-        posexplode(expr(
-          "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))")))
-      .select(col("doc_id"), col("n_toks"), (col("pos") + 1).as("p"),
-        col("col").as("g"))
-    // cross-doc criterion: the gram must appear in ≥2 DISTINCT docs —
-    // a phrase repeated only within one doc is repetition (q_text_repetition's
-    // signal), not cross-document duplication
-    val dfs = grams.groupBy(col("g"))
-      .agg(countDistinct(col("doc_id")).as("n_docs_g"))
-      .filter(col("n_docs_g") >= 2)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("p").asc)
-    grams.join(dfs, "g")
+    dupGramPositions(s, d)
       .withColumn("cov",
         least(coalesce(lead(col("p"), 1).over(w) - col("p"), lit(5L)), lit(5L)))
       .groupBy(col("doc_id"), col("n_toks"))
@@ -733,7 +719,67 @@ object Text {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Shared by the dup-span audit and the span-cut apply: (doc_id,
+    * n_toks, p) for every 5-gram position whose gram occurs in ≥2
+    * DISTINCT docs — a phrase repeated only within one doc is repetition
+    * (q_text_repetition's signal), not cross-document duplication. */
+  private def dupGramPositions(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.spread(Tables.documents(s, d))
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        posexplode(expr(
+          "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))")))
+      .select(col("doc_id"), col("n_toks"), (col("pos") + 1).as("p"),
+        col("col").as("g"))
+    val dfs = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_g"))
+      .filter(col("n_docs_g") >= 2)
+    grams.join(dfs, "g")
+      .select(col("doc_id"), col("n_toks"), col("p"))
+  }
+
+  /** The exact-substring-dedup APPLY step — q_text_dupspans measures the
+    * duplicated-span blanket, this CUTS it: every token position covered
+    * by a cross-doc duplicated 5-gram is removed, the survivors
+    * re-assemble in order, and each doc reports kept/removed counts plus
+    * the md5 of its cleaned text (so the rewrite itself is oracled, not
+    * just the arithmetic). Docs whose every token is covered emit the
+    * empty string. Shape: the dup-position core, one bounded explode
+    * (≤5 rows per dup gram) into a distinct covered-position set, an
+    * anti-join against the posexploded tokens, and a per-doc ordered
+    * re-aggregation — all keyed shuffles, never a pair join. */
+  def textSpancut(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, d))
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        col("toks"))
+    val toksPos = docs
+      .select(col("doc_id"), col("n_toks"), posexplode(col("toks")))
+      .select(col("doc_id"), col("n_toks"), (col("pos") + 1).as("tp"),
+        col("col").as("tok"))
+    val covered = dupGramPositions(s, d)
+      .select(col("doc_id"), explode(expr("sequence(p, p + 4)")).as("tp"))
+      .distinct()
+    val keptAgg = toksPos.join(covered, Seq("doc_id", "tp"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(tp, tok))), x -> x.tok)"))
+          .as("cleaned"))
+    docs.select(col("doc_id"), col("n_toks"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .withColumn("n_removed", col("n_toks") - col("n_kept"))
+      .withColumn("cleaned_md5", md5(coalesce(col("cleaned"), lit(""))))
+      .select(col("doc_id"), col("n_toks"), col("n_kept"), col("n_removed"),
+        col("cleaned_md5"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_spancut"  -> textSpancut,
     "q_text_dupspans" -> textDupspans,
     "q_text_lid_eval" -> textLidEval,
     "q_text_winnow"  -> textWinnow,
@@ -765,6 +811,42 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_spancut" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |pg AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+        |         unnest(list_transform(range(1, len(toks) - 3),
+        |           i -> struct_pack(p := i,
+        |             g := array_to_string(
+        |               toks[CAST(i AS INTEGER):CAST(i AS INTEGER) + 4], ' '))))
+        |           AS e
+        |  FROM base),
+        |g2 AS (
+        |  SELECT doc_id, n_toks, e.p AS p, e.g AS g FROM pg),
+        |dfs AS (
+        |  SELECT g FROM g2 GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, unnest(range(p, p + 5)) AS tp
+        |  FROM g2 JOIN dfs USING (g)),
+        |tok AS (
+        |  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS tp,
+        |         unnest(toks) AS tok
+        |  FROM base),
+        |kept AS (
+        |  SELECT t.doc_id, count(*) AS n_kept,
+        |         string_agg(t.tok, ' ' ORDER BY t.tp) AS cleaned
+        |  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tp = c.tp
+        |  WHERE c.tp IS NULL
+        |  GROUP BY t.doc_id)
+        |SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_toks,
+        |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |       CAST(len(b.toks) - coalesce(k.n_kept, 0) AS BIGINT)
+        |         AS n_removed,
+        |       md5(coalesce(k.cleaned, '')) AS cleaned_md5
+        |FROM base b LEFT JOIN kept k USING (doc_id)
+        |ORDER BY b.doc_id ASC""".stripMargin,
     "q_text_dupspans" ->
       """WITH base AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

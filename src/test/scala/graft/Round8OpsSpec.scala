@@ -153,6 +153,40 @@ class Round8OpsSpec extends SparkSpec {
     rows.filter(_._3 == "interp").foreach(r => assert(!obsSet.contains((r._1, r._2))))
   }
 
+  test("spancut: removed counts equal dupspans coverage; rewrite verified locally") {
+    val cut = operators.Text.textSpancut(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    val spans = operators.Text.textDupspans(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // audit/apply agreement: what dupspans says is covered, spancut removes
+    cut.foreach { case (id, (nToks, nKept, nRemoved, _)) =>
+      assert(nKept + nRemoved == nToks)
+      assert(nRemoved == spans.getOrElse(id, 0L))
+    }
+    // rewrite correctness on a local replay
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+      .filter(_._2.length >= 5)
+    val gramDocs = scala.collection.mutable.Map[String, Set[Long]]()
+    docs.foreach { case (id, toks) =>
+      toks.sliding(5).foreach(g => {
+        val k = g.mkString(" ")
+        gramDocs(k) = gramDocs.getOrElse(k, Set.empty) + id
+      })
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    docs.foreach { case (id, toks) =>
+      val covered = (0 to toks.length - 5)
+        .filter(p => gramDocs(toks.slice(p, p + 5).mkString(" ")).size >= 2)
+        .flatMap(p => p to p + 4).toSet
+      val cleaned = toks.indices.filterNot(covered).map(toks).mkString(" ")
+      val hex = md.digest(cleaned.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(cut(id)._4 == hex, s"doc $id cleaned-text digest mismatch")
+    }
+  }
+
   test("lid eval: matrix marginals equal per-lang doc counts") {
     val rows = operators.Text.textLidEval(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
