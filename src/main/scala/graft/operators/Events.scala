@@ -163,6 +163,24 @@ object Events {
       .orderBy(col("event_type").asc, col("d").asc)
   }
 
+  /** Inter-event gap distribution: per-user sequential gaps bucketed
+    * into capped 10-minute bands — the latency/cadence histogram behind
+    * session-gap threshold tuning (pick the valley, set the session
+    * gap). One window pass for the lag, one dimension-sized grouped
+    * count; gaps and buckets are exact integer µs/band arithmetic. */
+  def evtGapDist(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(byUser))
+      .filter(col("gap_us").isNotNull)
+      .withColumn("bucket", least(expr("gap_us div 600000000"), lit(12L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"))
+      .orderBy(col("bucket").asc)
+  }
+
   /** Week-over-week leaderboard movement: rank event types by weekly
     * volume, then each type's rank delta vs the previous week (positive
     * = climbed). Two cheap windows over the weeks×types aggregate — the
@@ -533,6 +551,7 @@ object Events {
     "q_ts_gapfill"   -> tsGapfill,
     "q_ts_interp"    -> tsInterp,
     "q_evt_rank_delta" -> evtRankDelta,
+    "q_evt_gap_dist" -> evtGapDist,
     "q_evt_scd2"     -> evtScd2,
     "q_evt_latest"   -> evtLatest,
     "q_evt_tumbling" -> evtTumbling,
@@ -542,6 +561,18 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_evt_gap_dist" ->
+      """WITH g AS (
+        |  SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
+        |           AS gap_us
+        |  FROM events)
+        |SELECT least(gap_us // 600000000, 12) AS bucket,
+        |       count(*) AS n_gaps
+        |FROM g
+        |WHERE gap_us IS NOT NULL
+        |GROUP BY bucket
+        |ORDER BY bucket ASC""".stripMargin,
     "q_evt_rank_delta" ->
       """WITH wk AS (
         |  SELECT epoch_us(ts) // 604800000000 AS week, event_type,

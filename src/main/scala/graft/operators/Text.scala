@@ -778,7 +778,23 @@ object Text {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Per-source type-token ratio — the lexical-diversity screen (a
+    * boilerplate-heavy source shows low TTR; a natural one, high): total
+    * token occurrences vs distinct types per source, ratio in integer
+    * permille. One explode feeding two aggregates on the (source, token)
+    * key — count-distinct's expand handles the type count, no set is
+    * ever collected. */
+  def textTtr(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables.documents(s, d))
+      .select(col("source"), explode(toks).as("tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_types"))
+      .withColumn("ttr_pm", expr("n_types * 1000 div n_tokens"))
+      .orderBy(col("source").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_ttr"      -> textTtr,
     "q_text_spancut"  -> textSpancut,
     "q_text_dupspans" -> textDupspans,
     "q_text_lid_eval" -> textLidEval,
@@ -811,6 +827,18 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_ttr" ->
+      """WITH t AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents)
+        |SELECT source,
+        |       count(*) AS n_tokens,
+        |       count(DISTINCT tok) AS n_types,
+        |       CAST(count(DISTINCT tok) * 1000 // count(*) AS BIGINT)
+        |         AS ttr_pm
+        |FROM t
+        |GROUP BY source
+        |ORDER BY source ASC""".stripMargin,
     "q_text_spancut" ->
       """WITH base AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

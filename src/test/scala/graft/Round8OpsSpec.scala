@@ -125,6 +125,26 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("gap dist: totals account for every non-first event; buckets capped") {
+    val rows = operators.Events.evtGapDist(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.forall { case (b, _) => b >= 0 && b <= 12 })
+    val ev = Tables.events(spark, sf0001)
+    val nEvents = ev.count()
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    assert(rows.map(_._2).sum == nEvents - nUsers)
+  }
+
+  test("ttr: types never exceed tokens; every source present") {
+    val rows = operators.Text.textTtr(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 20)
+    rows.foreach { case (_, nTok, nTyp, pm) =>
+      assert(nTyp <= nTok)
+      assert(pm == nTyp * 1000 / nTok)
+    }
+  }
+
   test("ts interp: gap fills equal a local linear replay, edges untouched") {
     val rows = operators.Events.tsInterp(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
