@@ -109,7 +109,10 @@ object Sim {
     * unbounded cartesian. */
   /** Assignment stage shared by the IVF queries: every vector labeled
     * with its nearest-centroid list id. */
-  private def ivfAssign(s: SparkSession, d: String): DataFrame = {
+  /** Top-k centroid assignment (k=1 is storage assignment; k>1 is the
+    * query-side multi-probe). Adds `probe_rank` so callers can tell the
+    * home list from overflow probes. */
+  private def ivfAssignK(s: SparkSession, d: String, k: Int): DataFrame = {
     val e = vectors(s, d)
     val c = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
@@ -121,10 +124,14 @@ object Sim {
       .withColumn("score",
         expr("vec_dot(embedding, cemb)") / (col("nrm") * col("cnrm")))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= k)
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("cid").as("list_id"))
+        col("cid").as("list_id"), col("rn").as("probe_rank"))
   }
+
+  private def ivfAssign(s: SparkSession, d: String): DataFrame =
+    ivfAssignK(s, d, 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("list_id"))
 
   def simIvf(s: SparkSession, d: String): DataFrame =
     ivfAssign(s, d)
@@ -149,6 +156,33 @@ object Sim {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id").asc)
     broadcast(q).join(cand,
+        col("q_list") === col("list_id") && col("q_id") =!= col("c_id"))
+      .withColumn("cos",
+        expr("vec_dot(q_arr, c_arr)") / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos_sim"),
+        col("rn"))
+      .orderBy(col("q_id").asc, col("rn").asc)
+  }
+
+  /** Multi-probe IVF search (probe-2): each query searches its TWO
+    * nearest centroids' inverted lists instead of one — the standard
+    * recall lever every IVF deployment turns before touching index
+    * geometry (q_sim_recall measures exactly the probe-1 recall this
+    * improves). Candidates stay disjoint by construction — a corpus
+    * vector lives in exactly one home list, and the two probed lists
+    * differ — so no post-join dedup is needed; the probe fan-out
+    * multiplies only the BROADCAST query side, never the corpus. */
+  def simIvfProbe2(s: SparkSession, d: String): DataFrame = {
+    val probes = ivfAssignK(s, d, 2).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_arr"),
+        col("nrm").as("q_nrm"), col("list_id").as("q_list"))
+    val cand = ivfAssign(s, d).select(col("vec_id").as("c_id"),
+      col("embedding").as("c_arr"), col("nrm").as("c_nrm"), col("list_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    broadcast(probes).join(cand,
         col("q_list") === col("list_id") && col("q_id") =!= col("c_id"))
       .withColumn("cos",
         expr("vec_dot(q_arr, c_arr)") / (col("q_nrm") * col("c_nrm")))
@@ -333,6 +367,7 @@ object Sim {
     "q_knn_label"      -> knnLabel,
     "q_dedup_embcos"   -> dedupEmbcos,
     "q_sim_ivf"        -> simIvf,
+    "q_sim_ivf_probe2" -> simIvfProbe2,
     "q_sim_ivf_search" -> simIvfSearch
   )
 
@@ -569,6 +604,41 @@ object Sim {
         |FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
         |ORDER BY cos_sim DESC, a_id ASC, b_id ASC
         |LIMIT 20""").stripMargin,
+    "q_sim_ivf_probe2" ->
+      (eCte + """,
+        |cc AS (
+        |  SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+        |  FROM e WHERE vec_id < 8),
+        |sc AS (
+        |  SELECT e.vec_id, cc.cid,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(list_zip(e.embedding, cc.cemb),
+        |             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),
+        |           (a, x) -> a + x) / (e.nrm * cc.cnrm) AS score
+        |  FROM e, cc),
+        |rk AS (
+        |  SELECT vec_id, cid,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY score DESC, cid ASC) AS rn
+        |  FROM sc),
+        |asgn AS (SELECT vec_id, cid AS list_id FROM rk WHERE rn = 1),
+        |probes AS (SELECT vec_id, cid AS list_id FROM rk WHERE rn <= 2),
+        |p AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |         """ + dotSql + """ AS cos
+        |  FROM e q
+        |  JOIN probes qa ON q.vec_id = qa.vec_id
+        |  JOIN asgn ca ON ca.list_id = qa.list_id
+        |  JOIN e c ON c.vec_id = ca.vec_id AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |rr AS (
+        |  SELECT q_id, c_id, cos,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY cos DESC, c_id ASC) AS rn
+        |  FROM p)
+        |SELECT q_id, c_id, round(cos, 4) AS cos_sim, rn
+        |FROM rr WHERE rn <= 5
+        |ORDER BY q_id ASC, rn ASC""").stripMargin,
     "q_sim_ivf_search" ->
       (eCte + """,
         |cc AS (

@@ -125,6 +125,20 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("ivf probe-2 dominates probe-1 pointwise (superset candidates)") {
+    def top5(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> r.getDouble(2)).toMap
+    val p1 = top5(operators.Sim.simIvfSearch(spark, sf0001))
+    val p2 = top5(operators.Sim.simIvfProbe2(spark, sf0001))
+    assert(p2.nonEmpty && p1.nonEmpty)
+    // probe-2 searches a superset of probe-1's list, so at every rank its
+    // similarity is at least probe-1's
+    p1.foreach { case (key, cos1) =>
+      assert(p2.contains(key))
+      assert(p2(key) >= cos1 - 1e-9, s"rank ${key._2} of query ${key._1} regressed")
+    }
+  }
+
   test("gap dist: totals account for every non-first event; buckets capped") {
     val rows = operators.Events.evtGapDist(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
