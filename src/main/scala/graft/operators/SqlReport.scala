@@ -148,7 +148,27 @@ object SqlReport {
             |ORDER BY day ASC""".stripMargin)
   }
 
+  /** The SQL:2003 FILTER clause through the SQL-text surface — the
+    * declarative form of q_cond_agg's count_if/when algebra (one pass,
+    * each aggregate sees its own predicate; never N filtered scans).
+    * Cents keep the filtered sums integer-exact. */
+  def sqlFilterClause(s: SparkSession, d: String): DataFrame = {
+    view(s, d)
+    s.sql("""SELECT user_id % 10 AS cohort,
+            |       count(*) AS n_events,
+            |       count(*) FILTER (WHERE event_type = 'purchase')
+            |         AS n_purchases,
+            |       count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+            |       sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+            |         FILTER (WHERE event_type = 'purchase')
+            |         AS purchase_cents
+            |FROM events_v
+            |GROUP BY cohort
+            |ORDER BY cohort ASC""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_filter"       -> sqlFilterClause,
     "q_sql_pivot" -> sqlPivot,
     "q_sql_lateral"       -> sqlLateral,
     "q_sql_recursive"     -> sqlRecursive,
@@ -161,6 +181,18 @@ object SqlReport {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_filter" ->
+      """SELECT user_id % 10 AS cohort,
+        |       count(*) AS n_events,
+        |       count(*) FILTER (WHERE event_type = 'purchase')
+        |         AS n_purchases,
+        |       count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+        |       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         FILTER (WHERE event_type = 'purchase') AS BIGINT)
+        |         AS purchase_cents
+        |FROM events
+        |GROUP BY cohort
+        |ORDER BY cohort ASC""".stripMargin,
     "q_sql_pivot" ->
       """SELECT epoch_us(ts) // 86400000000 AS day,
         |       CAST(coalesce(sum(CASE WHEN event_type = 'view'
