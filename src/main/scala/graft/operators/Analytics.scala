@@ -314,6 +314,27 @@ object Analytics {
       .orderBy(col("arm").asc)
   }
 
+  /** Market-basket co-occurrence — the association-rule support count:
+    * part pairs appearing in the same order, top-20 by support. The
+    * pair join is keyed on the ORDER (a natural bounded block: an
+    * order's line count is single-digit here and bounded in any real
+    * basket schema), with a_part < b_part orienting each pair once —
+    * pairs per order grow C(lines, 2), never corpus². Distinct parts
+    * within the order first: duplicate lines of one part must not
+    * inflate support. */
+  def basketPairs(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("a_part"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("b_part"))
+    a.join(b, Seq("l_orderkey"))
+      .filter(col("a_part") < col("b_part"))
+      .groupBy(col("a_part"), col("b_part"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("a_part").asc, col("b_part").asc)
+      .limit(20)
+  }
+
   /** TPC-H Q8 shape (national market share): the conditional-share
     * report over the DOUBLE dimension path — the customer side restricts
     * the market (nation→region filter on the order's customer), the
@@ -450,6 +471,7 @@ object Analytics {
     "q_tpch_q7"         -> tpchQ7,
     "q_tpch_q10"        -> tpchQ10,
     "q_tpch_q6"         -> tpchQ6,
+    "q_basket_pairs"    -> basketPairs,
     "q_tpch_q8"         -> tpchQ8,
     "q_tpch_q13"        -> tpchQ13,
     "q_tpch_q14"        -> tpchQ14,
@@ -603,6 +625,16 @@ object Analytics {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
         |  AND l_quantity < 24""".stripMargin,
+    "q_basket_pairs" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS a_part, b.l_partkey AS b_part,
+        |       count(*) AS support
+        |FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY a_part, b_part
+        |ORDER BY support DESC, a_part ASC, b_part ASC
+        |LIMIT 20""".stripMargin,
     "q_tpch_q8" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
         |       CAST(sum(CASE WHEN n2.n_name = 'NATION_3'

@@ -163,6 +163,24 @@ object Events {
       .orderBy(col("event_type").asc, col("d").asc)
   }
 
+  /** Velocity rule — the fraud/rate-limit primitive: per purchase, how
+    * many purchases the same user made in the trailing 10 minutes
+    * (inclusive), flagged when the burst exceeds 3. A rangeBetween frame
+    * on integer epoch-seconds — event-count in a TIME window, which a
+    * rows frame cannot express; one shuffle on the user key. Only flagged
+    * rows are emitted (the alert stream, not the event stream). */
+  def evtVelocity(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es").asc)
+      .rangeBetween(-600L, Window.currentRow)
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .withColumn("es", expr("unix_micros(ts) div 1000000"))
+      .withColumn("burst", count(lit(1)).over(w))
+      .filter(col("burst") > 3)
+      .select(col("user_id"), col("event_id"), col("es"), col("burst"))
+      .orderBy(col("user_id").asc, col("es").asc, col("event_id").asc)
+  }
+
   /** Inter-event gap distribution: per-user sequential gaps bucketed
     * into capped 10-minute bands — the latency/cadence histogram behind
     * session-gap threshold tuning (pick the valley, set the session
@@ -552,6 +570,7 @@ object Events {
     "q_ts_interp"    -> tsInterp,
     "q_evt_rank_delta" -> evtRankDelta,
     "q_evt_gap_dist" -> evtGapDist,
+    "q_evt_velocity" -> evtVelocity,
     "q_evt_scd2"     -> evtScd2,
     "q_evt_latest"   -> evtLatest,
     "q_evt_tumbling" -> evtTumbling,
@@ -561,6 +580,20 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_evt_velocity" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id,
+        |         epoch_us(ts) // 1000000 AS es
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (
+        |  SELECT user_id, event_id, es,
+        |         count(*) OVER (PARTITION BY user_id ORDER BY es ASC
+        |                        RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+        |           AS burst
+        |  FROM p)
+        |SELECT user_id, event_id, CAST(es AS BIGINT) AS es, burst
+        |FROM b WHERE burst > 3
+        |ORDER BY user_id ASC, es ASC, event_id ASC""".stripMargin,
     "q_evt_gap_dist" ->
       """WITH g AS (
         |  SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER

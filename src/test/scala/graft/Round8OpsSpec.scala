@@ -125,6 +125,41 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("velocity: every flagged burst replays to >3 purchases in 600s") {
+    val purchases = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts) div 1000000").as("es"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = purchases.groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
+    def burst(u: Long, es: Long): Long =
+      byUser(u).count(t => t >= es - 600 && t <= es)
+    val rows = operators.Events.evtVelocity(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (u, _, es, b) =>
+      assert(b == burst(u, es) && b > 3)
+    }
+    // completeness: every qualifying purchase is flagged
+    val expected = purchases.count { case (u, _, es) => burst(u, es) > 3 }
+    assert(rows.length == expected)
+  }
+
+  test("basket pairs: support equals a local per-order pair count") {
+    val orders = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    val support = scala.collection.mutable.Map[(Long, Long), Long]()
+    orders.values.foreach { parts =>
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        support((parts(i), parts(j))) = support.getOrElse((parts(i), parts(j)), 0L) + 1
+    }
+    val top = support.toSeq.sortBy { case ((a, b), s) => (-s, a, b) }.take(20)
+    val rows = operators.Analytics.basketPairs(spark, sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toSeq
+    assert(rows == top)
+  }
+
   test("ivf probe-2 dominates probe-1 pointwise (superset candidates)") {
     def top5(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(3)) -> r.getDouble(2)).toMap
