@@ -793,7 +793,39 @@ object Text {
       .withColumn("ttr_pm", expr("n_types * 1000 div n_tokens"))
       .orderBy(col("source").asc)
 
+  /** Distribution drift per source — total-variation distance between
+    * each source's token distribution and the corpus's, in EXACT integer
+    * ppm: TV = ½·Σ_t |c_st/n_s − C_t/N| = Σ_t |c_st·N − C_t·n_s| ·10⁶
+    * div (2·n_s·N). TV is chosen over KL precisely because it is a sum
+    * of integer absolute differences over one common denominator — KL's
+    * logarithms would need an unbounded ln table (cf. q_text_entropy's
+    * bounded one). Absent tokens contribute |0 − C_t·n_s| via the
+    * vocab×source grid left join; the grid is vocabulary-sized, the
+    * corpus-sized work is one (source, token) count. The monitoring
+    * metric behind "did source X drift from the mixture this week". */
+  def textSrcdrift(s: SparkSession, d: String): DataFrame = {
+    val tokCounts = Tables.spread(Tables.documents(s, d))
+      .select(col("source"), explode(toks).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val srcTotals = tokCounts.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val corpus = tokCounts.groupBy(col("tok")).agg(sum(col("c")).as("c_t"))
+    val total = corpus.agg(sum(col("c_t")).as("n_total"))
+    srcTotals.crossJoin(broadcast(corpus))
+      .join(tokCounts, Seq("source", "tok"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .groupBy(col("source"), col("n_s"), col("n_total"))
+      .agg(sum(abs(col("c") * col("n_total") - col("c_t") * col("n_s")))
+        .as("numer"))
+      .withColumn("tv_ppm",
+        expr("numer * 1000000 div (2 * n_s * n_total)"))
+      .select(col("source"), col("n_s"), col("numer"), col("tv_ppm"))
+      .orderBy(col("source").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_srcdrift" -> textSrcdrift,
     "q_text_ttr"      -> textTtr,
     "q_text_spancut"  -> textSpancut,
     "q_text_dupspans" -> textDupspans,
@@ -827,6 +859,30 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_srcdrift" ->
+      """WITH tc AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT source, tok, count(*) AS c FROM tc GROUP BY source, tok),
+        |st AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM cnt GROUP BY source),
+        |corpus AS (
+        |  SELECT tok, CAST(sum(c) AS BIGINT) AS c_t FROM cnt GROUP BY tok),
+        |tot AS (
+        |  SELECT CAST(sum(c_t) AS BIGINT) AS n_total FROM corpus),
+        |grid AS (
+        |  SELECT st.source, st.n_s, corpus.tok, corpus.c_t, tot.n_total,
+        |         CAST(coalesce(cnt.c, 0) AS BIGINT) AS c
+        |  FROM st CROSS JOIN corpus CROSS JOIN tot
+        |  LEFT JOIN cnt ON cnt.source = st.source AND cnt.tok = corpus.tok)
+        |SELECT source, n_s,
+        |       CAST(sum(abs(c * n_total - c_t * n_s)) AS BIGINT) AS numer,
+        |       CAST(sum(abs(c * n_total - c_t * n_s)) * 1000000
+        |         // (2 * n_s * max(n_total)) AS BIGINT) AS tv_ppm
+        |FROM grid
+        |GROUP BY source, n_s
+        |ORDER BY source ASC""".stripMargin,
     "q_text_ttr" ->
       """WITH t AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS tok

@@ -125,6 +125,29 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("srcdrift: TV distance equals a local distribution replay, bounded [0,1]") {
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").map(r.getString(0) -> _))
+    val bySrc = toks.groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.length.toLong).toMap).toMap
+    val corpus = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nTotal = toks.length.toLong
+    val rows = operators.Text.textSrcdrift(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, counts) =>
+      val nS = counts.values.sum
+      val numer = corpus.map { case (tok, cT) =>
+        math.abs(counts.getOrElse(tok, 0L) * nTotal - cT * nS)
+      }.sum
+      val (gotN, gotNumer, gotPpm) = rows(src)
+      assert(gotN == nS && gotNumer == numer)
+      assert(gotPpm == numer * 1000000 / (2 * nS * nTotal))
+      assert(gotPpm >= 0 && gotPpm <= 1000000)
+    }
+  }
+
   test("velocity: every flagged burst replays to >3 purchases in 600s") {
     val purchases = Tables.events(spark, sf0001)
       .filter(col("event_type") === "purchase")
