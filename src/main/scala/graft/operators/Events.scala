@@ -163,6 +163,37 @@ object Events {
       .orderBy(col("event_type").asc, col("d").asc)
   }
 
+  /** Pareto / cumulative-share curve — "the top decile of users produces
+    * X% of events": users ranked by volume, bucketed into integer-exact
+    * deciles ((rn−1)·10 div n + 1 — no ntile, whose Spark/DuckDB tie
+    * behavior needn't agree), per-decile and cumulative shares in
+    * permille. The windows run over the per-user AGGREGATE (user-count-
+    * sized, not event-sized) — the same scale contract as q_win_ntile's
+    * caveat: at billions of users the exact curve needs the approx-
+    * quantile path (q_win_ntile_approx), this declared query is the
+    * exact dimension-sized report. */
+  def evtPareto(s: SparkSession, d: String): DataFrame = {
+    val byCnt = Window.orderBy(col("cnt").desc, col("user_id").asc)
+    val perUser = Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(byCnt).cast("long"))
+    val deciled = perUser
+      .crossJoin(broadcast(perUser.agg(count(lit(1)).as("n_users"),
+        sum(col("cnt")).as("n_events"))))
+      .withColumn("decile", expr("(rn - 1) * 10 div n_users + 1"))
+      .groupBy(col("decile"), col("n_events"))
+      .agg(count(lit(1)).as("n_users_d"), sum(col("cnt")).as("events_d"))
+    val byDec = Window.orderBy(col("decile").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciled
+      .withColumn("cum_events", sum(col("events_d")).over(byDec))
+      .withColumn("share_pm", expr("events_d * 1000 div n_events"))
+      .withColumn("cum_share_pm", expr("cum_events * 1000 div n_events"))
+      .select(col("decile"), col("n_users_d"), col("events_d"),
+        col("share_pm"), col("cum_share_pm"))
+      .orderBy(col("decile").asc)
+  }
+
   /** Velocity rule — the fraud/rate-limit primitive: per purchase, how
     * many purchases the same user made in the trailing 10 minutes
     * (inclusive), flagged when the burst exceeds 3. A rangeBetween frame
@@ -571,6 +602,7 @@ object Events {
     "q_evt_rank_delta" -> evtRankDelta,
     "q_evt_gap_dist" -> evtGapDist,
     "q_evt_velocity" -> evtVelocity,
+    "q_evt_pareto"   -> evtPareto,
     "q_evt_scd2"     -> evtScd2,
     "q_evt_latest"   -> evtLatest,
     "q_evt_tumbling" -> evtTumbling,
@@ -580,6 +612,32 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_evt_pareto" ->
+      """WITH pu AS (
+        |  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        |tot AS (
+        |  SELECT count(*) AS n_users, CAST(sum(cnt) AS BIGINT) AS n_events
+        |  FROM pu),
+        |r AS (
+        |  SELECT cnt,
+        |         CAST(row_number() OVER (ORDER BY cnt DESC, user_id ASC)
+        |           AS BIGINT) AS rn
+        |  FROM pu),
+        |dec AS (
+        |  SELECT (rn - 1) * 10 // n_users + 1 AS decile, n_events,
+        |         cnt
+        |  FROM r CROSS JOIN tot),
+        |g AS (
+        |  SELECT decile, n_events, count(*) AS n_users_d,
+        |         CAST(sum(cnt) AS BIGINT) AS events_d
+        |  FROM dec GROUP BY decile, n_events)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_users_d, events_d,
+        |       CAST(events_d * 1000 // n_events AS BIGINT) AS share_pm,
+        |       CAST(sum(events_d) OVER (ORDER BY decile ASC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            * 1000 // n_events AS BIGINT) AS cum_share_pm
+        |FROM g
+        |ORDER BY decile ASC""".stripMargin,
     "q_evt_velocity" ->
       """WITH p AS (
         |  SELECT user_id, event_id,

@@ -125,6 +125,19 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("pareto: deciles partition all users, shares monotone and complete") {
+    val rows = operators.Events.evtPareto(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    val ev = Tables.events(spark, sf0001)
+    assert(rows.map(_._2).sum == ev.select(col("user_id")).distinct().count())
+    assert(rows.map(_._3).sum == ev.count())
+    // top decile has the largest share; cumulative share ends at ~1000
+    assert(rows.head._4 == rows.map(_._4).max)
+    assert(rows.last._5 >= 999 && rows.last._5 <= 1000)
+    assert(rows.map(_._5).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
   test("srcdrift: TV distance equals a local distribution replay, bounded [0,1]") {
     val toks = Tables.documents(spark, sf0001)
       .select(col("source"), col("text")).collect()
