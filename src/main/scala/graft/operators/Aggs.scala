@@ -273,6 +273,26 @@ object Aggs {
       .orderBy(col("o_orderpriority").asc)
   }
 
+  /** Top-3 orders per customer through the BOUNDED-STATE Aggregator
+    * (graft.functions.TopK): only the 3-element buffer crosses the
+    * shuffle (map-side combine for top-k), where the window-rank form
+    * shuffles every order row. The oracle IS the window-rank SQL, so the
+    * gate proves the buffered aggregation ≡ rank-then-filter exactly —
+    * tie order (cents desc, orderkey asc) is encoded in both. */
+  def udafTopk(s: SparkSession, d: String): DataFrame = {
+    val top3 = udaf(new graft.functions.TopK(3))
+    Tables.orders(s, d)
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(top3(col("cents"), col("o_orderkey")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col._1").as("total_cents"), col("col._2").as("o_orderkey"))
+      .orderBy(col("o_custkey").asc, col("rnk").asc)
+  }
+
   /** The TYPED Dataset aggregation path — groupByKey → mapValues →
     * reduceGroups over a case-class-free tuple Dataset: the
     * `KeyValueGroupedDataset` API the DSL queries deliberately avoid.
@@ -297,6 +317,7 @@ object Aggs {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_udaf_topk"       -> udafTopk,
     "q_typed_agg"       -> typedAgg,
     "q_agg_wmedian"     -> aggWmedian,
     "q_approx_topk"     -> approxTopK,
@@ -318,6 +339,18 @@ object Aggs {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_udaf_topk" ->
+      """WITH r AS (
+        |  SELECT o_custkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+        |         o_orderkey,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+        |                    o_orderkey ASC) AS BIGINT) AS rnk
+        |  FROM orders)
+        |SELECT o_custkey, rnk, total_cents, o_orderkey
+        |FROM r WHERE rnk <= 3
+        |ORDER BY o_custkey ASC, rnk ASC""".stripMargin,
     "q_typed_agg" ->
       """SELECT l_returnflag AS flag,
         |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))

@@ -125,6 +125,23 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("topk aggregator: random fold orders all agree with sort-take") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val agg = new functions.TopK(3)
+    val rows = Gen.listOf(Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(0L, 1000L)))
+    val prop = forAll(rows, Gen.chooseNum(1, 5)) { (xs, splits) =>
+      val expect = xs.sortBy(t => (-t._1, t._2)).take(3)
+      // fold in arbitrary partitionings: reduce within chunks, merge across
+      val chunks = xs.grouped(math.max(1, xs.length / splits + 1)).toSeq
+      val merged = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      agg.finish(merged) == expect
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("pareto: deciles partition all users, shares monotone and complete") {
     val rows = operators.Events.evtPareto(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
