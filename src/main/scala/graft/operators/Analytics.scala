@@ -335,6 +335,40 @@ object Analytics {
       .limit(20)
   }
 
+  /** Association-rule LIFT over the basket pairs — support alone ranks
+    * popular×popular pairs first; lift = P(ab)/(P(a)·P(b)) corrects for
+    * item popularity. Integer-exact as in q_text_colloc: lift_ppm =
+    * support·n_orders·10⁶ div (supp_a·supp_b) compares the exact
+    * rational (lift is monotone in it). Item supports are an aggregate
+    * over the same distinct (order, part) set, broadcast back twice;
+    * support floor ≥ 3 applies the standard small-sample guard. */
+  def basketLift(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val itemSupp = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("supp"))
+    // order count rides a 1-row broadcast, not a plan-time .count() —
+    // the query stays one lazy plan with no driver-side action
+    val nOrders = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("a_part"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("b_part"))
+    a.join(b, Seq("l_orderkey"))
+      .filter(col("a_part") < col("b_part"))
+      .groupBy(col("a_part"), col("b_part"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 3)
+      .join(broadcast(itemSupp.select(col("l_partkey").as("a_part"),
+        col("supp").as("supp_a"))), "a_part")
+      .join(broadcast(itemSupp.select(col("l_partkey").as("b_part"),
+        col("supp").as("supp_b"))), "b_part")
+      .crossJoin(broadcast(nOrders))
+      .withColumn("lift_ppm",
+        expr("support * n_orders * 1000000 div (supp_a * supp_b)"))
+      .select(col("a_part"), col("b_part"), col("support"),
+        col("supp_a"), col("supp_b"), col("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("a_part").asc, col("b_part").asc)
+      .limit(20)
+  }
+
   /** TPC-H Q8 shape (national market share): the conditional-share
     * report over the DOUBLE dimension path — the customer side restricts
     * the market (nation→region filter on the order's customer), the
@@ -472,6 +506,7 @@ object Analytics {
     "q_tpch_q10"        -> tpchQ10,
     "q_tpch_q6"         -> tpchQ6,
     "q_basket_pairs"    -> basketPairs,
+    "q_basket_lift"     -> basketLift,
     "q_tpch_q8"         -> tpchQ8,
     "q_tpch_q13"        -> tpchQ13,
     "q_tpch_q14"        -> tpchQ14,
@@ -625,6 +660,30 @@ object Analytics {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
         |  AND l_quantity < 24""".stripMargin,
+    "q_basket_lift" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |supp AS (
+        |  SELECT l_partkey, count(*) AS s FROM li GROUP BY l_partkey),
+        |tot AS (
+        |  SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+        |pairs AS (
+        |  SELECT a.l_partkey AS a_part, b.l_partkey AS b_part,
+        |         count(*) AS support
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY a_part, b_part
+        |  HAVING count(*) >= 3)
+        |SELECT a_part, b_part, support,
+        |       sa.s AS supp_a, sb.s AS supp_b,
+        |       CAST(support * n_orders * 1000000 // (sa.s * sb.s) AS BIGINT)
+        |         AS lift_ppm
+        |FROM pairs
+        |JOIN supp sa ON sa.l_partkey = a_part
+        |JOIN supp sb ON sb.l_partkey = b_part
+        |CROSS JOIN tot
+        |ORDER BY lift_ppm DESC, a_part ASC, b_part ASC
+        |LIMIT 20""".stripMargin,
     "q_basket_pairs" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)

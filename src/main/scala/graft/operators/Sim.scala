@@ -193,6 +193,38 @@ object Sim {
       .orderBy(col("q_id").asc, col("rn").asc)
   }
 
+  /** Embedding-space drift per label — the vector twin of
+    * q_text_srcdrift: split each label's vectors into deterministic
+    * halves (vec_id parity — "old batch vs new batch"), accumulate
+    * quantized component sums per half (q_emb_stats' hash-exact
+    * algebra), and report the L1 distance between the half-centroids as
+    * an exact rational: numer = Σ_i |s0_i·n1 − s1_i·n0| over common
+    * denominator n0·n1 (drift_m scales to milli-units of the original
+    * embedding space via the ×64 quantization). The monitoring alarm
+    * for "did the new embedding batch shift the space". */
+  def embDrift(s: SparkSession, d: String): DataFrame = {
+    val comps = Tables.embeddings(s, d)
+      .withColumn("half", (col("vec_id") % 2).cast("long"))
+      .withColumn("qv", expr(
+        "transform(embedding, x -> CAST(least(127, greatest(-128, " +
+          "floor(CAST(x AS DOUBLE) * 64.0D + 0.5D))) AS BIGINT))"))
+      .select(col("label"), col("half"), posexplode(col("qv")))
+      .groupBy(col("label"), col("half"), col("pos"))
+      .agg(sum(col("col")).as("cs"), count(lit(1)).as("n"))
+    val h0 = comps.filter(col("half") === 0)
+      .select(col("label"), col("pos"), col("cs").as("s0"), col("n").as("n0"))
+    val h1 = comps.filter(col("half") === 1)
+      .select(col("label"), col("pos"), col("cs").as("s1"), col("n").as("n1"))
+    h0.join(h1, Seq("label", "pos"))
+      .groupBy(col("label"), col("n0"), col("n1"))
+      .agg(sum(abs(col("s0") * col("n1") - col("s1") * col("n0")))
+        .as("numer"))
+      .withColumn("drift_m", expr("numer * 1000 div (n0 * n1 * 64)"))
+      .select(col("label"), col("n0"), col("n1"), col("numer"),
+        col("drift_m"))
+      .orderBy(col("label").asc)
+  }
+
   /** Symmetric int8 quantization per embedding — the 4× storage shrink
     * applied before similarity-searching 100 TB of vectors. Deterministic
     * rounding via floor(x·scale + 0.5) (explicit, engine-neutral — no
@@ -368,6 +400,7 @@ object Sim {
     "q_dedup_embcos"   -> dedupEmbcos,
     "q_sim_ivf"        -> simIvf,
     "q_sim_ivf_probe2" -> simIvfProbe2,
+    "q_emb_drift"      -> embDrift,
     "q_sim_ivf_search" -> simIvfSearch
   )
 
@@ -604,6 +637,32 @@ object Sim {
         |FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
         |ORDER BY cos_sim DESC, a_id ASC, b_id ASC
         |LIMIT 20""").stripMargin,
+    "q_emb_drift" ->
+      """WITH q AS (
+        |  SELECT label, vec_id % 2 AS half,
+        |         unnest(range(1, len(embedding) + 1)) AS pos,
+        |         unnest(list_transform(embedding,
+        |           x -> CAST(least(127, greatest(-128,
+        |             floor(CAST(x AS DOUBLE) * 64.0 + 0.5))) AS BIGINT)))
+        |           AS v
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT label, half, pos, CAST(sum(v) AS BIGINT) AS s,
+        |         count(*) AS n
+        |  FROM q GROUP BY label, half, pos),
+        |j AS (
+        |  SELECT c0.label, c0.pos, c0.s AS s0, c0.n AS n0,
+        |         c1.s AS s1, c1.n AS n1
+        |  FROM c c0 JOIN c c1
+        |    ON c0.label = c1.label AND c0.pos = c1.pos
+        |   AND c0.half = 0 AND c1.half = 1)
+        |SELECT label, n0, n1,
+        |       CAST(sum(abs(s0 * n1 - s1 * n0)) AS BIGINT) AS numer,
+        |       CAST(sum(abs(s0 * n1 - s1 * n0)) * 1000
+        |         // (n0 * n1 * 64) AS BIGINT) AS drift_m
+        |FROM j
+        |GROUP BY label, n0, n1
+        |ORDER BY label ASC""".stripMargin,
     "q_sim_ivf_probe2" ->
       (eCte + """,
         |cc AS (

@@ -125,6 +125,52 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("basket lift: ppm values replay from pair and item supports") {
+    val pairs = operators.Analytics.basketPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val itemSupp = li.groupBy(col("l_partkey")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nOrders = li.select(col("l_orderkey")).distinct().count()
+    val rows = operators.Analytics.basketLift(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, supp, sa, sb, ppm) =>
+      assert(supp >= 3)
+      assert(sa == itemSupp(a) && sb == itemSupp(b))
+      assert(ppm == supp * nOrders * 1000000 / (sa * sb))
+      // support agrees with the pairs query where the pair ranked top-20
+      pairs.get((a, b)).foreach(s => assert(s == supp))
+    }
+    // lift ordering is descending
+    assert(rows.map(_._6).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("emb drift: zero against itself, exact against a local replay") {
+    def quant(x: Float): Long =
+      math.min(127L, math.max(-128L, math.floor(x.toDouble * 64.0 + 0.5).toLong))
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(quant).toArray))
+    val rows = operators.Sim.embDrift(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    vecs.groupBy(_._2).foreach { case (label, g) =>
+      val h0 = g.filter(_._1 % 2 == 0).map(_._3)
+      val h1 = g.filter(_._1 % 2 == 1).map(_._3)
+      val dim = g.head._3.length
+      val numer = (0 until dim).map { i =>
+        math.abs(h0.map(_(i)).sum * h1.length - h1.map(_(i)).sum * h0.length)
+      }.sum
+      val (n0, n1, gotNumer, gotDrift) = rows(label)
+      assert(n0 == h0.length && n1 == h1.length)
+      assert(gotNumer == numer)
+      assert(gotDrift == numer * 1000 / (n0 * n1 * 64))
+    }
+  }
+
   test("topk aggregator: random fold orders all agree with sort-take") {
     import org.scalacheck.{Gen, Test => SCTest}
     import org.scalacheck.Prop.forAll
