@@ -112,6 +112,41 @@ object Geo {
       .limit(50)
   }
 
+  /** Shared anchor set for nearest-anchor classification — one constant,
+    * two consumers (the broadcast DataFrame and the generated oracle
+    * VALUES list). */
+  private val anchors = Seq(
+    (1L, 43.6532, -79.3832), (2L, 51.5074, -0.1278),
+    (3L, -33.8688, 151.2093), (4L, 35.6762, 139.6503),
+    (5L, -23.5505, -46.6333))
+
+  /** Nearest-anchor classification — the geo "assign to closest
+    * centroid": every point scores against the 5-row broadcast anchor
+    * dim via the native codegen haversine, argmin by (rounded km,
+    * anchor id) — ranking on round(3) absorbs libm ulp drift exactly as
+    * q_geo_haversine does — then a per-anchor rollup. The shape is
+    * IVF-assign on a sphere: fact × tiny broadcast, one grouped
+    * aggregate, no shuffle beyond it. */
+  def geoNearest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    graft.functions.VectorExprs.register(s)
+    val a = broadcast(anchors.toDF("anchor_id", "a_lat", "a_lon"))
+    val w = Window.partitionBy(col("c_custkey"))
+      .orderBy(col("km").asc, col("anchor_id").asc)
+    withCoords(Tables.customer(s, d))
+      .crossJoin(a)
+      .withColumn("km",
+        round(expr("haversine_km(lat, lon, a_lat, a_lon)"), 3))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("anchor_id"))
+      .agg(count(lit(1)).as("n_points"),
+        round(min(col("km")), 3).as("min_km"),
+        round(max(col("km")), 3).as("max_km"))
+      .orderBy(col("anchor_id").asc)
+  }
+
   /** Grid-stencil spatial self-join: all point pairs within 100 km. The
     * scale shape for "spatial join on a sphere": quantize to 2° grid
     * cells, explode each LEFT point into its 3×3 neighbor-cell stencil,
@@ -165,6 +200,7 @@ object Geo {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_spatial"    -> joinSpatial,
     "q_geo_dist_native" -> geoDistNative,
+    "q_geo_nearest"     -> geoNearest,
     "q_geo_zorder"    -> geoZorder,
     "q_geo_bbox"      -> geoBbox,
     "q_geo_haversine" -> geoHaversine,
@@ -206,6 +242,34 @@ object Geo {
         |          * pow(sin(radians(b.lon - a.lon) / 2), 2))) <= 100
         |ORDER BY a_id ASC, b_id ASC""".stripMargin,
     "q_geo_dist_native" -> haversineOracle,
+    "q_geo_nearest" ->
+      (s"""WITH a(anchor_id, a_lat, a_lon) AS (VALUES
+        |  ${anchors.map { case (i, la, lo) => s"($i, $la, $lo)" }
+             .mkString(",\n  ")}),
+        |p AS (
+        |  SELECT c_custkey,
+        |         CAST(c_custkey % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+        |         CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) + 0.5 AS lon
+        |  FROM customer),
+        |sc AS (
+        |  SELECT c_custkey, anchor_id,
+        |         round(2 * 6371.0088 * asin(sqrt(
+        |           pow(sin(radians(a_lat - lat) / 2), 2)
+        |           + cos(radians(lat)) * cos(radians(a_lat))
+        |             * pow(sin(radians(a_lon - lon) / 2), 2))), 3) AS km
+        |  FROM p CROSS JOIN a),
+        |best AS (
+        |  SELECT c_custkey, anchor_id, km,
+        |         row_number() OVER (PARTITION BY c_custkey
+        |                            ORDER BY km ASC, anchor_id ASC) AS rn
+        |  FROM sc)
+        |SELECT CAST(anchor_id AS BIGINT) AS anchor_id,
+        |       count(*) AS n_points,
+        |       round(min(km), 3) AS min_km,
+        |       round(max(km), 3) AS max_km
+        |FROM best WHERE rn = 1
+        |GROUP BY anchor_id
+        |ORDER BY anchor_id ASC""").stripMargin,
     "q_geo_zorder" ->
       s"""WITH cells AS (
         |  SELECT CAST(floor((lon + 180.0) / 2.0) AS BIGINT) AS zx,

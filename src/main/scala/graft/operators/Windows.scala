@@ -268,6 +268,38 @@ object Windows {
       .orderBy(col("user_id").asc, col("x").asc)
   }
 
+  /** Rolling outlier flag — the z-score rule |x−μ| > 2σ over each
+    * user's trailing-8 frame WITHOUT a float ever existing: with
+    * s = Σ frame, q = Σ frame², n = |frame|, the test cross-multiplies
+    * to (n·x − s)² > 4·(n·q − s²) — exact BIGINT on both sides (cents ≤
+    * ~10⁵, n ≤ 8 keeps every term ≪ 2⁶³). Full frames only, like the
+    * OLS slope. The float z-score never hash-matches across engines;
+    * the cross-multiplied inequality always does. */
+  def winOutlier(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val f = wOrd.rowsBetween(-7, Window.currentRow)
+    Tables.events(s, d)
+      .filter(col("user_id") % 17 === 0)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("cents",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .withColumn("x", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(f))
+      .withColumn("sy", sum(col("cents")).over(f))
+      .withColumn("qy", sum(col("cents") * col("cents")).over(f))
+      .filter(col("x") >= 8)
+      .withColumn("lhs",
+        (col("n") * col("cents") - col("sy")) *
+          (col("n") * col("cents") - col("sy")))
+      .withColumn("rhs",
+        lit(4L) * (col("n") * col("qy") - col("sy") * col("sy")))
+      .withColumn("is_outlier", (col("lhs") > col("rhs")).cast("long"))
+      .select(col("event_id"), col("user_id"), col("cents"), col("lhs"),
+        col("rhs"), col("is_outlier"))
+      .orderBy(col("user_id").asc, col("event_id").asc)
+  }
+
   /** Rolling argmax over each user's trailing-5 frame WITHOUT an argmax
     * window primitive: the (value, tiebreak) pair packs into one BIGINT
     * — key = cents·10⁹ + (10⁹−1−event_id) — so plain windowed max()
@@ -296,6 +328,7 @@ object Windows {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_win_argmax"       -> winArgmax,
+    "q_win_outlier"      -> winOutlier,
     "q_win_slope"        -> winSlope,
     "q_win_median"       -> winMedian,
     "q_win_distinct"     -> winDistinct,
@@ -311,6 +344,29 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_outlier" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE user_id % 17 = 0),
+        |r AS (
+        |  SELECT event_id, user_id, cents,
+        |         CAST(row_number() OVER w AS BIGINT) AS x,
+        |         count(*) OVER fr AS n,
+        |         CAST(sum(cents) OVER fr AS BIGINT) AS sy,
+        |         CAST(sum(cents * cents) OVER fr AS BIGINT) AS qy
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC),
+        |         fr AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, cents,
+        |       (n * cents - sy) * (n * cents - sy) AS lhs,
+        |       4 * (n * qy - sy * sy) AS rhs,
+        |       CAST(CASE WHEN (n * cents - sy) * (n * cents - sy)
+        |                    > 4 * (n * qy - sy * sy)
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+        |FROM r WHERE x >= 8
+        |ORDER BY user_id ASC, event_id ASC""".stripMargin,
     "q_win_argmax" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS us,

@@ -125,6 +125,57 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("geo nearest: assignments partition all customers, locally replayed") {
+    val rows = operators.Geo.geoNearest(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val custs = Tables.customer(spark, sf0001)
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    assert(rows.values.sum == custs.length)
+    val anchors = Seq((1L, 43.6532, -79.3832), (2L, 51.5074, -0.1278),
+      (3L, -33.8688, 151.2093), (4L, 35.6762, 139.6503),
+      (5L, -23.5505, -46.6333))
+    def hav(la1: Double, lo1: Double, la2: Double, lo2: Double): Double = {
+      val r = math.Pi / 180
+      val h = math.pow(math.sin((la2 - la1) * r / 2), 2) +
+        math.cos(la1 * r) * math.cos(la2 * r) *
+          math.pow(math.sin((lo2 - lo1) * r / 2), 2)
+      math.round(2 * 6371.0088 * math.asin(math.sqrt(h)) * 1000) / 1000.0
+    }
+    val local = custs.map { k =>
+      val lat = (k % 180 - 90).toDouble + 0.5
+      val lon = ((k * 7) % 360 - 180).toDouble + 0.5
+      anchors.minBy { case (id, ala, alo) => (hav(lat, lon, ala, alo), id) }._1
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows == local)
+  }
+
+  test("win outlier: integer rule equals the z-score rule on a local replay") {
+    val ev = Tables.events(spark, sf0001)
+      .filter(col("user_id") % 17 === 0)
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val local = ev.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(e => (e._3, e._2))
+      sorted.indices.drop(7).map { i =>
+        val fr = sorted.slice(i - 7, i + 1).map(_._4)
+        val (n, s, q) = (fr.length.toLong, fr.sum, fr.map(v => v * v).sum)
+        val x = sorted(i)._4
+        val intRule = (n * x - s) * (n * x - s) > 4 * (n * q - s * s)
+        // float z-score with exactly-representable integer inputs
+        val mu = s.toDouble / n
+        val sigma2 = (q.toDouble - n * mu * mu) / n
+        val floatRule = (x - mu) * (x - mu) > 4.0 * sigma2
+        assert(intRule == floatRule, s"rules disagree at event ${sorted(i)._2}")
+        (sorted(i)._2, if (intRule) 1L else 0L)
+      }
+    }.toMap
+    val rows = operators.Windows.winOutlier(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(rows == local)
+    assert(rows.values.sum > 0, "no outliers flagged at sf0.001")
+  }
+
   test("basket lift: ppm values replay from pair and item supports") {
     val pairs = operators.Analytics.basketPairs(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
