@@ -213,6 +213,29 @@ object Joins {
       .orderBy(col("event_id").asc)
   }
 
+  /** The SAME range-join semantics as [[joinRange]], but written the way
+    * a user naturally would — `abs(a − b) <= w` as the join's ONLY
+    * condition — and planned scalably by the `RangeJoinRewrite`
+    * optimizer rule (installed session-locally, idempotent). This
+    * declares the OPTIMIZER-EXTENSION path itself in the correctness
+    * gate: the naive predicate would otherwise be a nested-loop plan,
+    * and the oracle proves the rewrite is semantics-preserving row for
+    * row. PlanQualitySpec pins that the executed plan carries the
+    * rewrite (bucket Generate + equi join, no BroadcastNestedLoop). */
+  def joinRangeAuto(s: SparkSession, d: String): DataFrame = {
+    if (!s.experimental.extraOptimizations.exists(_ eq graft.plans.RangeJoinRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+    val ev = Tables.events(s, d).withColumn("us", expr("unix_micros(ts)"))
+    val probes = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("us"))
+    val all = ev.select(col("event_id").as("b_id"), col("us").as("b_us"))
+    probes.join(all, abs(col("b_us") - col("us")) <= 60000000L)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_nearby"))
+      .orderBy(col("event_id").asc)
+  }
+
   /** Interval-OVERLAP self-join: pairs of the same customer's orders
     * whose 30-day fulfillment windows overlap, with the exact overlap
     * length in whole days — "concurrent orders" per customer. The
@@ -302,6 +325,7 @@ object Joins {
     "q_join_cross"     -> joinCross,
     "q_join_full"      -> joinFull,
     "q_join_range"     -> joinRange,
+    "q_join_range_auto" -> joinRangeAuto,
     "q_join_overlap"   -> joinOverlap,
     "q_join_bucketed"  -> joinBucketed,
     "q_join_supplier"  -> joinSupplier,
@@ -356,6 +380,13 @@ object Joins {
         | AND a.s_us <= b.e_us AND b.s_us <= a.e_us
         |GROUP BY a.ck
         |ORDER BY a.ck ASC""".stripMargin,
+    "q_join_range_auto" ->
+      """SELECT e.event_id, count(*) AS n_nearby
+        |FROM events e JOIN events a
+        |  ON abs(epoch_us(a.ts) - epoch_us(e.ts)) <= 60000000
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.event_id
+        |ORDER BY e.event_id ASC""".stripMargin,
     "q_join_range" ->
       """SELECT e.event_id, count(*) AS n_nearby
         |FROM events e JOIN events a

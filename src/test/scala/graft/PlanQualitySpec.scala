@@ -353,6 +353,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Window"), s"interval union lost its lead() window:\n$p")
   }
 
+  test("naive abs-range join is rewritten by the optimizer rule in the declared path") {
+    val df = SparkEntry.queries("q_join_range_auto")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"rule did not fire — nested loop survived:\n$p")
+    assert(p.contains("Generate"), s"bucket explode missing from rewrite:\n$p")
+  }
+
   test("ts interp windows + generator run over the hourly aggregate, not the fact") {
     val p = plan("q_ts_interp")
     // the explode (generator) must sit ABOVE the hourly HashAggregate in
