@@ -824,7 +824,32 @@ object Text {
       .orderBy(col("source").asc)
   }
 
+  /** Windowed co-occurrence counts (±2 token skip-gram pairs) — the
+    * word2vec/GloVe preprocessing staple, distinct from q_text_colloc's
+    * adjacent-bigram lift. Pairs generate PER ROW from the token array
+    * (zip toks with its k-shifted self for k = 1, 2) — a narrow
+    * generator, never a position self-join; pair order is canonicalized
+    * (lexicographic) so (a,b) and (b,a) pool, top-20 by (count desc,
+    * pair asc). Linear in corpus token count like every gram pass. */
+  def textCooc(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables.documents(s, d))
+      .withColumn("toks", toks)
+      .select(explode(expr(
+        """flatten(transform(array(1, 2), k ->
+          |  CASE WHEN size(toks) > k THEN
+          |    transform(sequence(1, size(toks) - k), i ->
+          |      IF(toks[i - 1] < toks[i + k - 1],
+          |         struct(toks[i - 1] AS w1, toks[i + k - 1] AS w2),
+          |         struct(toks[i + k - 1] AS w1, toks[i - 1] AS w2)))
+          |  ELSE array() END))""".stripMargin)).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_cooc"))
+      .orderBy(col("n_cooc").desc, col("w1").asc, col("w2").asc)
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_cooc"     -> textCooc,
     "q_text_srcdrift" -> textSrcdrift,
     "q_text_ttr"      -> textTtr,
     "q_text_spancut"  -> textSpancut,
@@ -859,6 +884,28 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_cooc" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents),
+        |p AS (
+        |  SELECT unnest(flatten(list_transform([1, 2], k ->
+        |           CASE WHEN len(toks) > k THEN
+        |             list_transform(range(1, len(toks) - k + 1), i ->
+        |               CASE WHEN toks[CAST(i AS INTEGER)]
+        |                        < toks[CAST(i + k AS INTEGER)]
+        |                    THEN struct_pack(
+        |                      w1 := toks[CAST(i AS INTEGER)],
+        |                      w2 := toks[CAST(i + k AS INTEGER)])
+        |                    ELSE struct_pack(
+        |                      w1 := toks[CAST(i + k AS INTEGER)],
+        |                      w2 := toks[CAST(i AS INTEGER)]) END)
+        |           ELSE [] END))) AS e
+        |  FROM t)
+        |SELECT e.w1 AS w1, e.w2 AS w2, count(*) AS n_cooc
+        |FROM p
+        |GROUP BY w1, w2
+        |ORDER BY n_cooc DESC, w1 ASC, w2 ASC
+        |LIMIT 20""".stripMargin,
     "q_text_srcdrift" ->
       """WITH tc AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS tok

@@ -125,6 +125,23 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("cooc: top pairs equal a local sliding-window replay") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("text")).collect().map(_.getString(0).split(" ").toSeq)
+    val counts = scala.collection.mutable.Map[(String, String), Long]()
+    docs.foreach { toks =>
+      for (k <- 1 to 2; i <- 0 until toks.length - k) {
+        val (a, b) = (toks(i), toks(i + k))
+        val key = if (a < b) (a, b) else (b, a)
+        counts(key) = counts.getOrElse(key, 0L) + 1
+      }
+    }
+    val top = counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.take(20)
+    val rows = operators.Text.textCooc(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toSeq
+    assert(rows == top)
+  }
+
   test("geo nearest: assignments partition all customers, locally replayed") {
     val rows = operators.Geo.geoNearest(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
