@@ -848,7 +848,35 @@ object Text {
       .orderBy(col("n_cooc").desc, col("w1").asc, col("w2").asc)
       .limit(20)
 
+  /** Vocabulary pruning by document frequency — the index/embedding
+    * vocab prep: drop hapax tokens (df = 1, noise) and stop-like tokens
+    * (df > half the corpus), keep the informative middle band. Reports
+    * the per-band vocab sizes and token-occurrence mass so the cut is
+    * auditable; corpus doc count rides a 1-row broadcast. One (token,
+    * doc) distinct aggregate feeds everything — posting-list-sized,
+    * like q_text_invindex. */
+  def textVocabPrune(s: SparkSession, d: String): DataFrame = {
+    val postings = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), explode(toks).as("tok"))
+    val stats = postings.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("cf"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    stats.crossJoin(broadcast(nDocs))
+      .withColumn("band",
+        when(col("df") === 1, "hapax")
+          .when(col("df") * 2 > col("n_docs"), "stoplike")
+          .otherwise("kept"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("cf")).as("occurrences"),
+        min(col("df")).as("min_df"),
+        max(col("df")).as("max_df"))
+      .orderBy(col("band").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_vocab_prune" -> textVocabPrune,
     "q_text_cooc"     -> textCooc,
     "q_text_srcdrift" -> textSrcdrift,
     "q_text_ttr"      -> textTtr,
@@ -884,6 +912,24 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_vocab_prune" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |stats AS (
+        |  SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS cf
+        |  FROM t GROUP BY tok),
+        |nd AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT CASE WHEN df = 1 THEN 'hapax'
+        |            WHEN df * 2 > n_docs THEN 'stoplike'
+        |            ELSE 'kept' END AS band,
+        |       count(*) AS n_types,
+        |       CAST(sum(cf) AS BIGINT) AS occurrences,
+        |       min(df) AS min_df,
+        |       max(df) AS max_df
+        |FROM stats CROSS JOIN nd
+        |GROUP BY band
+        |ORDER BY band ASC""".stripMargin,
     "q_text_cooc" ->
       """WITH t AS (
         |  SELECT string_split(text, ' ') AS toks FROM documents),

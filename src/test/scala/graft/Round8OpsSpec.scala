@@ -125,6 +125,26 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("vocab prune: bands partition the vocabulary, masses account for all tokens") {
+    val rows = operators.Text.textVocabPrune(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").map(r.getLong(0) -> _))
+    val nDocs = Tables.documents(spark, sf0001).count()
+    val df = toks.distinct.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cf = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    def band(t: String): String =
+      if (df(t) == 1) "hapax" else if (df(t) * 2 > nDocs) "stoplike" else "kept"
+    // .toSeq before mapping: df.keys is a Set, and Set.map would collapse
+    // tokens whose counts collide before the sum
+    val local = df.keys.toSeq.groupBy(band).map { case (b, ts) =>
+      b -> (ts.size.toLong, ts.map(cf).sum, ts.map(df).min, ts.map(df).max)
+    }
+    assert(rows == local)
+    assert(rows.values.map(_._2).sum == toks.length.toLong)
+  }
+
   test("cooc: top pairs equal a local sliding-window replay") {
     val docs = Tables.documents(spark, sf0001)
       .select(col("text")).collect().map(_.getString(0).split(" ").toSeq)
