@@ -163,6 +163,31 @@ object Events {
       .orderBy(col("event_type").asc, col("d").asc)
   }
 
+  /** Cohort lifetime value — q_evt_retention's revenue twin: per
+    * (first-seen-week cohort, week offset), purchase cents that week AND
+    * the running cumulative (the LTV curve every growth team plots).
+    * Same two-pass shape as retention — cohort assignment is a min-agg
+    * on the user key, the rollup groups the enriched purchases — plus
+    * one dimension-sized window for the cumulative. Exact integer cents;
+    * week indices by integer µs division. */
+  def evtLtv(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("w", expr("unix_micros(ts) div 604800000000"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("w")).as("w0"))
+    val cum = Window.partitionBy(col("cohort_week"))
+      .orderBy(col("week_offset").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.filter(col("event_type") === "purchase")
+      .withColumn("cents", centsCol)
+      .join(cohort, "user_id")
+      .groupBy(col("w0").as("cohort_week"),
+        (col("w") - col("w0")).as("week_offset"))
+      .agg(sum(col("cents")).as("week_cents"),
+        countDistinct(col("user_id")).as("payers"))
+      .withColumn("cum_cents", sum(col("week_cents")).over(cum))
+      .orderBy(col("cohort_week").asc, col("week_offset").asc)
+  }
+
   /** Pareto / cumulative-share curve — "the top decile of users produces
     * X% of events": users ranked by volume, bucketed into integer-exact
     * deciles ((rn−1)·10 div n + 1 — no ntile, whose Spark/DuckDB tie
@@ -603,6 +628,7 @@ object Events {
     "q_evt_gap_dist" -> evtGapDist,
     "q_evt_velocity" -> evtVelocity,
     "q_evt_pareto"   -> evtPareto,
+    "q_evt_ltv"      -> evtLtv,
     "q_evt_scd2"     -> evtScd2,
     "q_evt_latest"   -> evtLatest,
     "q_evt_tumbling" -> evtTumbling,
@@ -612,6 +638,29 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_evt_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |         epoch_us(ts) // 604800000000 AS w,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(w) AS w0 FROM ev GROUP BY user_id),
+        |g AS (
+        |  SELECT CAST(w0 AS BIGINT) AS cohort_week,
+        |         CAST(w - w0 AS BIGINT) AS week_offset,
+        |         CAST(sum(cents) AS BIGINT) AS week_cents,
+        |         count(DISTINCT ev.user_id) AS payers
+        |  FROM ev JOIN cohort USING (user_id)
+        |  WHERE event_type = 'purchase'
+        |  GROUP BY cohort_week, week_offset)
+        |SELECT cohort_week, week_offset, week_cents, payers,
+        |       CAST(sum(week_cents) OVER (PARTITION BY cohort_week
+        |              ORDER BY week_offset ASC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS cum_cents
+        |FROM g
+        |ORDER BY cohort_week ASC, week_offset ASC""".stripMargin,
     "q_evt_pareto" ->
       """WITH pu AS (
         |  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),

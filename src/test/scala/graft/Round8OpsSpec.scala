@@ -276,6 +276,22 @@ class Round8OpsSpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("ltv: cumulative curve is monotone and totals all purchase cents") {
+    val rows = operators.Events.evtLtv(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val totalCents = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")))
+      .collect()(0).getLong(0)
+    assert(rows.map(_._3).sum == totalCents)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val byOff = g.sortBy(_._2)
+      // cumulative equals the running sum of weekly cents
+      assert(byOff.map(_._3).scanLeft(0L)(_ + _).tail.toSeq == byOff.map(_._5).toSeq)
+      byOff.foreach(r => assert(r._4 > 0))
+    }
+  }
+
   test("pareto: deciles partition all users, shares monotone and complete") {
     val rows = operators.Events.evtPareto(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
