@@ -314,6 +314,36 @@ object Analytics {
       .orderBy(col("arm").asc)
   }
 
+  /** Supplier scorecard — the vendor-quality report: per supplier,
+    * shipped lines, return rate in integer permille (l_returnflag 'R'),
+    * and revenue at stake in micro-units; top-20 worst by (return rate,
+    * volume). One fact pass with conditional aggregates on the supplier
+    * key, nation riding a broadcast — no second scan for the rate. A
+    * volume floor keeps one-line suppliers from topping the rate
+    * ranking (the standard small-sample guard). */
+  def supplierScorecard(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .withColumn("rev_micros", revMicros)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_returned"),
+        sum(when(col("l_returnflag") === "R", col("rev_micros"))
+          .otherwise(0L)).as("returned_micros"))
+      .filter(col("n_lines") >= 20)
+      .withColumn("return_pm", expr("n_returned * 1000 div n_lines"))
+    val su = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    li.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"), col("n_lines"),
+        col("n_returned"), col("return_pm"), col("returned_micros"))
+      .orderBy(col("return_pm").desc, col("n_lines").desc,
+        col("s_name").asc)
+      .limit(20)
+  }
+
   /** Market-basket co-occurrence — the association-rule support count:
     * part pairs appearing in the same order, top-20 by support. The
     * pair join is keyed on the ORDER (a natural bounded block: an
@@ -507,6 +537,7 @@ object Analytics {
     "q_tpch_q6"         -> tpchQ6,
     "q_basket_pairs"    -> basketPairs,
     "q_basket_lift"     -> basketLift,
+    "q_supplier_score"  -> supplierScorecard,
     "q_tpch_q8"         -> tpchQ8,
     "q_tpch_q13"        -> tpchQ13,
     "q_tpch_q14"        -> tpchQ14,
@@ -660,6 +691,27 @@ object Analytics {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
         |  AND l_quantity < 24""".stripMargin,
+    "q_supplier_score" ->
+      """WITH agg AS (
+        |  SELECT l_suppkey,
+        |         count(*) AS n_lines,
+        |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_returned,
+        |         CAST(sum(CASE WHEN l_returnflag = 'R'
+        |           THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+        |             * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |           ELSE 0 END) AS BIGINT) AS returned_micros
+        |  FROM lineitem
+        |  GROUP BY l_suppkey
+        |  HAVING count(*) >= 20)
+        |SELECT s_name, n_name, n_lines, n_returned,
+        |       CAST(n_returned * 1000 // n_lines AS BIGINT) AS return_pm,
+        |       returned_micros
+        |FROM agg
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY return_pm DESC, n_lines DESC, s_name ASC
+        |LIMIT 20""".stripMargin,
     "q_basket_lift" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -276,6 +276,28 @@ class Round8OpsSpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("supplier scorecard: rates replay from raw return counts") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_suppkey"), col("l_returnflag")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perSupp = li.groupBy(_._1).view.mapValues { g =>
+      (g.length.toLong, g.count(_._2 == "R").toLong)
+    }.toMap.filter(_._2._1 >= 20)
+    val names = Tables.supplier(spark, sf0001)
+      .select(col("s_suppkey"), col("s_name")).collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    val rows = operators.Analytics.supplierScorecard(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (name, nLines, nRet, pm) =>
+      val (expLines, expRet) = perSupp(names(name))
+      assert(nLines == expLines && nRet == expRet)
+      assert(pm == nRet * 1000 / nLines)
+    }
+    // ranking is by rate desc
+    assert(rows.map(_._4).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   test("ltv: cumulative curve is monotone and totals all purchase cents") {
     val rows = operators.Events.evtLtv(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
