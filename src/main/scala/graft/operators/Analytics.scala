@@ -314,6 +314,25 @@ object Analytics {
       .orderBy(col("arm").asc)
   }
 
+  /** Seasonality profile — month-of-year order share across the whole
+    * span: the "is December special" report. One grouped pass on the
+    * derived month plus a 1-row broadcast total; shares in integer
+    * permille so the 12-row profile is hash-exact. */
+  def ordersSeasonality(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .withColumn("m", month(col("o_orderdate")).cast("long"))
+      .withColumn("cents",
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+    val tot = o.agg(count(lit(1)).as("n_total"))
+    o.groupBy(col("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("sum_cents"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_pm", expr("n_orders * 1000 div n_total"))
+      .select(col("m"), col("n_orders"), col("sum_cents"), col("share_pm"))
+      .orderBy(col("m").asc)
+  }
+
   /** Supplier scorecard — the vendor-quality report: per supplier,
     * shipped lines, return rate in integer permille (l_returnflag 'R'),
     * and revenue at stake in micro-units; top-20 worst by (return rate,
@@ -538,6 +557,7 @@ object Analytics {
     "q_basket_pairs"    -> basketPairs,
     "q_basket_lift"     -> basketLift,
     "q_supplier_score"  -> supplierScorecard,
+    "q_orders_season"   -> ordersSeasonality,
     "q_tpch_q8"         -> tpchQ8,
     "q_tpch_q13"        -> tpchQ13,
     "q_tpch_q14"        -> tpchQ14,
@@ -691,6 +711,19 @@ object Analytics {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
         |  AND l_quantity < 24""".stripMargin,
+    "q_orders_season" ->
+      """WITH o AS (
+        |  SELECT month(o_orderdate) AS m,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |tot AS (SELECT count(*) AS n_total FROM o)
+        |SELECT CAST(m AS BIGINT) AS m,
+        |       count(*) AS n_orders,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       CAST(count(*) * 1000 // n_total AS BIGINT) AS share_pm
+        |FROM o CROSS JOIN tot
+        |GROUP BY m, n_total
+        |ORDER BY m ASC""".stripMargin,
     "q_supplier_score" ->
       """WITH agg AS (
         |  SELECT l_suppkey,

@@ -276,6 +276,15 @@ class Round8OpsSpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("seasonality: twelve months, counts partition all orders") {
+    val rows = operators.Analytics.ordersSeasonality(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (1L to 12L))
+    val n = Tables.orders(spark, sf0001).count()
+    assert(rows.map(_._2).sum == n)
+    rows.foreach { case (_, cnt, pm) => assert(pm == cnt * 1000 / n) }
+  }
+
   test("supplier scorecard: rates replay from raw return counts") {
     val li = Tables.lineitem(spark, sf0001)
       .select(col("l_suppkey"), col("l_returnflag")).collect()
