@@ -314,6 +314,31 @@ object Analytics {
       .orderBy(col("arm").asc)
   }
 
+  /** Realized-price audit per brand — how far below list do sales land:
+    * Σ realized cents vs Σ (quantity × retail cents), ratio in integer
+    * permille. Quantities are integral doubles (1..50), so qty×cents is
+    * an exact BIGINT product, and both sums are order-free longs — the
+    * "discount depth" report with no float division anywhere. Part
+    * rides a broadcast; one fact pass. */
+  def partMargin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val p = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .withColumn("real_cents",
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .withColumn("list_cents",
+        expr("CAST(l_quantity AS BIGINT) * CAST(round(p_retailprice * 100) AS BIGINT)"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("real_cents")).as("realized_cents"),
+        sum(col("list_cents")).as("list_cents"))
+      .withColumn("realized_pm",
+        expr("realized_cents * 1000 div list_cents"))
+      .orderBy(col("p_brand").asc)
+  }
+
   /** Seasonality profile — month-of-year order share across the whole
     * span: the "is December special" report. One grouped pass on the
     * derived month plus a 1-row broadcast total; shares in integer
@@ -558,6 +583,7 @@ object Analytics {
     "q_basket_lift"     -> basketLift,
     "q_supplier_score"  -> supplierScorecard,
     "q_orders_season"   -> ordersSeasonality,
+    "q_part_margin"     -> partMargin,
     "q_tpch_q8"         -> tpchQ8,
     "q_tpch_q13"        -> tpchQ13,
     "q_tpch_q14"        -> tpchQ14,
@@ -711,6 +737,21 @@ object Analytics {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
         |  AND l_quantity < 24""".stripMargin,
+    "q_part_margin" ->
+      """SELECT p_brand,
+        |       count(*) AS n_lines,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |         AS BIGINT) AS realized_cents,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)
+        |         * CAST(round(p_retailprice * 100) AS BIGINT))
+        |         AS BIGINT) AS list_cents,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 1000
+        |         // sum(CAST(l_quantity AS BIGINT)
+        |           * CAST(round(p_retailprice * 100) AS BIGINT))
+        |         AS BIGINT) AS realized_pm
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand ASC""".stripMargin,
     "q_orders_season" ->
       """WITH o AS (
         |  SELECT month(o_orderdate) AS m,

@@ -163,6 +163,23 @@ object Events {
       .orderBy(col("event_type").asc, col("d").asc)
   }
 
+  /** Weekday×hour activity heatmap — the ops-dashboard staple. Both
+    * axes derive by pure integer epoch arithmetic (Monday-0 dow =
+    * (epoch_day + 3) mod 7, hour = µs div 3600000000 mod 24 — the same
+    * discipline as q_evt_dow; never date_part, whose week-start
+    * convention differs between engines). One grouped pass, 168-row
+    * output. */
+  def evtHeatmap(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("dow",
+        expr("(unix_micros(ts) div 86400000000 + 3) % 7"))
+      .withColumn("hod",
+        expr("unix_micros(ts) div 3600000000 % 24"))
+      .groupBy(col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(centsCol).as("sum_cents"))
+      .orderBy(col("dow").asc, col("hod").asc)
+
   /** Cohort lifetime value — q_evt_retention's revenue twin: per
     * (first-seen-week cohort, week offset), purchase cents that week AND
     * the running cumulative (the LTV curve every growth team plots).
@@ -629,6 +646,7 @@ object Events {
     "q_evt_velocity" -> evtVelocity,
     "q_evt_pareto"   -> evtPareto,
     "q_evt_ltv"      -> evtLtv,
+    "q_evt_heatmap"  -> evtHeatmap,
     "q_evt_scd2"     -> evtScd2,
     "q_evt_latest"   -> evtLatest,
     "q_evt_tumbling" -> evtTumbling,
@@ -638,6 +656,15 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_evt_heatmap" ->
+      """SELECT (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+        |       epoch_us(ts) // 3600000000 % 24 AS hod,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS sum_cents
+        |FROM events
+        |GROUP BY dow, hod
+        |ORDER BY dow ASC, hod ASC""".stripMargin,
     "q_evt_ltv" ->
       """WITH ev AS (
         |  SELECT user_id, event_type,

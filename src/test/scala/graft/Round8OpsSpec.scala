@@ -276,6 +276,28 @@ class Round8OpsSpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("part margin: realized never exceeds list at full price, pm replays") {
+    val rows = operators.Analytics.partMargin(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, real, list, pm) =>
+      assert(n > 0 && list > 0)
+      assert(pm == real * 1000 / list)
+    }
+    val totalLines = Tables.lineitem(spark, sf0001).count()
+    assert(rows.map(_._2).sum == totalLines)
+  }
+
+  test("heatmap: cells partition all events; axes in range") {
+    val rows = operators.Events.evtHeatmap(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall { case (d, h, _) => d >= 0 && d <= 6 && h >= 0 && h <= 23 })
+    assert(rows.map(_._3).sum == Tables.events(spark, sf0001).count())
+    // Jan 2024 spans every weekday; a month of events covers every hour
+    assert(rows.map(_._1).distinct.length == 7)
+    assert(rows.map(_._2).distinct.length == 24)
+  }
+
   test("seasonality: twelve months, counts partition all orders") {
     val rows = operators.Analytics.ordersSeasonality(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
