@@ -163,6 +163,27 @@ object Events {
       .orderBy(col("event_type").asc, col("d").asc)
   }
 
+  /** Daily new-vs-returning user split — the growth dashboard's first
+    * row: per day, distinct active users, how many were first seen that
+    * day, and the returning share in permille. First-seen day is a
+    * min-agg on the user key joined back to the distinct (user, day)
+    * activity grid — two shuffles on the user key, grid-sized output.
+    * Integer epoch days throughout. */
+  def evtNewReturning(s: SparkSession, d: String): DataFrame = {
+    val act = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val first = act.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+    act.join(first, "user_id")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("day") === col("d0"), 1L).otherwise(0L)).as("n_new"))
+      .withColumn("returning_pm",
+        expr("(n_users - n_new) * 1000 div n_users"))
+      .orderBy(col("day").asc)
+  }
+
   /** Weekday×hour activity heatmap — the ops-dashboard staple. Both
     * axes derive by pure integer epoch arithmetic (Monday-0 dow =
     * (epoch_day + 3) mod 7, hour = µs div 3600000000 mod 24 — the same
@@ -647,6 +668,7 @@ object Events {
     "q_evt_pareto"   -> evtPareto,
     "q_evt_ltv"      -> evtLtv,
     "q_evt_heatmap"  -> evtHeatmap,
+    "q_evt_newret"   -> evtNewReturning,
     "q_evt_scd2"     -> evtScd2,
     "q_evt_latest"   -> evtLatest,
     "q_evt_tumbling" -> evtTumbling,
@@ -656,6 +678,22 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_evt_newret" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |         epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, min(day) AS d0 FROM act GROUP BY user_id)
+        |SELECT CAST(day AS BIGINT) AS day,
+        |       count(*) AS n_users,
+        |       CAST(sum(CASE WHEN day = d0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_new,
+        |       CAST((count(*) - sum(CASE WHEN day = d0 THEN 1 ELSE 0 END))
+        |         * 1000 // count(*) AS BIGINT) AS returning_pm
+        |FROM act JOIN f USING (user_id)
+        |GROUP BY day
+        |ORDER BY day ASC""".stripMargin,
     "q_evt_heatmap" ->
       """SELECT (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
         |       epoch_us(ts) // 3600000000 % 24 AS hod,

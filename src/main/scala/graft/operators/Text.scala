@@ -875,7 +875,26 @@ object Text {
       .orderBy(col("band").asc)
   }
 
+  /** Prefix-key dedup blocking — the cheap candidate blocking used on
+    * boilerplate-heavy corpora (templated pages share their opening):
+    * group docs by their first-6-token prefix, report blocks with ≥2
+    * members (candidate sets a verifier would refine) plus the
+    * deterministic survivor (min doc id). One narrow map to the prefix
+    * key, one hash agg — the cheapest of the blocking family
+    * (cf. MinHash/SimHash for content-wide similarity). */
+  def textPrefixBlock(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables.documents(s, d))
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) >= 6)
+      .withColumn("prefix", expr("concat_ws(' ', slice(toks, 1, 6))"))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("survivor_id"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("prefix").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_prefix_block" -> textPrefixBlock,
     "q_text_vocab_prune" -> textVocabPrune,
     "q_text_cooc"     -> textCooc,
     "q_text_srcdrift" -> textSrcdrift,
@@ -912,6 +931,17 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_prefix_block" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 6)
+        |SELECT array_to_string(toks[1:6], ' ') AS prefix,
+        |       count(*) AS n_docs,
+        |       min(doc_id) AS survivor_id
+        |FROM d
+        |GROUP BY prefix
+        |HAVING count(*) >= 2
+        |ORDER BY prefix ASC""".stripMargin,
     "q_text_vocab_prune" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
