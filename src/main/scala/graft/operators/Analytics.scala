@@ -596,7 +596,10 @@ object Analytics {
     "q_posexplode"  -> posExplode,
     "q_cond_agg"    -> condAgg,
     "q_null_safe"   -> nullSafe,
-    "q_part_stats"  -> partStats
+    "q_part_stats"  -> partStats,
+    "q_dq_audit"    -> dqAudit,
+    "q_profile_cols" -> profileCols,
+    "q_tpch_q17"    -> tpchQ17
   )
 
   /** Part-dimension stats (covers p_size / p_retailprice). */
@@ -609,7 +612,208 @@ object Analytics {
         round(max(col("p_retailprice")), 2).as("max_price"))
       .orderBy(col("p_size").asc)
 
+  /** Data-quality rule audit — the dbt-test / Deequ constraint-suite
+    * shape every production pipeline runs before publishing a table:
+    * referential integrity (anti-join counts), primary-key uniqueness
+    * (surplus rows per key), domain membership, range/threshold warns,
+    * and a cross-table row-level consistency rule. Each rule reports
+    * (n_bad, n_checked, bad_pm); clean-data rules legitimately audit to
+    * zero while their n_checked pins that the check actually ran.
+    * Single-table rules for the same table share ONE scan via
+    * conditional aggregation; at 100 TB each rule family stays one
+    * pass + one small anti-join per FK — never a per-rule rescan of
+    * the fact table. */
+  def dqAudit(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    // lineitem range/threshold rules: one conditional-agg pass
+    val liPass = li.agg(
+      sum(when(col("l_quantity") > 45.0, 1L).otherwise(0L)).as("qty_hi"),
+      sum(when(col("l_discount") > 0.08, 1L).otherwise(0L)).as("disc_hi"),
+      count(lit(1)).as("n"))
+    val liRules = liPass.select(explode(array(
+      struct(lit("rng_qty_gt45").as("rule"), col("qty_hi").as("n_bad"), col("n").as("n_checked")),
+      struct(lit("rng_disc_gt8pct").as("rule"), col("disc_hi").as("n_bad"), col("n").as("n_checked"))
+    )).as("r")).select(col("r.*"))
+    // orders domain rule: one pass
+    val oRules = o.agg(
+        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L)).as("n_bad"),
+        count(lit(1)).as("n_checked"))
+      .select(lit("dom_orderstatus").as("rule"), col("n_bad"), col("n_checked"))
+    // FK rules: anti-join surplus (broadcast the key-only dim when small;
+    // at scale these are the standard left-anti shuffle on the key)
+    val fkLiO = li.select(col("l_orderkey"))
+      .join(o.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_bad"))
+      .crossJoin(li.agg(count(lit(1)).as("n_checked")))
+      .select(lit("fk_lineitem_order").as("rule"), col("n_bad"), col("n_checked"))
+    val fkOC = o.select(col("o_custkey"))
+      .join(Tables.customer(s, d).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_bad"))
+      .crossJoin(o.agg(count(lit(1)).as("n_checked")))
+      .select(lit("fk_order_customer").as("rule"), col("n_bad"), col("n_checked"))
+    // PK uniqueness: surplus rows beyond the first per composite key
+    val pk = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") - 1L).as("n_bad"), sum(col("c")).as("n_checked"))
+      .select(lit("pk_lineitem_unique").as("rule"), col("n_bad"), col("n_checked"))
+    // cross-table row-level rule: a lineitem may not ship before its order
+    val shipBefore = li.select(col("l_orderkey"), col("l_shipdate"))
+      .join(o.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(sum(when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L)).as("n_bad"),
+        count(lit(1)).as("n_checked"))
+      .select(lit("seq_ship_after_order").as("rule"), col("n_bad"), col("n_checked"))
+    liRules.unionByName(oRules).unionByName(fkLiO).unionByName(fkOC)
+      .unionByName(pk).unionByName(shipBefore)
+      .withColumn("bad_pm", expr("n_bad * 1000 div n_checked"))
+      .orderBy(col("rule").asc)
+  }
+
+  /** Column profiling — the stats pass a catalog/ingest service runs on
+    * every new table: per column, row/null/distinct counts and typed
+    * min/max (stringified AFTER the typed aggregate, so numeric min/max
+    * are numeric, never lexicographic). ONE scan computes every
+    * column's aggregates (the multi-distinct expands inside the single
+    * hash-agg); the wide 1-row result unpivots driver-free via
+    * explode(array(struct…)). Doubles are profiled as integer cents so
+    * both engines print identical strings. */
+  def profileCols(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+    def colStats(name: String, c: org.apache.spark.sql.Column) = Seq(
+      countDistinct(c).as(s"${name}_nd"),
+      sum(when(c.isNull, 1L).otherwise(0L)).as(s"${name}_nn"),
+      min(c).cast("string").as(s"${name}_min"),
+      max(c).cast("string").as(s"${name}_max"))
+    val cols = Seq(
+      "o_orderkey" -> col("o_orderkey"),
+      "o_custkey" -> col("o_custkey"),
+      "total_cents" -> col("cents"),
+      "o_orderstatus" -> col("o_orderstatus"),
+      "o_orderpriority" -> col("o_orderpriority"))
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (n, c) => colStats(n, c) }
+    val wide = o.agg(aggs.head, aggs.tail: _*)
+    wide.select(col("n_rows"), explode(array(cols.map { case (n, _) =>
+      struct(lit(n).as("col_name"), col(s"${n}_nd").as("n_distinct"),
+        col(s"${n}_nn").as("n_null"), col(s"${n}_min").as("min_s"),
+        col(s"${n}_max").as("max_s"))
+    }: _*)).as("r"))
+      .select(col("r.col_name"), col("n_rows"), col("r.n_distinct"),
+        col("r.n_null"), col("r.min_s"), col("r.max_s"))
+      .orderBy(col("col_name").asc)
+  }
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): lineitems whose
+    * quantity falls below 1/5 of their part's average quantity, summed
+    * over one brand's parts. The per-part average joins back against
+    * the same lineitem stream — the canonical correlated-aggregate
+    * pattern — with the threshold compared in exact integers
+    * (5·qty·cnt < sum_qty avoids the fractional average entirely).
+    * The brand filter reduces parts to a broadcastable side BEFORE the
+    * fact join; the per-part agg shuffles once on l_partkey. */
+  def tpchQ17(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).filter(col("p_brand") === "Brand#3")
+      .select(col("p_partkey"))
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    val pa = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+    li.join(pa, col("l_partkey") === col("pk"))
+      .filter(col("qty") * 5L * col("cnt") < col("sum_qty"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        coalesce(sum(col("cents")), lit(0L)).as("rev_cents"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_dq_audit" ->
+      """WITH li AS (SELECT * FROM lineitem), o AS (SELECT * FROM orders)
+        |SELECT rule, CAST(n_bad AS BIGINT) AS n_bad,
+        |       CAST(n_checked AS BIGINT) AS n_checked,
+        |       CAST(n_bad * 1000 // n_checked AS BIGINT) AS bad_pm
+        |FROM (
+        |  SELECT 'rng_qty_gt45' AS rule,
+        |         sum(CASE WHEN l_quantity > 45.0 THEN 1 ELSE 0 END) AS n_bad,
+        |         count(*) AS n_checked FROM li
+        |  UNION ALL
+        |  SELECT 'rng_disc_gt8pct',
+        |         sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END), count(*)
+        |  FROM li
+        |  UNION ALL
+        |  SELECT 'dom_orderstatus',
+        |         sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END),
+        |         count(*)
+        |  FROM o
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_order',
+        |         (SELECT count(*) FROM li WHERE l_orderkey NOT IN
+        |            (SELECT o_orderkey FROM o)),
+        |         (SELECT count(*) FROM li)
+        |  UNION ALL
+        |  SELECT 'fk_order_customer',
+        |         (SELECT count(*) FROM o WHERE o_custkey NOT IN
+        |            (SELECT c_custkey FROM customer)),
+        |         (SELECT count(*) FROM o)
+        |  UNION ALL
+        |  SELECT 'pk_lineitem_unique', sum(c - 1), sum(c) FROM
+        |    (SELECT count(*) AS c FROM li GROUP BY l_orderkey, l_linenumber)
+        |  UNION ALL
+        |  SELECT 'seq_ship_after_order',
+        |         sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END),
+        |         count(*)
+        |  FROM li JOIN o ON l_orderkey = o_orderkey
+        |) t
+        |ORDER BY rule ASC""".stripMargin,
+    "q_profile_cols" ->
+      """WITH o AS (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT)
+        |             AS cents FROM orders)
+        |SELECT col_name, n_rows, n_distinct, CAST(n_null AS BIGINT) AS n_null,
+        |       min_s, max_s FROM (
+        |  SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |         count(DISTINCT o_orderkey) AS n_distinct,
+        |         sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+        |         CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+        |         CAST(max(o_orderkey) AS VARCHAR) AS max_s FROM o
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*), count(DISTINCT o_custkey),
+        |         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+        |         CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |  FROM o
+        |  UNION ALL
+        |  SELECT 'total_cents', count(*), count(DISTINCT cents),
+        |         sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END),
+        |         CAST(min(cents) AS VARCHAR), CAST(max(cents) AS VARCHAR)
+        |  FROM o
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*), count(DISTINCT o_orderstatus),
+        |         sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+        |         min(o_orderstatus), max(o_orderstatus) FROM o
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*), count(DISTINCT o_orderpriority),
+        |         sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+        |         min(o_orderpriority), max(o_orderpriority) FROM o
+        |) t
+        |ORDER BY col_name ASC""".stripMargin,
+    "q_tpch_q17" ->
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |         CAST(round(l_quantity) AS BIGINT) AS qty,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#3'),
+        |pa AS (
+        |  SELECT l_partkey AS pk, sum(qty) AS sum_qty, count(*) AS cnt
+        |  FROM li GROUP BY 1)
+        |SELECT count(*) AS n_lines,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       CAST(coalesce(sum(cents), 0) AS BIGINT) AS rev_cents
+        |FROM li JOIN pa ON l_partkey = pk
+        |WHERE qty * 5 * cnt < sum_qty""".stripMargin,
     "q_tpch_q18" ->
       """WITH big AS (
         |  SELECT l_orderkey, sum(l_quantity) AS sum_qty

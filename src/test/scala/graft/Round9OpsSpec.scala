@@ -44,4 +44,92 @@ class Round9OpsSpec extends SparkSpec {
     // every block is a genuine candidate set: >= 2 members, survivor is a member
     rows.foreach { case (_, (n, _)) => assert(n >= 2L) }
   }
+
+  test("dq audit: every rule equals a local replay; clean-data FKs audit to zero") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"), col("l_shipdate").cast("string")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3), r.getString(4)))
+    val ord = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderdate").cast("string")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    val custKeys = Tables.customer(spark, sf0001).select(col("c_custkey"))
+      .collect().map(_.getLong(0)).toSet
+    val oKeys = ord.map(_._1).toSet
+    val oDate = ord.map(o => o._1 -> o._4).toMap
+    val joined = li.filter(l => oDate.contains(l._1))
+    val local = Map(
+      "rng_qty_gt45" -> (li.count(_._3 > 45.0).toLong, li.length.toLong),
+      "rng_disc_gt8pct" -> (li.count(_._4 > 0.08).toLong, li.length.toLong),
+      "dom_orderstatus" -> (ord.count(o => !Set("F", "O", "P")(o._3)).toLong, ord.length.toLong),
+      "fk_lineitem_order" -> (li.count(l => !oKeys(l._1)).toLong, li.length.toLong),
+      "fk_order_customer" -> (ord.count(o => !custKeys(o._2)).toLong, ord.length.toLong),
+      "pk_lineitem_unique" -> {
+        val g = li.groupBy(l => (l._1, l._2)).map(_._2.length.toLong)
+        (g.map(_ - 1).sum, g.sum)
+      },
+      "seq_ship_after_order" -> (joined.count(l => l._5 < oDate(l._1)).toLong, joined.length.toLong))
+    val rows = operators.Analytics.dqAudit(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == local.keys.toSeq.sorted)
+    rows.foreach { case (rule, (bad, checked, pm)) =>
+      assert((bad, checked) == local(rule), s"rule $rule")
+      assert(pm == bad * 1000 / checked)
+    }
+    // this corpus' FKs hold (audit proves clean, not vacuous) while the
+    // composite-PK and threshold rules genuinely fire — the suite
+    // exercises both the zero and the nonzero outcome
+    assert(rows.toMap.apply("fk_lineitem_order")._1 == 0L)
+    assert(rows.toMap.apply("fk_order_customer")._1 == 0L)
+    assert(rows.toMap.apply("pk_lineitem_unique")._1 > 0L)
+    assert(rows.toMap.apply("rng_qty_gt45")._1 > 0L)
+  }
+
+  test("profile cols: stats equal a local replay, min/max typed not lexicographic") {
+    val ord = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"), col("o_orderpriority")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100), r.getString(3), r.getString(4)))
+    def prof[T](xs: Seq[T])(implicit o: Ordering[T]) =
+      (xs.distinct.length.toLong, 0L, xs.min.toString, xs.max.toString)
+    val local = Map(
+      "o_orderkey" -> prof(ord.map(_._1).toSeq),
+      "o_custkey" -> prof(ord.map(_._2).toSeq),
+      "total_cents" -> prof(ord.map(_._3).toSeq),
+      "o_orderstatus" -> prof(ord.map(_._4).toSeq),
+      "o_orderpriority" -> prof(ord.map(_._5).toSeq))
+    val rows = operators.Analytics.profileCols(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    assert(rows.map(_._1).toSeq == local.keys.toSeq.sorted)
+    rows.foreach { case (name, (n, nd, nn, mn, mx)) =>
+      assert(n == ord.length.toLong)
+      assert((nd, nn, mn, mx) == local(name), s"col $name")
+    }
+    // numeric min/max must be numeric: a lexicographic max of cents would
+    // start with '9'; the true max cents need not
+    val cents = ord.map(_._3)
+    assert(rows.toMap.apply("total_cents")._5 == cents.max.toString)
+  }
+
+  test("tpch q17: totals equal a local per-part threshold replay") {
+    val brandParts = Tables.part(spark, sf0001)
+      .filter(col("p_brand") === "Brand#3").select(col("p_partkey"))
+      .collect().map(_.getLong(0)).toSet
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1)), math.round(r.getDouble(2) * 100)))
+      .filter(l => brandParts(l._1))
+    val perPart = li.groupBy(_._1).map { case (k, g) =>
+      k -> (g.map(_._2).sum, g.length.toLong) }
+    val hits = li.filter { case (pk, qty, _) =>
+      val (sq, cnt) = perPart(pk); qty * 5L * cnt < sq }
+    val r = operators.Analytics.tpchQ17(spark, sf0001).collect().head
+    assert(r.getLong(0) == hits.length.toLong)
+    assert(r.getLong(1) == hits.map(_._1).distinct.length.toLong)
+    assert(r.getLong(2) == hits.map(_._3).sum)
+  }
 }
