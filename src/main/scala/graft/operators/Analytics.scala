@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -599,7 +600,9 @@ object Analytics {
     "q_part_stats"  -> partStats,
     "q_dq_audit"    -> dqAudit,
     "q_profile_cols" -> profileCols,
-    "q_tpch_q17"    -> tpchQ17
+    "q_tpch_q17"    -> tpchQ17,
+    "q_tpch_q22"    -> tpchQ22,
+    "q_part_skyline" -> partSkyline
   )
 
   /** Part-dimension stats (covers p_size / p_retailprice). */
@@ -730,7 +733,95 @@ object Analytics {
         coalesce(sum(col("cents")), lit(0L)).as("rev_cents"))
   }
 
+  /** TPC-H Q22 shape (global sales opportunity): customers with
+    * above-average positive balance and no RECENT order (none since
+    * 2001-01-01 — on this corpus every customer has ordered at some
+    * point, so the recency window is what makes the prospect set real),
+    * rolled up by a derived country code (nationkey mod 10 stands in
+    * for the phone prefix). The global average arrives as a 1-row
+    * broadcast cross-join and the comparison runs in exact integers
+    * (bal·n > total avoids the fractional mean); "no recent order" is a
+    * left-anti join on the customer key against the date-filtered
+    * orders (the filter pushes to the scan BEFORE the anti-join). */
+  def tpchQ22(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .withColumn("bal_cents", expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+    val pos = c.filter(col("bal_cents") > 0L)
+    val stats = pos.agg(sum(col("bal_cents")).as("tot"), count(lit(1)).as("n"))
+    pos.crossJoin(broadcast(stats))
+      .filter(col("bal_cents") * col("n") > col("tot"))
+      .join(Tables.orders(s, d).filter(col("o_orderdate") >= "2001-01-01")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .withColumn("cntrycode", col("c_nationkey").cast("long") % 10L)
+      .groupBy(col("cntrycode"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("bal_cents")).as("sum_cents"))
+      .orderBy(col("cntrycode").asc)
+  }
+
+  /** Skyline (Pareto-optimal set) over parts on (price ↓ better,
+    * size ↑ better) — the classic multi-criteria operator relational
+    * engines lack. Dominance: a beats b iff price ≤ AND size ≥ with one
+    * strict. Two-stage, partition-invariant: each of the 32 salt
+    * partitions computes a LOCAL skyline with a distributed window
+    * (cheaper-strict running max via RANGE … 1 PRECEDING; same-price
+    * peers via a price-partitioned max), then the final skyline runs the
+    * same filter globally over local survivors only. Correct for ANY
+    * partitioning because the global skyline is a subset of every
+    * partition-local skyline union; the global window therefore sorts
+    * candidates (output-sized), never the corpus — the candidates-then-
+    * final shape that makes the operator viable at 100 TB. */
+  def partSkyline(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .select(col("p_partkey"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("cents"),
+        col("p_size").cast("long").as("size"))
+    def skyline(df: DataFrame, part: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      val cheaper = Window.partitionBy(part: _*).orderBy(col("cents").asc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val samePrice = Window.partitionBy(part :+ col("cents"): _*)
+      df.withColumn("mx_cheaper", max(col("size")).over(cheaper))
+        .withColumn("mx_same", max(col("size")).over(samePrice))
+        .filter((col("mx_cheaper").isNull || col("mx_cheaper") < col("size")) &&
+          col("mx_same") === col("size"))
+        .drop("mx_cheaper", "mx_same")
+    }
+    val local = skyline(
+      p.withColumn("salt", pmod(hash(col("p_partkey")), lit(32))), Seq(col("salt")))
+    skyline(local.drop("salt"), Seq.empty)
+      .orderBy(col("cents").asc, col("p_partkey").asc)
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_tpch_q22" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer
+        |  WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0),
+        |st AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS tot,
+        |              count(*) AS n FROM c)
+        |SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode,
+        |       count(*) AS n_cust,
+        |       CAST(sum(bal_cents) AS BIGINT) AS sum_cents
+        |FROM c, st
+        |WHERE bal_cents * n > tot
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode ASC""".stripMargin,
+    "q_part_skyline" ->
+      """WITH p AS (
+        |  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+        |         CAST(p_size AS BIGINT) AS size
+        |  FROM part)
+        |SELECT p_partkey, cents, size
+        |FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.cents <= a.cents AND b.size >= a.size
+        |    AND (b.cents < a.cents OR b.size > a.size))
+        |ORDER BY cents ASC, p_partkey ASC""".stripMargin,
     "q_dq_audit" ->
       """WITH li AS (SELECT * FROM lineitem), o AS (SELECT * FROM orders)
         |SELECT rule, CAST(n_bad AS BIGINT) AS n_bad,

@@ -143,6 +143,30 @@ object Relational {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("split").asc, col("lang").asc)
 
+  /** Deterministic WEIGHTED sampling — importance sampling for training
+    * mixes, stable across reruns/engines/cluster sizes like
+    * [[sampleSplit]]: row kept iff a uniform md5 draw u ∈ [0,256)
+    * (two hex digits) clears the row's weight, compared in integers
+    * (u·W < 256·w ⟺ u/256 < w/W). Weight ∝ order value capped at W
+    * (= $500,000.00, the corpus price ceiling), so inclusion
+    * probability is proportional-to-size —
+    * the PPS sampler every data-mix pipeline wants, with zero sampling
+    * state: a narrow map tags each row in place at any scale. The
+    * audit output groups by status: kept/total counts and kept value. */
+  def sampleWeighted(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .withColumn("w", least(col("cents"), lit(50000000L)))
+      .withColumn("u",
+        (expr("instr('0123456789abcdef', substring(md5(CAST(o_orderkey AS STRING)), 31, 1))") - 1).cast("long") * 16L +
+        (expr("instr('0123456789abcdef', substring(md5(CAST(o_orderkey AS STRING)), 32, 1))") - 1).cast("long"))
+      .withColumn("kept", when(col("u") * 50000000L < col("w") * 256L, 1L).otherwise(0L))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("kept")).as("n_kept"), count(lit(1)).as("n_total"),
+        sum(col("kept") * col("cents")).as("kept_cents"))
+      .withColumn("kept_pm", expr("n_kept * 1000 div n_total"))
+      .orderBy(col("o_orderstatus").asc)
+
   /** Declared query THROUGH the DataSource V2 connector
     * ([[graft.sources.LatticeSource]]): scan the synthetic point lattice
     * with an id-range predicate the connector consumes into its partition
@@ -164,6 +188,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_src_lattice" -> srcLattice,
     "q_sample_split"      -> sampleSplit,
+    "q_sample_weighted"   -> sampleWeighted,
     "q_set_except_all"    -> setExceptAll,
     "q_set_intersect_all" -> setIntersectAll,
     "q_scan_project"      -> scanProject,
@@ -187,6 +212,27 @@ object Relational {
         |FROM (SELECT unnest(range(5000, 15000)) AS i)
         |GROUP BY tag
         |ORDER BY tag ASC""".stripMargin,
+    "q_sample_weighted" ->
+      """WITH t AS (
+        |  SELECT o_orderstatus,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         least(CAST(round(o_totalprice * 100) AS BIGINT), 50000000) AS w,
+        |         CAST(strpos('0123456789abcdef',
+        |           substr(md5(CAST(o_orderkey AS VARCHAR)), 31, 1)) - 1 AS BIGINT) * 16 +
+        |         CAST(strpos('0123456789abcdef',
+        |           substr(md5(CAST(o_orderkey AS VARCHAR)), 32, 1)) - 1 AS BIGINT) AS u
+        |  FROM orders),
+        |k AS (SELECT o_orderstatus, cents,
+        |             CASE WHEN u * 50000000 < w * 256 THEN 1 ELSE 0 END AS kept
+        |      FROM t)
+        |SELECT o_orderstatus,
+        |       CAST(sum(kept) AS BIGINT) AS n_kept,
+        |       count(*) AS n_total,
+        |       CAST(sum(kept * cents) AS BIGINT) AS kept_cents,
+        |       CAST(sum(kept) * 1000 // count(*) AS BIGINT) AS kept_pm
+        |FROM k
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC""".stripMargin,
     "q_sample_split" ->
       """SELECT CASE WHEN bucket < 12 THEN 'train'
         |            WHEN bucket < 14 THEN 'val'

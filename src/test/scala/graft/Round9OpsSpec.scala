@@ -114,6 +114,66 @@ class Round9OpsSpec extends SparkSpec {
     assert(rows.toMap.apply("total_cents")._5 == cents.max.toString)
   }
 
+  test("tpch q22: groups equal a local above-average never-ordered replay") {
+    val cust = Tables.customer(spark, sf0001)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), math.round(r.getDouble(2) * 100)))
+    val ordered = Tables.orders(spark, sf0001)
+      .filter(col("o_orderdate") >= "2001-01-01").select(col("o_custkey"))
+      .collect().map(_.getLong(0)).toSet
+    val pos = cust.filter(_._3 > 0L)
+    val (tot, n) = (pos.map(_._3).sum, pos.length.toLong)
+    val hits = pos.filter(c => c._3 * n > tot && !ordered(c._1))
+    val local = hits.groupBy(_._2 % 10).map { case (cc, g) =>
+      cc.toLong -> (g.length.toLong, g.map(_._3).sum) }
+    val rows = operators.Analytics.tpchQ22(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+    assert(rows.toMap == local)
+    assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted)
+    assert(hits.nonEmpty)
+  }
+
+  test("part skyline: equals brute-force dominance; no survivor dominates another") {
+    val parts = Tables.part(spark, sf0001)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100), r.getInt(2).toLong))
+    def dominates(a: (Long, Long, Long), b: (Long, Long, Long)) =
+      a._2 <= b._2 && a._3 >= b._3 && (a._2 < b._2 || a._3 > b._3)
+    val local = parts.filter(b => !parts.exists(a => dominates(a, b)))
+      .map(p => (p._1, p._2, p._3)).sortBy(p => (p._2, p._1))
+    val rows = operators.Analytics.partSkyline(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == local.toSeq)
+    // the set is a genuine Pareto frontier: mutually non-dominating
+    rows.foreach(a => rows.foreach(b => assert(a == b || !dominates(a, b))))
+    assert(rows.length > 1 && rows.length < parts.length)
+  }
+
+  test("sample weighted: membership equals a local md5 PPS replay") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u256(k: Long): Long = {
+      val hex = md.digest(k.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      ("0123456789abcdef".indexOf(hex(30)).toLong * 16) +
+        "0123456789abcdef".indexOf(hex(31)).toLong
+    }
+    val ord = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), math.round(r.getDouble(2) * 100)))
+    val local = ord.groupBy(_._2).map { case (st, g) =>
+      val kept = g.filter { case (k, _, cents) =>
+        u256(k) * 50000000L < math.min(cents, 50000000L) * 256L }
+      st -> (kept.length.toLong, g.length.toLong, kept.map(_._3).sum,
+        kept.length.toLong * 1000 / g.length) }
+    val rows = operators.Relational.sampleWeighted(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toMap == local)
+    // sampler actually splits: some kept, some dropped
+    val (k, t) = (rows.map(_._2._1).sum, rows.map(_._2._2).sum)
+    assert(k > 0 && k < t)
+  }
+
   test("tpch q17: totals equal a local per-part threshold replay") {
     val brandParts = Tables.part(spark, sf0001)
       .filter(col("p_brand") === "Brand#3").select(col("p_partkey"))
