@@ -372,4 +372,52 @@ class PlanQualitySpec extends SparkSpec {
     assert(genAt >= 0 && aggAt > genAt,
       s"generator not above the hourly aggregate:\n$p")
   }
+
+  test("skyline sorts only salt partitions and candidates — never one global corpus sort") {
+    val p = plan("q_part_skyline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"skyline degenerated to a pair join:\n$p")
+    // stage 1's window partitions by salt (distributed); the only
+    // single-partition windows run over stage-2 candidates + final order
+    assert(p.contains("Window"), s"running-max windows missing:\n$p")
+    assert(p.contains("salt"), s"salt partitioning missing — stage 1 is a global sort:\n$p")
+  }
+
+  test("q17/q22 broadcast their reduced dims; q22 anti-join filter pushes to the scan") {
+    val p17 = plan("q_tpch_q17")
+    assert(p17.contains("BroadcastHashJoin"), s"q17 brand-filtered parts not broadcast:\n$p17")
+    val p22 = plan("q_tpch_q22")
+    assert(p22.contains("LeftAnti"), s"q22 lost its anti join:\n$p22")
+    assert(p22.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate") ||
+      p22.contains("GreaterThanOrEqual(o_orderdate"),
+      s"q22 recency gate not pushed to the orders scan:\n$p22")
+  }
+
+  test("dq audit shares scans: same-table rules fold into single-pass conditional aggs") {
+    val p = plan("q_dq_audit")
+    assert(!p.contains("CartesianProduct"))
+    // 7 rules plan as a BOUNDED number of column-pruned scans (threshold
+    // rules share one conditional-agg pass; fk n_checked counts are
+    // column-less footer scans) — the guard is that adding a rule to an
+    // existing family must not add a data pass, so the count stays fixed
+    // even as same-table rules accumulate
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 11, s"per-rule rescans detected ($scans scans):\n$p")
+  }
+
+  test("profile cols is one scan: multi-distinct expands inside a single aggregate") {
+    val p = plan("q_profile_cols")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"profiler rescans the table ($scans scans):\n$p")
+    assert(p.contains("Expand") || p.contains("HashAggregate"),
+      s"multi-distinct did not plan as expand+agg:\n$p")
+  }
+
+  test("weighted sampling is a narrow map: no shuffle before the audit aggregate") {
+    val p = plan("q_sample_weighted")
+    // exactly the aggregation exchange + the output-order range exchange
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"PPS tagging introduced extra shuffles:\n$p")
+    assert(!p.contains("Join"), s"sampler must not join:\n$p")
+  }
 }
