@@ -184,6 +184,48 @@ object Events {
       .orderBy(col("day").asc)
   }
 
+  /** Event debouncing — the telemetry-ingest dedup every high-volume
+    * pipeline runs before sessionization (throttling shape: repeat
+    * notifications suppressed): within each (user, type) stream, a row
+    * is dropped when it lands < 1 h after the PREVIOUS row (lag-based
+    * debounce — each row compares to its physical
+    * predecessor, not to the last KEPT row, so the rule is expressible
+    * as one window lag with no running state). Integer µs gaps; the
+    * (ts, event_id) order key makes ties deterministic. One shuffle on
+    * the (user, type) key; audit output per type. */
+  def evtDebounce(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .withColumn("kept",
+        when(col("gap_us").isNull || col("gap_us") >= 3600000000L, 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
+      .withColumn("kept_pm", expr("n_kept * 1000 div n_total"))
+      .orderBy(col("event_type").asc)
+  }
+
+  /** Deterministic A/B experiment analysis: arm assignment by the md5
+    * last-hex-digit parity of user_id (the stable hash bucketing every
+    * experimentation platform uses — reassignment-proof across engines
+    * and reruns), conversion = user fired ≥1 purchase event. Per-arm
+    * user and converter counts with exact permille conversion — the
+    * readout every growth team runs daily. Distinct-users then
+    * conditional agg: two shuffles on the user key, both map-combined. */
+  def evtAbtest(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+      .withColumn("arm",
+        when((expr("instr('0123456789abcdef', substring(md5(CAST(user_id AS STRING)), 32, 1))") - 1) % 2 === 0,
+          "A").otherwise("B"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+      .withColumn("conv_pm", expr("n_conv * 1000 div n_users"))
+      .orderBy(col("arm").asc)
+
   /** Weekday×hour activity heatmap — the ops-dashboard staple. Both
     * axes derive by pure integer epoch arithmetic (Monday-0 dow =
     * (epoch_day + 3) mod 7, hour = µs div 3600000000 mod 24 — the same
@@ -669,6 +711,8 @@ object Events {
     "q_evt_ltv"      -> evtLtv,
     "q_evt_heatmap"  -> evtHeatmap,
     "q_evt_newret"   -> evtNewReturning,
+    "q_evt_debounce" -> evtDebounce,
+    "q_evt_abtest"   -> evtAbtest,
     "q_evt_scd2"     -> evtScd2,
     "q_evt_latest"   -> evtLatest,
     "q_evt_tumbling" -> evtTumbling,
@@ -678,6 +722,38 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_evt_debounce" ->
+      """WITH t AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |           PARTITION BY user_id, event_type
+        |           ORDER BY epoch_us(ts) ASC, event_id ASC) AS gap_us
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_total,
+        |       CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 3600000000
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 3600000000
+        |                     THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+        |         AS kept_pm
+        |FROM t
+        |GROUP BY event_type
+        |ORDER BY event_type ASC""".stripMargin,
+    "q_evt_abtest" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS converted,
+        |         CASE WHEN (strpos('0123456789abcdef',
+        |             substr(md5(CAST(user_id AS VARCHAR)), 32, 1)) - 1) % 2 = 0
+        |           THEN 'A' ELSE 'B' END AS arm
+        |  FROM events
+        |  GROUP BY user_id)
+        |SELECT arm, count(*) AS n_users,
+        |       CAST(sum(converted) AS BIGINT) AS n_conv,
+        |       CAST(sum(converted) * 1000 // count(*) AS BIGINT) AS conv_pm
+        |FROM u
+        |GROUP BY arm
+        |ORDER BY arm ASC""".stripMargin,
     "q_evt_newret" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id,

@@ -174,6 +174,47 @@ class Round9OpsSpec extends SparkSpec {
     assert(k > 0 && k < t)
   }
 
+  test("evt debounce: kept counts equal a local lag replay; debounce genuinely drops") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)"),
+        col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val local = ev.groupBy(e => (e._1, e._2)).toSeq.flatMap { case ((_, typ), g) =>
+      val sorted = g.sortBy(e => (e._3, e._4))
+      val kept = sorted.zipWithIndex.map { case (e, i) =>
+        i == 0 || e._3 - sorted(i - 1)._3 >= 3600000000L }
+      kept.map(k => typ -> k)
+    }.groupBy(_._1).map { case (typ, ks) =>
+      val n = ks.length.toLong; val k = ks.count(_._2).toLong
+      typ -> (n, k, k * 1000 / n) }
+    val rows = operators.Events.evtDebounce(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toMap == local)
+    val (tot, kept) = (rows.map(_._2._1).sum, rows.map(_._2._2).sum)
+    assert(kept > 0 && kept < tot)
+  }
+
+  test("evt abtest: arm stats equal a local md5-parity replay; both arms populated") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def arm(u: Long): String = {
+      val hex = md.digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if ("0123456789abcdef".indexOf(hex(31)) % 2 == 0) "A" else "B"
+    }
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val local = ev.groupBy(_._1).toSeq
+      .map { case (u, g) => (arm(u), g.exists(_._2 == "purchase")) }
+      .groupBy(_._1).map { case (a, g) =>
+        val n = g.length.toLong; val c = g.count(_._2).toLong
+        a -> (n, c, c * 1000 / n) }
+    val rows = operators.Events.evtAbtest(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toMap == local)
+    assert(rows.map(_._1).toSeq == Seq("A", "B"))
+  }
+
   test("tpch q17: totals equal a local per-part threshold replay") {
     val brandParts = Tables.part(spark, sf0001)
       .filter(col("p_brand") === "Brand#3").select(col("p_partkey"))
