@@ -602,6 +602,7 @@ object Analytics {
     "q_profile_cols" -> profileCols,
     "q_tpch_q17"    -> tpchQ17,
     "q_tpch_q22"    -> tpchQ22,
+    "q_tpch_q15"    -> tpchQ15,
     "q_part_skyline" -> partSkyline
   )
 
@@ -792,7 +793,45 @@ object Analytics {
       .orderBy(col("cents").asc, col("p_partkey").asc)
   }
 
+  /** TPC-H Q15 shape (top supplier): per-supplier revenue over one
+    * quarter in exact integer micro-units, then the supplier(s) whose
+    * revenue equals the global max — the scalar-subquery-on-aggregate
+    * pattern, planned as a 1-row broadcast against the pre-aggregated
+    * (supplier-sized, not fact-sized) revenue table. Ties all surface,
+    * deterministically ordered. With Q15 every TPC-H query expressible
+    * on this 8-table subset (no partsupp, no commit/receipt dates or
+    * shipmode) is implemented: 1(shape),3,5,6,7,8,10,13,14,15,17,18,
+    * 19,22. */
+  def tpchQ15(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+      .withColumn("micros",
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("micros")).as("total_rev_micros"))
+    val mx = rev.agg(max(col("total_rev_micros")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_rev_micros") === col("mx"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_micros"))
+      .orderBy(col("s_suppkey").asc)
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |           AS total_rev_micros
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev_micros
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev_micros = (SELECT max(total_rev_micros) FROM rev)
+        |ORDER BY s_suppkey ASC""".stripMargin,
     "q_tpch_q22" ->
       """WITH c AS (
         |  SELECT c_custkey, c_nationkey,

@@ -215,6 +215,25 @@ class Round9OpsSpec extends SparkSpec {
     assert(rows.map(_._1).toSeq == Seq("A", "B"))
   }
 
+  test("tpch q15: winners equal a local argmax replay and carry the exact max") {
+    val li = Tables.lineitem(spark, sf0001)
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .collect()
+      .map(r => (r.getLong(0),
+        math.round(r.getDouble(1) * 100) * (100 - math.round(r.getDouble(2) * 100))))
+    val rev = li.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    val mx = rev.values.max
+    val winners = rev.filter(_._2 == mx).keys.toSeq.sorted
+    val rows = operators.Analytics.tpchQ15(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == winners)
+    rows.foreach { case (k, name, v) =>
+      assert(v == mx)
+      assert(name == f"Supplier#$k%09d")
+    }
+  }
+
   test("tpch q17: totals equal a local per-part threshold replay") {
     val brandParts = Tables.part(spark, sf0001)
       .filter(col("p_brand") === "Brand#3").select(col("p_partkey"))
