@@ -226,6 +226,36 @@ object Events {
       .withColumn("conv_pm", expr("n_conv * 1000 div n_users"))
       .orderBy(col("arm").asc)
 
+  /** Peak concurrency by sweep-line — the "max simultaneous sessions"
+    * metric, computed the classical way: every activity interval
+    * (event start, start + 5 min, truncated at midnight so a day is
+    * self-contained) emits a +1 boundary at its start and a −1 at its
+    * end; the running sum of boundaries in time order is the live
+    * concurrency, and its per-(type, day) max is the answer. Starts
+    * sort before ends at the same µs (delta desc), so touching
+    * intervals count as overlapping — the inclusive convention. The
+    * running sum partitions by (event_type, day): bounded windows, no
+    * global time sort; at 100 TB the same plan fans out across
+    * (type, day) partitions. */
+  def evtConcurrency(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("day", expr("us div 86400000000"))
+      .withColumn("end_us",
+        least(col("us") + 300000000L, (col("day") + 1L) * 86400000000L))
+    val bounds = ev.select(col("event_type"), col("day"), col("us").as("t"),
+        lit(1L).as("delta"))
+      .unionByName(ev.select(col("event_type"), col("day"),
+        col("end_us").as("t"), lit(-1L).as("delta")))
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("t").asc, col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds.withColumn("live", sum(col("delta")).over(w))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("live")).as("peak"), count(lit(1)).as("n_bounds"))
+      .orderBy(col("event_type").asc, col("day").asc)
+  }
+
   /** Weekday×hour activity heatmap — the ops-dashboard staple. Both
     * axes derive by pure integer epoch arithmetic (Monday-0 dow =
     * (epoch_day + 3) mod 7, hour = µs div 3600000000 mod 24 — the same
@@ -713,6 +743,7 @@ object Events {
     "q_evt_newret"   -> evtNewReturning,
     "q_evt_debounce" -> evtDebounce,
     "q_evt_abtest"   -> evtAbtest,
+    "q_evt_concurrency" -> evtConcurrency,
     "q_evt_scd2"     -> evtScd2,
     "q_evt_latest"   -> evtLatest,
     "q_evt_tumbling" -> evtTumbling,
@@ -722,6 +753,30 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_evt_concurrency" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |         epoch_us(ts) // 86400000000 AS day,
+        |         least(epoch_us(ts) + 300000000,
+        |               (epoch_us(ts) // 86400000000 + 1) * 86400000000)
+        |           AS end_us
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, day, us AS t, 1 AS delta FROM ev
+        |  UNION ALL
+        |  SELECT event_type, day, end_us AS t, -1 AS delta FROM ev),
+        |r AS (
+        |  SELECT event_type, day,
+        |         sum(delta) OVER (PARTITION BY event_type, day
+        |           ORDER BY t ASC, delta DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+        |  FROM b)
+        |SELECT event_type, CAST(day AS BIGINT) AS day,
+        |       CAST(max(live) AS BIGINT) AS peak,
+        |       count(*) AS n_bounds
+        |FROM r
+        |GROUP BY event_type, day
+        |ORDER BY event_type ASC, day ASC""".stripMargin,
     "q_evt_debounce" ->
       """WITH t AS (
         |  SELECT event_type, epoch_us(ts) AS us,

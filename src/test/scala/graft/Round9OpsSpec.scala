@@ -215,6 +215,29 @@ class Round9OpsSpec extends SparkSpec {
     assert(rows.map(_._1).toSeq == Seq("A", "B"))
   }
 
+  test("evt concurrency: peaks equal a local sweep-line replay and exceed 1 somewhere") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_type"), expr("unix_micros(ts)")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val local = ev.groupBy { case (typ, us) => (typ, us / 86400000000L) }
+      .map { case ((typ, day), g) =>
+        val bounds = g.flatMap { case (_, us) =>
+          val end = math.min(us + 300000000L, (day + 1) * 86400000000L)
+          Seq((us, 1L), (end, -1L))
+        }.sortBy { case (t, dlt) => (t, -dlt) }
+        var live = 0L; var peak = Long.MinValue
+        bounds.foreach { case (_, dlt) => live += dlt; peak = math.max(peak, live) }
+        (typ, day) -> (peak, bounds.length.toLong)
+      }
+    val rows = operators.Events.evtConcurrency(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+    assert(rows.toMap == local)
+    // intervals genuinely overlap somewhere (peak > 1), and live returns
+    // to zero at each day end (equal starts and ends)
+    assert(rows.map(_._2._1).max > 1L)
+    rows.foreach { case (_, (_, nb)) => assert(nb % 2 == 0L) }
+  }
+
   test("tpch q15: winners equal a local argmax replay and carry the exact max") {
     val li = Tables.lineitem(spark, sf0001)
       .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
