@@ -875,6 +875,23 @@ object Text {
       .orderBy(col("band").asc)
   }
 
+  /** Feature hashing (the hashing trick) — the fixed-width vectorizer
+    * prep for linear/embedding models: every token occurrence maps to
+    * bucket = md5-derived uniform mod 64, no vocabulary state, any
+    * engine reproduces the assignment bit-identically (rehash-free
+    * scale-out — the reason the trick exists). Per-bucket occurrence
+    * mass and distinct-token fan-in audit the collision profile. One
+    * explode + one hash agg; the md5 stays a narrow codegen'd map. */
+  def textHashtrick(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables.documents(s, d))
+      .select(explode(toks).as("tok"))
+      .withColumn("bucket",
+        ((expr("instr('0123456789abcdef', substring(md5(tok), 31, 1))") - 1).cast("long") * 16L +
+         (expr("instr('0123456789abcdef', substring(md5(tok), 32, 1))") - 1).cast("long")) % 64L)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("tok")).as("n_toks"))
+      .orderBy(col("bucket").asc)
+
   /** Prefix-key dedup blocking — the cheap candidate blocking used on
     * boilerplate-heavy corpora (templated pages share their opening):
     * group docs by their first-6-token prefix, report blocks with ≥2
@@ -895,6 +912,7 @@ object Text {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_prefix_block" -> textPrefixBlock,
+    "q_text_hashtrick" -> textHashtrick,
     "q_text_vocab_prune" -> textVocabPrune,
     "q_text_cooc"     -> textCooc,
     "q_text_srcdrift" -> textSrcdrift,
@@ -931,6 +949,21 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_hashtrick" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |b AS (
+        |  SELECT tok,
+        |         (CAST(strpos('0123456789abcdef', substr(md5(tok), 31, 1)) - 1
+        |            AS BIGINT) * 16 +
+        |          CAST(strpos('0123456789abcdef', substr(md5(tok), 32, 1)) - 1
+        |            AS BIGINT)) % 64 AS bucket
+        |  FROM t)
+        |SELECT bucket, count(*) AS n_occ,
+        |       count(DISTINCT tok) AS n_toks
+        |FROM b
+        |GROUP BY bucket
+        |ORDER BY bucket ASC""".stripMargin,
     "q_text_prefix_block" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

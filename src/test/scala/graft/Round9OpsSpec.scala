@@ -215,6 +215,25 @@ class Round9OpsSpec extends SparkSpec {
     assert(rows.map(_._1).toSeq == Seq("A", "B"))
   }
 
+  test("text hashtrick: buckets equal a local md5 replay; assignment is total") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(tok: String): Long = {
+      val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      ("0123456789abcdef".indexOf(hex(30)).toLong * 16 +
+        "0123456789abcdef".indexOf(hex(31)).toLong) % 64
+    }
+    val occ = Tables.documents(spark, sf0001).select(col("text")).collect()
+      .flatMap(_.getString(0).split(" "))
+    val local = occ.groupBy(bucket).map { case (b, g) =>
+      b -> (g.length.toLong, g.distinct.length.toLong) }
+    val rows = operators.Text.textHashtrick(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+    assert(rows.toMap == local)
+    // total assignment: every occurrence lands in exactly one bucket
+    assert(rows.map(_._2._1).sum == occ.length.toLong)
+    rows.foreach { case (b, _) => assert(b >= 0 && b < 64) }
+  }
+
   test("evt concurrency: peaks equal a local sweep-line replay and exceed 1 somewhere") {
     val ev = Tables.events(spark, sf0001)
       .select(col("event_type"), expr("unix_micros(ts)")).collect()
