@@ -49,6 +49,32 @@ object Dedup {
       .limit(100)
   }
 
+  /** Asymmetric token-set CONTAINMENT |A∩B|·1000 div |A| — the dedup
+    * screen Jaccard misses: a short doc fully quoted inside a long one
+    * has tiny Jaccard (union is dominated by B) but containment 1000.
+    * That doc-inside-doc case is the common training-data leak (boiler-
+    * plate wrappers, quoted articles), so it gets its own declared
+    * surface. Integer permille (div truncates identically in both
+    * engines); pairs are DIRECTED (a≠b, both orientations scored) since
+    * containment is not symmetric. Same bounded-(lang,source) blocking
+    * contract as dedupJaccard; the unbounded-corpus path would reuse
+    * q_dedup_neardup's LSH candidates with this scorer swapped in. */
+  def dedupContain(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, d)).withColumn("tset", toks)
+    val a = docs.select(col("lang"), col("source"), col("doc_id").as("a_id"),
+      col("tset").as("ta"))
+    val b = docs.select(col("lang").as("lang_b"), col("source").as("source_b"),
+      col("doc_id").as("b_id"), col("tset").as("tb"))
+    a.join(b, col("lang") === col("lang_b") && col("source") === col("source_b")
+        && col("a_id") =!= col("b_id"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("na", size(col("ta")).cast("long"))
+      .withColumn("cont_pm", expr("inter * 1000 div na"))
+      .select(col("a_id"), col("b_id"), col("inter"), col("na"), col("cont_pm"))
+      .orderBy(col("cont_pm").desc, col("a_id").asc, col("b_id").asc)
+      .limit(100)
+  }
+
   // ---------------------------------------------------------------- minhash
 
   private val NumPerms = 16
@@ -451,6 +477,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_jaccard"  -> dedupJaccard,
+    "q_dedup_contain"  -> dedupContain,
     "q_dedup_minhash"  -> dedupMinhash,
     "q_dedup_neardup"  -> dedupNeardup,
     "q_dedup_clusters" -> dedupClusters,
@@ -491,6 +518,23 @@ object Dedup {
         |       CAST(inter AS DOUBLE) / uni AS jac
         |FROM p
         |ORDER BY jac DESC, a_id ASC, b_id ASC
+        |LIMIT 100""".stripMargin,
+    "q_dedup_contain" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |         list_distinct(string_split(text, ' ')) AS tset
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         CAST(len(list_intersect(a.tset, b.tset)) AS BIGINT) AS inter,
+        |         CAST(len(a.tset) AS BIGINT) AS na
+        |  FROM t a JOIN t b
+        |    ON a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id <> b.doc_id)
+        |SELECT a_id, b_id, inter, na,
+        |       CAST(inter * 1000 // na AS BIGINT) AS cont_pm
+        |FROM p
+        |ORDER BY cont_pm DESC, a_id ASC, b_id ASC
         |LIMIT 100""".stripMargin,
     // Naive all-pairs is the ORACLE only — the engine side is the exact
     // prefix-filter join, whose 100% recall is what licenses this compare.

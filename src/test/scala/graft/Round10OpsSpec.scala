@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the round-10 operators — invariants the sf-oracle
+  * hash can't isolate: containment against a local token-set replay
+  * (including its asymmetry), and the integer-exactness contracts of
+  * the statistical queries.
+  */
+class Round10OpsSpec extends SparkSpec {
+
+  test("dedup contain: top pairs equal a local token-set replay; asymmetric") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3).split(" ").distinct.toSet))
+    val pairs = for {
+      (aId, aL, aS, ta) <- docs
+      (bId, bL, bS, tb) <- docs
+      if aL == bL && aS == bS && aId != bId
+    } yield {
+      val inter = ta.intersect(tb).size.toLong
+      (aId, bId, inter, ta.size.toLong, inter * 1000L / ta.size)
+    }
+    val local = pairs.sortBy { case (a, b, _, _, pm) => (-pm, a, b) }.take(100)
+    val rows = operators.Dedup.dedupContain(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.toSeq == local.toSeq)
+    // asymmetry is real on this corpus: some directed pair scores high
+    // while its reverse does not (the doc-inside-doc case Jaccard hides)
+    val pm = pairs.map { case (a, b, _, _, p) => (a, b) -> p }.toMap
+    assert(pairs.exists { case (a, b, _, _, p) =>
+      p >= 800 && pm.getOrElse((b, a), 0L) < p })
+  }
+}
