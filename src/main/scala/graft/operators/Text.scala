@@ -892,6 +892,40 @@ object Text {
       .agg(count(lit(1)).as("n_occ"), countDistinct(col("tok")).as("n_toks"))
       .orderBy(col("bucket").asc)
 
+  /** Octave band CASE for Zipf ranks — band k covers rank ∈ [2^k, 2^(k+1)).
+    * One generated string, valid verbatim in BOTH Spark SQL and DuckDB, so
+    * the band boundaries cannot drift between engine and oracle (and no
+    * float log2 whose rounding at exact powers of two is libm-dependent). */
+  private def zipfBandCase: String =
+    (0 until 21).map(k => s"WHEN rank < ${1L << (k + 1)} THEN $k")
+      .mkString("CASE ", " ", " ELSE 21 END")
+
+  /** Zipf rank-frequency profile — the corpus-health fingerprint: token
+    * frequencies ranked (freq desc, token asc — unique total order), then
+    * rolled into octave rank bands. A natural corpus shows total_occ
+    * decaying roughly geometrically across bands; boilerplate floods or
+    * template spam bend the curve, which makes this the one-glance screen
+    * before vocabulary/BPE work. Integer-only (counts, ranks, CASE bands).
+    *
+    * Scale note: the rank is a window over the VOCABULARY (types, not
+    * occurrences) — orders of magnitude smaller than the corpus, but still
+    * a global sort; at 100 TB prune freq=1 hapax tokens first (they are
+    * band-filler only) or rank within frequency ceilings, the same
+    * two-pass trick as q_win_ntile_approx. */
+  def textZipf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.spread(Tables.documents(s, d))
+      .select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("tok").asc)).cast("long"))
+      .withColumn("band", expr(zipfBandCase).cast("long"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("freq")).as("total_occ"),
+        min(col("rank")).as("min_rank"), max(col("freq")).as("max_freq"))
+      .orderBy(col("band").asc)
+  }
+
   /** Prefix-key dedup blocking — the cheap candidate blocking used on
     * boilerplate-heavy corpora (templated pages share their opening):
     * group docs by their first-6-token prefix, report blocks with ≥2
@@ -913,6 +947,7 @@ object Text {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_prefix_block" -> textPrefixBlock,
     "q_text_hashtrick" -> textHashtrick,
+    "q_text_zipf" -> textZipf,
     "q_text_vocab_prune" -> textVocabPrune,
     "q_text_cooc"     -> textCooc,
     "q_text_srcdrift" -> textSrcdrift,
@@ -949,6 +984,22 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_zipf" ->
+      s"""WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |f AS (SELECT tok, count(*) AS freq FROM t GROUP BY tok),
+        |r AS (SELECT tok, freq,
+        |        row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+        |      FROM f),
+        |b AS (SELECT CAST($zipfBandCase AS BIGINT) AS band, freq, rank
+        |      FROM r)
+        |SELECT band, count(*) AS n_toks,
+        |       CAST(sum(freq) AS BIGINT) AS total_occ,
+        |       CAST(min(rank) AS BIGINT) AS min_rank,
+        |       CAST(max(freq) AS BIGINT) AS max_freq
+        |FROM b
+        |GROUP BY band
+        |ORDER BY band ASC""".stripMargin,
     "q_text_hashtrick" ->
       """WITH t AS (
         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -33,4 +33,23 @@ class Round10OpsSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, _, _, p) =>
       p >= 800 && pm.getOrElse((b, a), 0L) < p })
   }
+
+  test("text zipf: octave bands equal a local rank replay; mass covers corpus") {
+    val occ = Tables.documents(spark, sf0001).select(col("text")).collect()
+      .flatMap(_.getString(0).split(" "))
+    val ranked = occ.groupBy(identity).map { case (t, g) => (t, g.length.toLong) }
+      .toSeq.sortBy { case (t, f) => (-f, t) }.zipWithIndex
+      .map { case ((t, f), i) => (t, f, i + 1L) }
+    def band(rank: Long): Long = {
+      var k = 0L; while (rank >= (2L << k) && k < 21) k += 1; k
+    }
+    val local = ranked.groupBy { case (_, _, r) => band(r) }.map { case (b, g) =>
+      b -> (g.size.toLong, g.map(_._2).sum, g.map(_._3).min, g.map(_._2).max) }
+    val rows = operators.Text.textZipf(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toMap == local)
+    // every occurrence is banded exactly once; band 0 is the top token
+    assert(rows.map(_._2._2).sum == occ.length.toLong)
+    assert(rows.head._1 == 0L && rows.head._2._3 == 1L)
+  }
 }
