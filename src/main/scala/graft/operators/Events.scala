@@ -719,7 +719,37 @@ object Events {
       .limit(10)
   }
 
+  /** Gini concentration of per-user activity, per event type, in exact
+    * integer ppm — the inequality screen behind "is this stream a few
+    * power users or a broad base?" (bot detection, source-balance audits
+    * for training data). Discrete Gini via the rank-weighted identity
+    *   G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx),  x sorted ascending,
+    * with the unique (cnt, user_id) tiebreak making the rank — and so
+    * the ppm — reproducible anywhere. Chebyshev's sum inequality keeps
+    * the numerator ≥ 0, so `div` truncation is engine-identical.
+    *
+    * Scale: one hash agg to (type, user) counts, a per-type window rank
+    * (types are few; within-type sort distributes by range partition),
+    * one regroup. No global sort, no collected vectors. */
+  def evtGini(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cnt").asc, col("user_id").asc)
+    Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cnt")).as("total_evt"),
+        sum(col("i") * col("cnt")).as("wsum"))
+      .withColumn("gini_ppm", expr(
+        "(2 * wsum - (n_users + 1) * total_evt) * 1000000 div (n_users * total_evt)"))
+      .select(col("event_type"), col("n_users"), col("total_evt"),
+        col("gini_ppm"))
+      .orderBy(col("event_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_evt_gini"     -> evtGini,
     "q_evt_dow"      -> evtDow,
     "q_evt_rfm"      -> evtRfm,
     "q_evt_funnel_window" -> evtFunnelWindow,
@@ -753,6 +783,25 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_evt_gini" ->
+      """WITH per AS (
+        |  SELECT event_type, user_id, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, cnt,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY cnt ASC, user_id ASC) AS i
+        |  FROM per),
+        |g AS (
+        |  SELECT event_type, count(*) AS n_users,
+        |         CAST(sum(cnt) AS BIGINT) AS total_evt,
+        |         CAST(sum(i * cnt) AS BIGINT) AS wsum
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n_users, total_evt,
+        |       CAST((2 * wsum - (n_users + 1) * total_evt) * 1000000
+        |            // (n_users * total_evt) AS BIGINT) AS gini_ppm
+        |FROM g
+        |ORDER BY event_type ASC""".stripMargin,
     "q_evt_concurrency" ->
       """WITH ev AS (
         |  SELECT event_type, epoch_us(ts) AS us,

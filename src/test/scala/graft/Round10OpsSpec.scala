@@ -52,4 +52,24 @@ class Round10OpsSpec extends SparkSpec {
     assert(rows.map(_._2._2).sum == occ.length.toLong)
     assert(rows.head._1 == 0L && rows.head._2._3 == 1L)
   }
+
+  test("evt gini: ppm equals a local rank-weighted replay; bounded in [0, 1e6)") {
+    val per = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((t, u), g) => (t, u, g.length.toLong) }
+    val local = per.groupBy(_._1).map { case (t, g) =>
+      val sorted = g.toSeq.sortBy { case (_, u, c) => (c, u) }
+      val n = sorted.length.toLong
+      val tot = sorted.map(_._3).sum
+      val wsum = sorted.zipWithIndex.map { case ((_, _, c), i) => (i + 1L) * c }.sum
+      t -> (n, tot, (2 * wsum - (n + 1) * tot) * 1000000L / (n * tot))
+    }
+    val rows = operators.Events.evtGini(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toMap == local)
+    rows.foreach { case (_, (_, _, g)) => assert(g >= 0L && g < 1000000L) }
+    // the corpus is not perfectly equal: some type shows real concentration
+    assert(rows.exists(_._2._3 > 0L))
+  }
 }
