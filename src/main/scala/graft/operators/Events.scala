@@ -748,7 +748,47 @@ object Events {
       .orderBy(col("event_type").asc)
   }
 
+  /** Decile lift/gains table — the model-eval staple, computed on a
+    * behavioral score (total activity) against a base rate: users ranked
+    * into activity deciles (ntile over n_events desc, user_id tiebreak),
+    * each decile's share of above-mean purchasers vs the population rate
+    * as integer lift permille. "Above the corpus-wide mean purchases"
+    * is the conversion flag because it self-calibrates across scale
+    * factors — on this corpus EVERY user purchases (FIXTURES trap), so
+    * a has-purchase flag would be constant-true and the table trivial.
+    *
+    * Scale: the ntile ranks USERS (already one row per user after the
+    * first agg) — the q_win_ntile single-task caveat applies to that
+    * vocabulary-sized sort, with the same declared remedy
+    * (q_win_ntile_approx cutoffs) once users outgrow one task. The
+    * 1-row mean is a broadcast cross join, not a driver collect. */
+  def evtLift(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purch"))
+    val mean = per.agg(
+      expr("sum(n_purch) div count(1)").as("mean_purch"))
+    per.crossJoin(broadcast(mean))
+      .withColumn("heavy",
+        when(col("n_purch") > col("mean_purch"), 1L).otherwise(0L))
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("n_events").desc, col("user_id").asc)).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("heavy")).as("n_heavy"))
+      .withColumn("tot_users", sum(col("n_users")).over(Window.partitionBy()))
+      .withColumn("tot_heavy", sum(col("n_heavy")).over(Window.partitionBy()))
+      .withColumn("heavy_pm", expr("n_heavy * 1000 div n_users"))
+      .withColumn("lift_pm",
+        expr("n_heavy * tot_users * 1000 div (n_users * tot_heavy)"))
+      .select(col("decile"), col("n_users"), col("n_heavy"), col("heavy_pm"),
+        col("lift_pm"))
+      .orderBy(col("decile").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_evt_lift"     -> evtLift,
     "q_evt_gini"     -> evtGini,
     "q_evt_dow"      -> evtDow,
     "q_evt_rfm"      -> evtRfm,
@@ -783,6 +823,34 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_evt_lift" ->
+      """WITH per AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_purch
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT CAST(sum(n_purch) // count(*) AS BIGINT) AS mean_purch
+        |      FROM per),
+        |d AS (
+        |  SELECT ntile(10) OVER (ORDER BY n_events DESC, user_id ASC)
+        |           AS decile,
+        |         CASE WHEN n_purch > (SELECT mean_purch FROM m)
+        |              THEN 1 ELSE 0 END AS heavy
+        |  FROM per),
+        |g AS (
+        |  SELECT decile, count(*) AS n_users,
+        |         CAST(sum(heavy) AS BIGINT) AS n_heavy
+        |  FROM d GROUP BY 1),
+        |t AS (
+        |  SELECT g.*, CAST(sum(n_users) OVER () AS BIGINT) AS tot_users,
+        |         CAST(sum(n_heavy) OVER () AS BIGINT) AS tot_heavy
+        |  FROM g)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_users, n_heavy,
+        |       CAST(n_heavy * 1000 // n_users AS BIGINT) AS heavy_pm,
+        |       CAST(n_heavy * tot_users * 1000 // (n_users * tot_heavy)
+        |         AS BIGINT) AS lift_pm
+        |FROM t
+        |ORDER BY decile ASC""".stripMargin,
     "q_evt_gini" ->
       """WITH per AS (
         |  SELECT event_type, user_id, count(*) AS cnt

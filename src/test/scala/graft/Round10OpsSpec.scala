@@ -72,4 +72,31 @@ class Round10OpsSpec extends SparkSpec {
     // the corpus is not perfectly equal: some type shows real concentration
     assert(rows.exists(_._2._3 > 0L))
   }
+
+  test("evt lift: decile table equals a local ntile replay; heavy flag splits") {
+    val per = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (u, g) =>
+        (u, g.length.toLong, g.count(_._2 == "purchase").toLong) }.toSeq
+    val mean = per.map(_._3).sum / per.length
+    val heavySet = per.filter(_._3 > mean).map(_._1).toSet
+    assert(heavySet.nonEmpty && heavySet.size < per.length) // non-constant flag
+    // ntile semantics: first (n mod 10) deciles get the extra row
+    val ordered = per.sortBy { case (u, n, _) => (-n, u) }
+    val n = ordered.length
+    val base = n / 10; val extra = n % 10
+    val local = (1 to 10).map { dec =>
+      val start = (dec - 1) * base + math.min(dec - 1, extra)
+      val len = base + (if (dec <= extra) 1 else 0)
+      val g = ordered.slice(start, start + len)
+      val nh = g.count(t => heavySet(t._1)).toLong
+      (dec.toLong, g.length.toLong, nh, nh * 1000L / g.length,
+        nh * n.toLong * 1000L / (g.length.toLong * heavySet.size))
+    }
+    val rows = operators.Events.evtLift(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.toSeq == local)
+  }
 }
