@@ -359,6 +359,51 @@ object Analytics {
       .orderBy(col("m").asc)
   }
 
+  /** Open-order backlog by month — interval accounting over derived
+    * lifespans: an order is "open" from its order month until the month
+    * its LAST lineitem ships (shuffle join orders↔max-ship on orderkey).
+    * Boundary deltas (+1 start month, −1 month after close) roll into a
+    * running level; output is every month the level changes, so the
+    * final row provably returns to 0 (all orders eventually ship).
+    *
+    * Scale: the running sum is a DISTRIBUTED two-pass prefix sum, not a
+    * single-task global window — within-year running sums (window
+    * partitioned by year) plus broadcast year-prefix offsets (the year
+    * table is tiny). Same result as `sum() OVER (ORDER BY mi)` — which
+    * is exactly what the oracle runs — without the one-partition sort
+    * that would cap a 100 TB history. */
+  def ordersBacklog(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+        .cast("long").as("sm"))
+    val e = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("last_ship"))
+      .select(col("l_orderkey"),
+        (year(col("last_ship")) * 12 + month(col("last_ship")) - 1)
+          .cast("long").as("em"))
+    // This corpus has lineitems shipping BEFORE their order date (the
+    // q_dq_audit ship<order row counts them) — clamp the close month to
+    // the open month so every interval is valid and levels stay ≥ 0.
+    val iv = o.join(e, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("cm", greatest(col("sm"), col("em")))
+    val deltas = iv.select(col("sm").as("mi"), lit(1L).as("delta"))
+      .unionAll(iv.select((col("cm") + 1).as("mi"), lit(-1L).as("delta")))
+      .groupBy(col("mi")).agg(sum(col("delta")).as("d"))
+      .withColumn("yr", expr("mi div 12"))
+    val wIn = Window.partitionBy(col("yr")).orderBy(col("mi").asc)
+    val offsets = deltas.groupBy(col("yr")).agg(sum(col("d")).as("ytot"))
+      .withColumn("off", coalesce(sum(col("ytot")).over(
+        Window.orderBy(col("yr").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("yr"), col("off"))
+    deltas.withColumn("run_in", sum(col("d")).over(wIn))
+      .join(broadcast(offsets), "yr")
+      .withColumn("n_open", col("run_in") + col("off"))
+      .select(expr("mi div 12").as("y"), expr("mi % 12 + 1").as("m"),
+        col("d").as("delta"), col("n_open"))
+      .orderBy(col("y").asc, col("m").asc)
+  }
+
   /** Supplier scorecard — the vendor-quality report: per supplier,
     * shipped lines, return rate in integer permille (l_returnflag 'R'),
     * and revenue at stake in micro-units; top-20 worst by (return rate,
@@ -582,6 +627,7 @@ object Analytics {
     "q_tpch_q6"         -> tpchQ6,
     "q_basket_pairs"    -> basketPairs,
     "q_basket_lift"     -> basketLift,
+    "q_orders_backlog"  -> ordersBacklog,
     "q_supplier_score"  -> supplierScorecard,
     "q_orders_season"   -> ordersSeasonality,
     "q_part_margin"     -> partMargin,
@@ -1099,6 +1145,28 @@ object Analytics {
         |FROM o CROSS JOIN tot
         |GROUP BY m, n_total
         |ORDER BY m ASC""".stripMargin,
+    "q_orders_backlog" ->
+      """WITH ship AS (
+        |  SELECT l_orderkey, max(l_shipdate) AS last_ship
+        |  FROM lineitem GROUP BY 1),
+        |iv AS (
+        |  SELECT year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1 AS sm,
+        |         year(s.last_ship) * 12 + month(s.last_ship) - 1 AS em
+        |  FROM orders o JOIN ship s ON o.o_orderkey = s.l_orderkey),
+        |dl AS (
+        |  SELECT sm AS mi, 1 AS delta FROM iv
+        |  UNION ALL
+        |  SELECT greatest(sm, em) + 1 AS mi, -1 AS delta FROM iv),
+        |g AS (SELECT mi, CAST(sum(delta) AS BIGINT) AS d
+        |      FROM dl GROUP BY mi),
+        |r AS (SELECT mi, d,
+        |        CAST(sum(d) OVER (ORDER BY mi ASC) AS BIGINT) AS n_open
+        |      FROM g)
+        |SELECT CAST(mi // 12 AS BIGINT) AS y,
+        |       CAST(mi % 12 + 1 AS BIGINT) AS m,
+        |       d AS delta, n_open
+        |FROM r
+        |ORDER BY y ASC, m ASC""".stripMargin,
     "q_supplier_score" ->
       """WITH agg AS (
         |  SELECT l_suppkey,

@@ -99,4 +99,39 @@ class Round10OpsSpec extends SparkSpec {
         r.getLong(4)))
     assert(rows.toSeq == local)
   }
+
+  test("orders backlog: levels equal a local sweep replay and close at zero") {
+    val om = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"),
+        expr("CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val em = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_orderkey"))
+      .agg(expr("CAST(max(year(l_shipdate) * 12 + month(l_shipdate) - 1) AS BIGINT)").as("em"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // inner-join semantics: an order with no lineitems (they exist at
+    // sf0.001, e.g. orderkey 1237) has no ship-derived close → untracked
+    val tracked = om.filter { case (k, _) => em.contains(k) }
+    assert(tracked.size < om.size) // the no-lineitem orders are real
+    val deltas = scala.collection.mutable.Map.empty[Long, Long]
+    tracked.foreach { case (k, sm) =>
+      deltas(sm) = deltas.getOrElse(sm, 0L) + 1
+      // close clamped to the open month: this corpus ships some lines
+      // BEFORE the order date (q_dq_audit counts those rows)
+      val e = math.max(sm, em(k)) + 1
+      deltas(e) = deltas.getOrElse(e, 0L) - 1
+    }
+    var run = 0L
+    val local = deltas.toSeq.sortBy(_._1).map { case (mi, d) =>
+      run += d; (mi / 12, mi % 12 + 1, d, run) }
+    val rows = operators.Analytics.ordersBacklog(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == local)
+    assert(rows.last._4 == 0L)           // every order eventually ships
+    assert(rows.exists(_._4 > 0L))       // a real backlog existed
+    // clamped intervals keep the level non-negative everywhere
+    rows.foreach(r => assert(r._4 >= 0L))
+    // the clamp is exercised: some order's lines all ship early
+    assert(tracked.exists { case (k, sm) => em(k) < sm })
+  }
 }
