@@ -787,7 +787,34 @@ object Events {
       .orderBy(col("decile").asc)
   }
 
+  /** DAU/MAU stickiness per month in integer permille — the engagement
+    * ratio product teams live on: average daily actives over monthly
+    * actives, stick_pm = Σdau · 1000 div (active_days · mau). One
+    * (user, day) dedup (hash agg — partial aggregation makes this one
+    * narrow shuffle of distinct pairs, not raw events), then per-month
+    * counts; avg-DAU kept as the exact rational Σdau/n_days inside the
+    * single div so no intermediate truncation. count(DISTINCT user) and
+    * count(DISTINCT day) share one expand — two distincts is the
+    * documented Spark expand-operator cost, fine at month granularity. */
+  def evtStickiness(s: SparkSession, d: String): DataFrame = {
+    val dd = Tables.events(s, d).select(
+        (year(col("ts")) * 12 + month(col("ts")) - 1).cast("long").as("mon"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        col("user_id"))
+      .distinct()
+    dd.groupBy(col("mon"))
+      .agg(count(lit(1)).as("sum_dau"),
+        countDistinct(col("day")).as("n_days"),
+        countDistinct(col("user_id")).as("mau"))
+      .withColumn("stick_pm",
+        expr("sum_dau * 1000 div (n_days * mau)"))
+      .select(expr("mon div 12").as("y"), expr("mon % 12 + 1").as("m"),
+        col("n_days"), col("sum_dau"), col("mau"), col("stick_pm"))
+      .orderBy(col("y").asc, col("m").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_evt_stickiness" -> evtStickiness,
     "q_evt_lift"     -> evtLift,
     "q_evt_gini"     -> evtGini,
     "q_evt_dow"      -> evtDow,
@@ -823,6 +850,22 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_evt_stickiness" ->
+      """WITH dd AS (
+        |  SELECT DISTINCT year(ts) * 12 + month(ts) - 1 AS mon,
+        |         epoch_us(ts) // 86400000000 AS day, user_id
+        |  FROM events),
+        |g AS (
+        |  SELECT mon, count(*) AS sum_dau,
+        |         count(DISTINCT day) AS n_days,
+        |         count(DISTINCT user_id) AS mau
+        |  FROM dd GROUP BY 1)
+        |SELECT CAST(mon // 12 AS BIGINT) AS y,
+        |       CAST(mon % 12 + 1 AS BIGINT) AS m,
+        |       n_days, sum_dau, mau,
+        |       CAST(sum_dau * 1000 // (n_days * mau) AS BIGINT) AS stick_pm
+        |FROM g
+        |ORDER BY y ASC, m ASC""".stripMargin,
     "q_evt_lift" ->
       """WITH per AS (
         |  SELECT user_id, count(*) AS n_events,

@@ -134,4 +134,24 @@ class Round10OpsSpec extends SparkSpec {
     // the clamp is exercised: some order's lines all ship early
     assert(tracked.exists { case (k, sm) => em(k) < sm })
   }
+
+  test("evt stickiness: permille equals a local replay; bounded by (0, 1000]") {
+    val rowsIn = Tables.events(spark, sf0001)
+      .select(expr("CAST(year(ts) * 12 + month(ts) - 1 AS BIGINT)"),
+        expr("unix_micros(ts) div 86400000000"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).distinct
+    val local = rowsIn.groupBy(_._1).map { case (mon, g) =>
+      val nDays = g.map(_._2).distinct.length.toLong
+      val mau = g.map(_._3).distinct.length.toLong
+      val sumDau = g.length.toLong
+      (mon / 12, mon % 12 + 1) -> (nDays, sumDau, mau,
+        sumDau * 1000L / (nDays * mau))
+    }
+    val rows = operators.Events.evtStickiness(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.toMap == local)
+    // avg DAU can never exceed MAU; a user active every day hits 1000
+    rows.foreach { case (_, (_, _, _, pm)) => assert(pm > 0L && pm <= 1000L) }
+  }
 }
