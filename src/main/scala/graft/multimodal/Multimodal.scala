@@ -144,7 +144,34 @@ object Multimodal {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Perceptual blob dedup audit — the storage question for a media lake:
+    * how many payloads collapse to the same content once normalized
+    * (here: the deterministic 24-byte resize stub standing in for a
+    * perceptual hash), and how many bytes would deduplicating them save?
+    * Exact payload equality is useless for media (every file differs by
+    * a header byte); the family key is the QUANTIZED decode-feature
+    * vector (length ÷ 32, char-counts ÷ 4 — the stub analog of bucketing
+    * a perceptual hash), which is how near-identical media actually
+    * collide. Per family-size: family count, original byte mass, and
+    * bytes saved keeping the min-doc_id representative (min_by /
+    * arg_min on both engines). One typed partition-wise decode pass —
+    * the features carry the byte length, so no second scan or join. */
+  def mmDedup(s: SparkSession, d: String): DataFrame =
+    decodeFeatures(s, mediaTable(s, d))
+      .select(col("doc_id"), col("n_bytes"),
+        expr("concat(n_bytes div 32, ':', cnt_a div 4, ':', cnt_e div 4, " +
+          "':', cnt_t div 4)").as("pkey"))
+      .groupBy(col("pkey"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("fam_bytes"),
+        expr("min_by(n_bytes, doc_id)").as("keep_bytes"))
+      .groupBy(col("n_docs"))
+      .agg(count(lit(1)).as("n_families"),
+        sum(col("fam_bytes")).as("orig_bytes"),
+        sum(expr("fam_bytes - keep_bytes")).as("saved_bytes"))
+      .orderBy(col("n_docs").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_dedup"    -> mmDedup,
     "q_mm_binary"   -> mmBinary,
     "q_mm_features" -> mmFeatures,
     "q_mm_resize"   -> mmResize,
@@ -156,6 +183,29 @@ object Multimodal {
   // only because this corpus is single-byte ASCII (TestdataInvariantsSpec
   // pins that invariant; multi-byte UTF-8 would diverge byte vs char).
   val oracle: Map[String, String] = Map(
+    // Same decode-feature arithmetic as q_mm_features, quantized into the
+    // family key, then the family rollup; the byte/char equivalence note
+    // above applies.
+    "q_mm_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id, length(text) AS n_bytes,
+        |         length(text) - length(replace(text, 'a', '')) AS cnt_a,
+        |         length(text) - length(replace(text, 'e', '')) AS cnt_e,
+        |         length(text) - length(replace(text, 't', '')) AS cnt_t
+        |  FROM documents),
+        |fam AS (
+        |  SELECT (n_bytes // 32) || ':' || (cnt_a // 4) || ':'
+        |           || (cnt_e // 4) || ':' || (cnt_t // 4) AS pkey,
+        |         count(*) AS n_docs,
+        |         CAST(sum(n_bytes) AS BIGINT) AS fam_bytes,
+        |         CAST(arg_min(n_bytes, doc_id) AS BIGINT) AS keep_bytes
+        |  FROM f GROUP BY 1)
+        |SELECT n_docs, count(*) AS n_families,
+        |       CAST(sum(fam_bytes) AS BIGINT) AS orig_bytes,
+        |       CAST(sum(fam_bytes - keep_bytes) AS BIGINT) AS saved_bytes
+        |FROM fam
+        |GROUP BY n_docs
+        |ORDER BY n_docs ASC""".stripMargin,
     "q_mm_binary" ->
       """SELECT doc_id,
         |       length(text) AS n_bytes,

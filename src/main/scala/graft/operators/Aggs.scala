@@ -316,7 +316,23 @@ object Aggs {
       .orderBy(col("flag").asc)
   }
 
+  /** grouping_id() over a rollup — the mask that lets one result set
+    * carry detail rows, per-flag subtotals, and the grand total while
+    * staying machine-distinguishable (NULL-valued detail cells vs
+    * NULL-as-subtotal is otherwise ambiguous). gid bit order is the
+    * grouping column order (leftmost = MSB) in BOTH engines. */
+  def aggGroupingId(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(expr("CAST(l_quantity AS BIGINT)")).as("sum_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("gid").asc, col("l_returnflag").asc_nulls_last,
+        col("l_linestatus").asc_nulls_last)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_groupingid" -> aggGroupingId,
     "q_udaf_topk"       -> udafTopk,
     "q_typed_agg"       -> typedAgg,
     "q_agg_wmedian"     -> aggWmedian,
@@ -339,6 +355,15 @@ object Aggs {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_groupingid" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid ASC, l_returnflag ASC NULLS LAST,
+        |         l_linestatus ASC NULLS LAST""".stripMargin,
     "q_udaf_topk" ->
       """WITH r AS (
         |  SELECT o_custkey,

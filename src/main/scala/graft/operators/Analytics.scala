@@ -618,7 +618,38 @@ object Analytics {
       .orderBy(col("n_prios").asc)
   }
 
+  /** Cross-table integrity fingerprint — the ingest/replication check a
+    * 100 TB pipeline runs after every copy: per table, row count plus an
+    * ORDER-INDEPENDENT content checksum (sum of md5-derived 32-bit key
+    * digests — commutative, so partitioning and merge order cannot change
+    * it) and the key span. One narrow scan per table, no shuffle beyond a
+    * 1-row aggregate each; a single mismatched/dropped/duplicated row
+    * flips the checksum. Keys pick each table's identity: surrogate keys
+    * where unique, the full line identity for lineitem (whose
+    * (orderkey, linenumber) is NOT unique — FIXTURES.md). */
+  def dqFingerprint(s: SparkSession, d: String): DataFrame = {
+    def fp(name: String, df: DataFrame, keySql: String): DataFrame =
+      df.withColumn("h", md5(expr(keySql)))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr(s"${DetHash.sparkHexInt("h")}")).as("checksum"))
+        .select(lit(name).as("tbl"), col("n_rows"), col("checksum"))
+    val parts = Seq(
+      fp("customer", Tables.customer(s, d), "CAST(c_custkey AS STRING)"),
+      fp("documents", Tables.documents(s, d), "CAST(doc_id AS STRING)"),
+      fp("embeddings", Tables.embeddings(s, d), "CAST(vec_id AS STRING)"),
+      fp("events", Tables.events(s, d), "CAST(event_id AS STRING)"),
+      fp("lineitem", Tables.lineitem(s, d),
+        "concat(l_orderkey, ':', l_linenumber, ':', l_partkey, ':', l_suppkey)"),
+      fp("nation", Tables.nation(s, d), "CAST(n_nationkey AS STRING)"),
+      fp("orders", Tables.orders(s, d), "CAST(o_orderkey AS STRING)"),
+      fp("part", Tables.part(s, d), "CAST(p_partkey AS STRING)"),
+      fp("region", Tables.region(s, d), "CAST(r_regionkey AS STRING)"),
+      fp("supplier", Tables.supplier(s, d), "CAST(s_suppkey AS STRING)"))
+    parts.reduce(_ union _).orderBy(col("tbl").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_fingerprint"  -> dqFingerprint,
     "q_agg_bitmap"      -> aggBitmap,
     "q_tpch_q3"         -> tpchQ3,
     "q_tpch_q5"         -> tpchQ5,
@@ -863,7 +894,26 @@ object Analytics {
       .orderBy(col("s_suppkey").asc)
   }
 
+  /** One fingerprint leg of the q_dq_fingerprint oracle. */
+  private def fpLegSql(name: String, table: String, keySql: String): String =
+    s"""SELECT '$name' AS tbl, count(*) AS n_rows,
+       |       CAST(sum(${DetHash.duckHexInt("h")}) AS BIGINT) AS checksum
+       |FROM (SELECT md5($keySql) AS h FROM $table)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_dq_fingerprint" -> (Seq(
+      fpLegSql("customer", "customer", "CAST(c_custkey AS VARCHAR)"),
+      fpLegSql("documents", "documents", "CAST(doc_id AS VARCHAR)"),
+      fpLegSql("embeddings", "embeddings", "CAST(vec_id AS VARCHAR)"),
+      fpLegSql("events", "events", "CAST(event_id AS VARCHAR)"),
+      fpLegSql("lineitem", "lineitem",
+        "l_orderkey || ':' || l_linenumber || ':' || l_partkey || ':' || l_suppkey"),
+      fpLegSql("nation", "nation", "CAST(n_nationkey AS VARCHAR)"),
+      fpLegSql("orders", "orders", "CAST(o_orderkey AS VARCHAR)"),
+      fpLegSql("part", "part", "CAST(p_partkey AS VARCHAR)"),
+      fpLegSql("region", "region", "CAST(r_regionkey AS VARCHAR)"),
+      fpLegSql("supplier", "supplier", "CAST(s_suppkey AS VARCHAR)"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY tbl ASC")),
     "q_tpch_q15" ->
       """WITH rev AS (
         |  SELECT l_suppkey,

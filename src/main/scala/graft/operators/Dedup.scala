@@ -357,6 +357,85 @@ object Dedup {
         max(col("sz")).as("max_bucket"))
       .orderBy(col("band_id").asc)
 
+  // ------------------------------------------------------ md5 minhash (oracled)
+
+  private val MdPerms = 8
+  private val MdP = 2147483647L // 2^31 - 1
+  private def mdA(i: Int): Long = 1103515245L * (i + 1) % MdP
+  private def mdB(i: Int): Long = 12345L * (i + 1)
+
+  /** Fully-ORACLED MinHash signatures: the xxhash64 family
+    * ([[minhashSignatures]]) is the production path (fast, well-mixed)
+    * but declared no-oracle because DuckDB cannot reproduce the hash;
+    * this variant swaps the shingle hash for the md5 hex fold
+    * ([[DetHash]]) both engines compute bit-identically, closing the
+    * correctness gap: the SAME affine-permutation minimum algebra
+    * (same a_i/b_i family as [[graft.functions.MinHashSigs]], mod the
+    * Mersenne prime 2^31−1) now hash-matches DuckDB end-to-end.
+    *
+    * Shape: a narrow per-doc map — md5 per DISTINCT bigram shingle
+    * (materialized by the inner transform exactly once: higher-order
+    * lambdas are interpreted, so an inlined 8-digit fold over `md5(x)`
+    * would digest 8× per shingle), folded to [0, p), then 8 array_min
+    * passes. No shuffle, no explode. */
+  def minhashMd5Sigs(docs: DataFrame, nGram: Int = 2): DataFrame = {
+    val hs = withToks(Tables.spread(docs))
+      .withColumn("sh", expr(shingles(nGram)))
+      .filter(size(col("sh")) > 0)
+      .withColumn("hs", expr(
+        s"transform(transform(sh, x -> md5(x)), h -> ${DetHash.sparkHexInt("h")} % $MdP)"))
+    val sigCols = (0 until MdPerms).map { i =>
+      expr(s"array_min(transform(hs, v -> (${mdA(i)} * v + ${mdB(i)}) % $MdP))")
+        .as(s"s$i")
+    }
+    hs.select((col("doc_id") +: sigCols): _*)
+  }
+
+  def dedupMinhashMd5(s: SparkSession, d: String): DataFrame =
+    minhashMd5Sigs(Tables.documents(s, d)).orderBy(col("doc_id").asc)
+
+  /** MinHash calibration audit — the question every LSH deployment has
+    * to answer before trusting its banding: how far does the
+    * signature-agreement ESTIMATE stray from exact Jaccard? Joins the
+    * 8-perm md5 signatures ([[minhashMd5Sigs]]) with the exact bigram
+    * Jaccard over (lang, source)-blocked pairs and histograms the
+    * signed error (est − exact, permille) into 125-permille bands (the
+    * estimator's own quantum at 8 perms). All-integer; the blocked join
+    * keeps pair counts bounded exactly as [[dedupJaccard]]. At corpus
+    * scale the same audit runs over a key-sampled block — the point is
+    * the measured error profile, not full coverage. */
+  def dedupEstErr(s: SparkSession, d: String): DataFrame = {
+    val docs = withToks(Tables.spread(Tables.documents(s, d)))
+      .withColumn("tset", expr(shingles(2)))
+      .filter(size(col("tset")) > 0)
+    val sigs = minhashMd5Sigs(Tables.documents(s, d))
+    val base = docs.select(col("doc_id"), col("lang"), col("source"), col("tset"))
+      .join(sigs, "doc_id")
+    val aCols = col("doc_id").as("a_id") +: col("lang").as("lang") +:
+      col("source").as("source") +: col("tset").as("ta") +:
+      (0 until MdPerms).map(i => col(s"s$i").as(s"a$i"))
+    val bCols = col("doc_id").as("b_id") +: col("lang").as("lang_b") +:
+      col("source").as("source_b") +: col("tset").as("tb") +:
+      (0 until MdPerms).map(i => col(s"s$i").as(s"b$i"))
+    val a = base.select(aCols: _*)
+    val b = base.select(bCols: _*)
+    val agreeSql = (0 until MdPerms)
+      .map(i => s"(CASE WHEN a$i = b$i THEN 1 ELSE 0 END)").mkString(" + ")
+    a.join(b, col("lang") === col("lang_b") && col("source") === col("source_b")
+        && col("a_id") < col("b_id"))
+      .withColumn("est_pm", expr(s"($agreeSql) * 1000 div $MdPerms"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("uni", (size(col("ta")) + size(col("tb"))).cast("long") - col("inter"))
+      .filter(col("uni") > 0)
+      .withColumn("jac_pm", expr("inter * 1000 div uni"))
+      .withColumn("band", expr("(est_pm - jac_pm + 1000) div 125"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(expr("est_pm - jac_pm")).as("min_diff"),
+        max(expr("est_pm - jac_pm")).as("max_diff"))
+      .orderBy(col("band").asc)
+  }
+
   // ---------------------------------------------------------------- simhash
 
   private val SimBits = 16
@@ -476,6 +555,8 @@ object Dedup {
       .orderBy(col("bucket").asc)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_minhash_md5" -> dedupMinhashMd5,
+    "q_dedup_est_err"  -> dedupEstErr,
     "q_dedup_jaccard"  -> dedupJaccard,
     "q_dedup_contain"  -> dedupContain,
     "q_dedup_minhash"  -> dedupMinhash,
@@ -501,7 +582,61 @@ object Dedup {
        |  (a, x) -> a + x) > 0 THEN ${1L << p} ELSE 0 END""".stripMargin
   }
 
+  /** DuckDB twin of [[minhashMd5Sigs]], generated from the same constants:
+    * bigram shingles, md5 hex fold to [0, p), 8 affine-min signatures. */
+  private def mdSigsCte: String = {
+    val sigLines = (0 until MdPerms).map { i =>
+      s"CAST(list_min(list_transform(hp, v -> (${mdA(i)} * v + ${mdB(i)}) " +
+        s"% $MdP)) AS BIGINT) AS s$i"
+    }.mkString(",\n         ")
+    s"""toks AS (
+       |  SELECT doc_id, lang, source, string_split(text, ' ') AS tk
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, lang, source,
+       |         list_distinct(list_transform(range(1, len(tk)),
+       |           i -> tk[i] || ' ' || tk[i + 1])) AS sh
+       |  FROM toks),
+       |f AS (
+       |  SELECT doc_id, lang, source, sh,
+       |         list_transform(list_transform(sh, x -> md5(x)),
+       |           h -> ${DetHash.duckHexInt("h")} % $MdP) AS hp
+       |  FROM t WHERE len(sh) > 0),
+       |sigs AS (
+       |  SELECT doc_id, lang, source, sh,
+       |         $sigLines
+       |  FROM f)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_dedup_minhash_md5" ->
+      (s"""WITH $mdSigsCte
+        |SELECT doc_id, ${(0 until MdPerms).map(i => s"s$i").mkString(", ")}
+        |FROM sigs
+        |ORDER BY doc_id ASC""".stripMargin),
+    "q_dedup_est_err" ->
+      (s"""WITH $mdSigsCte,
+        |p AS (
+        |  SELECT (${(0 until MdPerms).map(i =>
+            s"(CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END)").mkString(" + ")})
+        |           * 1000 // $MdPerms AS est_pm,
+        |         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+        |         CAST(len(a.sh) + len(b.sh)
+        |           - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni
+        |  FROM sigs a JOIN sigs b
+        |    ON a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id < b.doc_id),
+        |q AS (
+        |  SELECT CAST(est_pm AS BIGINT) AS est_pm,
+        |         CAST(inter * 1000 // uni AS BIGINT) AS jac_pm
+        |  FROM p WHERE uni > 0)
+        |SELECT CAST((est_pm - jac_pm + 1000) // 125 AS BIGINT) AS band,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(min(est_pm - jac_pm) AS BIGINT) AS min_diff,
+        |       CAST(max(est_pm - jac_pm) AS BIGINT) AS max_diff
+        |FROM q
+        |GROUP BY 1
+        |ORDER BY band ASC""".stripMargin),
     "q_dedup_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id, lang, source,

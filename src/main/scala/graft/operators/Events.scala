@@ -813,7 +813,86 @@ object Events {
       .orderBy(col("y").asc, col("m").asc)
   }
 
+  /** Behavioral-embedding similarity: each user's event-type count vector
+    * is a 5-dim integer embedding of their behavior; cosine between the
+    * top-20 most-active users ranks behavioral look-alikes. Dot and
+    * squared norms are exact BIGINT sums; the only doubles are two
+    * correctly-rounded sqrts and one division, so cosines are
+    * bit-identical across engines without rounding. The pair space is
+    * bounded by construction (top-20 → 190 pairs) — at corpus scale the
+    * same query runs per cohort/segment block, never all-users². */
+  def evtTypevec(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val aggCols = types.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")) :+
+      count(lit(1)).as("n_total")
+    val cnt = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val top = cnt.orderBy(col("n_total").desc, col("user_id").asc).limit(20)
+    val dotSql = types.map(t => s"a.n_$t * b.n_$t").mkString(" + ")
+    val n2Sql = (p: String) => types.map(t => s"$p.n_$t * $p.n_$t").mkString(" + ")
+    top.alias("a").join(top.alias("b"),
+        col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("a_id"), col("b.user_id").as("b_id"),
+        expr(dotSql).as("dot"),
+        expr(n2Sql("a")).as("na2"), expr(n2Sql("b")).as("nb2"))
+      .withColumn("cos", col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))))
+      .orderBy(col("cos").desc, col("a_id").asc, col("b_id").asc)
+      .limit(20)
+  }
+
+  /** Audience-overlap matrix: exact Jaccard between the USER SETS of each
+    * event-type pair — the segment-overlap readout behind "do purchasers
+    * also click?". Set sizes and intersections are exact integers from
+    * one (type, user) dedup + a user-keyed self-join (shuffle key =
+    * user_id, never a users² pair space — per-user type fan-out is
+    * bounded by the 5-type domain); union arises arithmetically as
+    * |A|+|B|−|∩|. 10 rows. */
+  def evtOverlap(s: SparkSession, d: String): DataFrame = {
+    val tu = Tables.events(s, d)
+      .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+    val sz = tu.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val common = tu.alias("a").join(tu.alias("b"),
+        col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("ta"), col("b.t").as("tb"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sz.select(col("t").as("ta"), col("n").as("n_a"))), "ta")
+      .join(broadcast(sz.select(col("t").as("tb"), col("n").as("n_b"))), "tb")
+      .withColumn("uni", col("n_a") + col("n_b") - col("n_common"))
+      .withColumn("jac_pm", expr("n_common * 1000 div uni"))
+      .select(col("ta"), col("tb"), col("n_a"), col("n_b"), col("n_common"),
+        col("uni"), col("jac_pm"))
+      .orderBy(col("ta").asc, col("tb").asc)
+  }
+
+  /** Temporal-regularity profile: per-user Herfindahl concentration of
+    * activity across the 24 hour-of-day bins, in exact integer ppm
+    * (Σc_h² · 10^6 div (Σc)²) — 41,666 ppm ≈ uniform spread, 10^6 = all
+    * activity in one hour. Users are then value-banded (10k-ppm bands)
+    * with exact min/max/avg — the bot-vs-human regularity screen over
+    * event streams. Entirely integer; one (user, hour) count + one
+    * per-user rollup, both shuffles keyed by user. */
+  def evtHourHhi(s: SparkSession, d: String): DataFrame = {
+    val perHour = Tables.events(s, d)
+      .groupBy(col("user_id"), hour(col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val perUser = perHour.groupBy(col("user_id"))
+      .agg(sum(expr("c * c")).as("s2"), sum(col("c")).as("n"))
+      .withColumn("hhi_ppm", expr("s2 * 1000000 div (n * n)"))
+    perUser.withColumn("band", expr("hhi_ppm div 10000"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_users"), min(col("hhi_ppm")).as("min_ppm"),
+        max(col("hhi_ppm")).as("max_ppm"),
+        expr("sum(hhi_ppm) div count(1)").as("avg_ppm"))
+      .orderBy(col("band").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_evt_hourhhi" -> evtHourHhi,
+    "q_evt_overlap" -> evtOverlap,
+    "q_evt_typevec" -> evtTypevec,
     "q_evt_stickiness" -> evtStickiness,
     "q_evt_lift"     -> evtLift,
     "q_evt_gini"     -> evtGini,
@@ -850,6 +929,77 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    // hour() on the µs-truncated ts ≡ DuckDB hour() on its own
+    // nanos-truncating read of the same file; all-integer from there.
+    "q_evt_hourhhi" ->
+      """WITH ph AS (
+        |  SELECT user_id, hour(ts) AS h, count(*) AS c
+        |  FROM events GROUP BY user_id, hour(ts)),
+        |pu AS (
+        |  SELECT user_id,
+        |         CAST(sum(c * c) AS BIGINT) AS s2,
+        |         CAST(sum(c) AS BIGINT) AS n
+        |  FROM ph GROUP BY user_id),
+        |hh AS (
+        |  SELECT user_id, s2 * 1000000 // (n * n) AS hhi_ppm FROM pu)
+        |SELECT hhi_ppm // 10000 AS band,
+        |       count(*) AS n_users,
+        |       CAST(min(hhi_ppm) AS BIGINT) AS min_ppm,
+        |       CAST(max(hhi_ppm) AS BIGINT) AS max_ppm,
+        |       CAST(sum(hhi_ppm) // count(*) AS BIGINT) AS avg_ppm
+        |FROM hh
+        |GROUP BY 1
+        |ORDER BY band ASC""".stripMargin,
+    "q_evt_overlap" ->
+      """WITH tu AS (
+        |  SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+        |sz AS (SELECT t, count(*) AS n FROM tu GROUP BY t),
+        |cm AS (
+        |  SELECT a.t AS ta, b.t AS tb, count(*) AS n_common
+        |  FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t
+        |  GROUP BY a.t, b.t)
+        |SELECT cm.ta, cm.tb, sa.n AS n_a, sb.n AS n_b, cm.n_common,
+        |       sa.n + sb.n - cm.n_common AS uni,
+        |       CAST(cm.n_common * 1000 // (sa.n + sb.n - cm.n_common)
+        |         AS BIGINT) AS jac_pm
+        |FROM cm JOIN sz sa ON cm.ta = sa.t JOIN sz sb ON cm.tb = sb.t
+        |ORDER BY ta ASC, tb ASC""".stripMargin,
+    // Same 5-type CASE pivot, same exact-integer dot/norms, same
+    // correctly-rounded sqrt — cosine is bit-identical unrounded.
+    "q_evt_typevec" ->
+      """WITH cnt AS (
+        |  SELECT user_id,
+        |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |         count(*) AS n_total
+        |  FROM events GROUP BY user_id),
+        |top AS (
+        |  SELECT * FROM cnt ORDER BY n_total DESC, user_id ASC LIMIT 20)
+        |SELECT a.user_id AS a_id, b.user_id AS b_id,
+        |       CAST(a.n_click * b.n_click + a.n_error * b.n_error
+        |          + a.n_purchase * b.n_purchase + a.n_signup * b.n_signup
+        |          + a.n_view * b.n_view AS BIGINT) AS dot,
+        |       CAST(a.n_click * a.n_click + a.n_error * a.n_error
+        |          + a.n_purchase * a.n_purchase + a.n_signup * a.n_signup
+        |          + a.n_view * a.n_view AS BIGINT) AS na2,
+        |       CAST(b.n_click * b.n_click + b.n_error * b.n_error
+        |          + b.n_purchase * b.n_purchase + b.n_signup * b.n_signup
+        |          + b.n_view * b.n_view AS BIGINT) AS nb2,
+        |       (a.n_click * b.n_click + a.n_error * b.n_error
+        |          + a.n_purchase * b.n_purchase + a.n_signup * b.n_signup
+        |          + a.n_view * b.n_view)
+        |         / (sqrt(a.n_click * a.n_click + a.n_error * a.n_error
+        |          + a.n_purchase * a.n_purchase + a.n_signup * a.n_signup
+        |          + a.n_view * a.n_view)
+        |          * sqrt(b.n_click * b.n_click + b.n_error * b.n_error
+        |          + b.n_purchase * b.n_purchase + b.n_signup * b.n_signup
+        |          + b.n_view * b.n_view)) AS cos
+        |FROM top a JOIN top b ON a.user_id < b.user_id
+        |ORDER BY cos DESC, a_id ASC, b_id ASC
+        |LIMIT 20""".stripMargin,
     "q_evt_stickiness" ->
       """WITH dd AS (
         |  SELECT DISTINCT year(ts) * 12 + month(ts) - 1 AS mon,

@@ -187,7 +187,38 @@ object Graph {
       .limit(20)
   }
 
+  /** Degree-distribution profile of the part co-purchase graph (edge =
+    * two parts share an order), in octave bands — the graph-health
+    * fingerprint read before running anything iterative on an implicit
+    * similarity graph: a heavy top band means hub parts that will hot-key
+    * any per-neighbor shuffle. Pair generation is per-order (order sizes
+    * are bounded, so C(size,2) stays linear); degree = distinct partners
+    * per part; bands are ⌊log2⌋ octaves via the same shared CASE both
+    * engines compile. All-integer. */
+  def graphDegree(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val e0 = li.alias("a").join(li.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .distinct()
+    val deg = e0.select(col("pa").as("p"), col("pb").as("q"))
+      .union(e0.select(col("pb").as("p"), col("pa").as("q")))
+      .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+    // octave band k: deg in [2^k, 2^(k+1)) — one CASE string, valid in
+    // both engines, generated from the same bounds
+    val bandCase = "CASE " + (0 until 16).map(k =>
+      s"WHEN deg >= ${1L << k} AND deg < ${1L << (k + 1)} THEN $k").mkString(" ") +
+      " ELSE 16 END"
+    deg.withColumn("band", expr(s"CAST($bandCase AS BIGINT)"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_parts"), min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"))
+      .orderBy(col("band").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_degree" -> graphDegree,
     "q_graph_triangles" -> graphTriangles,
     "q_graph_pagerank" -> graphPagerank,
     "q_graph_bfs" -> ((s, d) => graphBfs(s, d)),
@@ -195,6 +226,25 @@ object Graph {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_graph_degree" ->
+      ("""WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (
+        |  SELECT p, count(*) AS deg FROM (
+        |    SELECT pa AS p FROM e UNION ALL SELECT pb FROM e)
+        |  GROUP BY p)
+        |SELECT CAST(""" +
+        ("CASE " + (0 until 16).map(k =>
+          s"WHEN deg >= ${1L << k} AND deg < ${1L << (k + 1)} THEN $k")
+          .mkString(" ") + " ELSE 16 END") + """ AS BIGINT) AS band,
+        |       count(*) AS n_parts,
+        |       CAST(min(deg) AS BIGINT) AS min_deg,
+        |       CAST(max(deg) AS BIGINT) AS max_deg
+        |FROM deg
+        |GROUP BY band
+        |ORDER BY band ASC""").stripMargin,
     "q_graph_common" ->
       """WITH e AS (
         |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk

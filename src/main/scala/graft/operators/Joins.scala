@@ -320,7 +320,73 @@ object Joins {
       .orderBy(col("event_id").asc)
   }
 
+  // ------------------------------------------------------------- bloom audit
+
+  private val BloomBits = 131072 // m: 4 Ki 32-bit words, broadcast-sized
+  private val BloomK = 3
+
+  /** Bloom-filter join pruning made explicit and oracle-checkable — the
+    * runtime-filter pattern (build a compact membership sketch on the
+    * selective side, drop probe rows that cannot match BEFORE the join)
+    * as a declared query: build a k=3, m=128Ki-bit filter over high-value
+    * order keys, probe every distinct lineitem order key through it, and
+    * report the confusion counts (members, passes, false positives, false
+    * negatives — the last provably 0) plus the realized FP rate in
+    * permille.
+    *
+    * Scale shape: the filter is a GROUPED BIT_OR over the build side's
+    * hashed bit positions — m/32 = 4 Ki words regardless of build-side row
+    * count — then broadcast to the probe scan; the probe side is one
+    * narrow pass (3 hashes + a word lookup per key, no shuffle of probe
+    * payload). That is exactly the shape Spark's own
+    * InjectRuntimeFilter/BloomFilterAggregate plans at 100 TB
+    * (RuntimeFilterSpec pins the native path); this surface makes the
+    * mechanism's CORRECTNESS gateable: md5-derived bit positions
+    * ([[DetHash]]) are bit-identical in DuckDB, so the oracle rebuilds the
+    * identical filter and the FP/FN counts must match exactly. Word width
+    * is 32 bits: shift amounts stay ≤ 31, which neither engine's checked
+    * left shift can overflow (DuckDB errors on BIGINT << 63).
+    */
+  def joinBloom(s: SparkSession, d: String): DataFrame = {
+    val build = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey").as("k")).distinct()
+    // One md5 per (key, hash-index), materialized as a column BEFORE the
+    // digit fold (DetHash contract), then folded to a bit in [0, m).
+    def bitsOf(df: DataFrame): DataFrame = {
+      val withH = (0 until BloomK).foldLeft(df) { (acc, j) =>
+        acc.withColumn(s"h$j", md5(concat(lit(s"$j:"), col("k").cast("string"))))
+      }
+      val bitCols = (0 until BloomK).map(j =>
+        expr(s"${DetHash.sparkHexInt(s"h$j")} % $BloomBits"))
+      withH.select(col("k"), explode(array(bitCols: _*)).as("bit"))
+        .withColumn("w", expr("bit div 32"))
+        .withColumn("pos", expr("CAST(bit % 32 AS INT)"))
+    }
+    val words = bitsOf(build)
+      .groupBy(col("w"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), pos))").as("wv"))
+    val probe = Tables.lineitem(s, d).select(col("l_orderkey").as("k")).distinct()
+    val checked = bitsOf(probe)
+      .join(broadcast(words), Seq("w"), "left")
+      .withColumn("hit", when(col("wv").isNotNull &&
+          expr("(shiftright(wv, pos) & 1) = 1"), 1L).otherwise(0L))
+      .groupBy(col("k")).agg(sum(col("hit")).as("n_set"))
+    checked.join(build.withColumn("m1", lit(1L)), Seq("k"), "left")
+      .withColumn("is_member", coalesce(col("m1"), lit(0L)))
+      .withColumn("pass", when(col("n_set") === BloomK, 1L).otherwise(0L))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("is_member")).as("n_member"),
+        sum(col("pass")).as("n_pass"),
+        sum(when(col("pass") === 1 && col("is_member") === 0, 1L)
+          .otherwise(0L)).as("n_fp"),
+        sum(when(col("pass") === 0 && col("is_member") === 1, 1L)
+          .otherwise(0L)).as("n_fn"))
+      .withColumn("fp_pm", expr("n_fp * 1000 div (n_keys - n_member)"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_bloom"     -> joinBloom,
     "q_join_asof_native" -> joinAsofNative,
     "q_join_cross"     -> joinCross,
     "q_join_full"      -> joinFull,
@@ -340,6 +406,49 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    // Identical filter rebuilt from the same md5-derived bit positions;
+    // the confusion counts must match exactly, FN provably 0.
+    "q_join_bloom" ->
+      s"""WITH build AS (
+        |  SELECT DISTINCT o_orderkey AS k FROM orders
+        |  WHERE o_totalprice > 400000),
+        |js AS (SELECT unnest([0, 1, 2]) AS j),
+        |bh AS (
+        |  SELECT k, md5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)) AS h
+        |  FROM build CROSS JOIN js),
+        |bbit AS (SELECT k, ${DetHash.duckHexInt("h")} % $BloomBits AS bit FROM bh),
+        |words AS (
+        |  SELECT bit // 32 AS w,
+        |         bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INTEGER)) AS wv
+        |  FROM bbit GROUP BY 1),
+        |probe AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+        |ph AS (
+        |  SELECT k, md5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)) AS h
+        |  FROM probe CROSS JOIN js),
+        |pbit AS (SELECT k, ${DetHash.duckHexInt("h")} % $BloomBits AS bit FROM ph),
+        |chk AS (
+        |  SELECT p.k,
+        |         sum(CASE WHEN w.wv IS NOT NULL
+        |                   AND ((w.wv >> CAST(p.bit % 32 AS INTEGER)) & 1) = 1
+        |                  THEN 1 ELSE 0 END) AS n_set
+        |  FROM pbit p LEFT JOIN words w ON p.bit // 32 = w.w
+        |  GROUP BY p.k),
+        |fl AS (
+        |  SELECT c.n_set,
+        |         CASE WHEN b.k IS NULL THEN 0 ELSE 1 END AS is_member,
+        |         CASE WHEN c.n_set = $BloomK THEN 1 ELSE 0 END AS pass
+        |  FROM chk c LEFT JOIN build b ON c.k = b.k)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(sum(is_member) AS BIGINT) AS n_member,
+        |       CAST(sum(pass) AS BIGINT) AS n_pass,
+        |       CAST(sum(CASE WHEN pass = 1 AND is_member = 0
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+        |       CAST(sum(CASE WHEN pass = 0 AND is_member = 1
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_fn,
+        |       CAST(sum(CASE WHEN pass = 1 AND is_member = 0
+        |                     THEN 1 ELSE 0 END) * 1000
+        |         // (count(*) - sum(is_member)) AS BIGINT) AS fp_pm
+        |FROM fl""".stripMargin,
     "q_join_asof_native" ->
       """SELECT e.event_id, e.user_id, s.event_id AS asof_sig_id,
         |       epoch_us(e.ts) - epoch_us(s.ts) AS since_signup_us

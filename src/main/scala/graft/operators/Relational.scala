@@ -185,7 +185,30 @@ object Relational {
         sum((col("id") * 37) % 12000).as("lat_units"))
       .orderBy(col("tag").asc)
 
+  /** Partition-pruned read surface — the storage-layout twin of
+    * q_join_bucketed: orders written Hive-partitioned by o_orderstatus
+    * (idempotent local copy, the analog of maintaining a partitioned
+    * production table), then read with a status predicate that prunes at
+    * PLANNING time — the scan lists only the matching directory
+    * (PartitionFilters in the plan, asserted in PlanQualitySpec; zero
+    * I/O for the other status values). At 100 TB this is the first
+    * lever against any selective-predicate scan: the filter never
+    * touches data at all. Revenue is summed in exact integer cents. */
+  def srcPartitioned(s: SparkSession, d: String): DataFrame = {
+    val dir = "/tmp/graft_part_orders_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val marker = new java.io.File(dir + "/_SUCCESS")
+    if (!marker.isFile)
+      graft.Tables.writePartitioned(Tables.orders(s, d), dir, "o_orderstatus")
+    s.read.parquet(dir)
+      .filter(col("o_orderstatus") === "F")
+      .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("o_orderpriority").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_src_partitioned" -> srcPartitioned,
     "q_src_lattice" -> srcLattice,
     "q_sample_split"      -> sampleSplit,
     "q_sample_weighted"   -> sampleWeighted,
@@ -203,6 +226,14 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_src_partitioned" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents
+        |FROM orders
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC""".stripMargin,
     "q_src_lattice" ->
       """SELECT CASE WHEN i % 2 = 0 THEN 'even' ELSE 'odd' END AS tag,
         |       count(*) AS n,

@@ -397,12 +397,48 @@ object Sim {
     "q_emb_quant"      -> embQuant,
     "q_sim_topk"       -> simTopk,
     "q_knn_label"      -> knnLabel,
+    "q_emb_matryoshka" -> embMatryoshka,
     "q_dedup_embcos"   -> dedupEmbcos,
     "q_sim_ivf"        -> simIvf,
     "q_sim_ivf_probe2" -> simIvfProbe2,
     "q_emb_drift"      -> embDrift,
     "q_sim_ivf_search" -> simIvfSearch
   )
+
+  /** Matryoshka-truncation audit — the dimension-reduction question a
+    * 100 TB ANN deployment answers before storing short prefixes: how
+    * much top-k quality survives keeping only the first 16 of 64 dims?
+    * Per query vector (vec_id < 10): recall@10 of the truncated-cosine
+    * top-10 against the full-cosine top-10, in permille. Both rankings
+    * are computed in one broadcast-queries pass over the corpus (the
+    * simTopk shape — no shuffle of the candidate side, two window
+    * row_numbers over the same bounded pair stream); cosines are the
+    * usual fold-order-identical doubles, ranking ties broken by c_id so
+    * both engines pick identical top sets. */
+  def embMatryoshka(s: SparkSession, d: String): DataFrame = {
+    val e = vectors(s, d)
+      .withColumn("t", expr("slice(embedding, 1, 16)"))
+      .withColumn("tnrm", expr("sqrt(vec_dot(t, t))"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qa"),
+        col("nrm").as("qn"), col("t").as("qt"), col("tnrm").as("qtn"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ca"),
+      col("nrm").as("cn"), col("t").as("ct"), col("tnrm").as("ctn"))
+    val wF = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_full").desc, col("c_id").asc)
+    val wT = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_tr").desc, col("c_id").asc)
+    broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .withColumn("cos_full", expr("vec_dot(qa, ca)") / (col("qn") * col("cn")))
+      .withColumn("cos_tr", expr("vec_dot(qt, ct)") / (col("qtn") * col("ctn")))
+      .withColumn("rf", row_number().over(wF))
+      .withColumn("rt", row_number().over(wT))
+      .groupBy(col("q_id"))
+      .agg(sum(when(col("rf") <= 10 && col("rt") <= 10, 1L).otherwise(0L))
+        .as("n_overlap"))
+      .withColumn("recall_pm", expr("n_overlap * 1000 div 10"))
+      .orderBy(col("q_id").asc)
+  }
 
   private val eCte =
     """WITH e AS (
@@ -419,6 +455,49 @@ object Sim {
       |           (a, x) -> a + x) / (q.nrm * c.nrm)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Truncated side rebuilt with the same slice + fold; rankings joined
+    // per query, overlap counted where both ranks clear 10.
+    "q_emb_matryoshka" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(embedding,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |           (a, x) -> a + x)) AS nrm,
+        |         embedding[1:16] AS t,
+        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(embedding[1:16],
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |           (a, x) -> a + x)) AS tnrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(list_zip(q.embedding, c.embedding),
+        |             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),
+        |           (a, x) -> a + x) / (q.nrm * c.nrm) AS cos_full,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(list_zip(q.t, c.t),
+        |             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),
+        |           (a, x) -> a + x) / (q.tnrm * c.tnrm) AS cos_tr
+        |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10),
+        |r AS (
+        |  SELECT q_id, c_id,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY cos_full DESC, c_id ASC) AS rf,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY cos_tr DESC, c_id ASC) AS rt
+        |  FROM p)
+        |SELECT q_id,
+        |       CAST(sum(CASE WHEN rf <= 10 AND rt <= 10
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+        |       CAST(sum(CASE WHEN rf <= 10 AND rt <= 10
+        |                     THEN 1 ELSE 0 END) * 1000 // 10 AS BIGINT)
+        |         AS recall_pm
+        |FROM r
+        |GROUP BY q_id
+        |ORDER BY q_id ASC""".stripMargin,
     "q_sim_recall" ->
       (eCte + """,
         |cc AS (

@@ -944,7 +944,42 @@ object Text {
       .filter(col("n_docs") >= 2)
       .orderBy(col("prefix").asc)
 
+  /** Corpus novelty-decay curve — the dataset-growth question: how much
+    * NEW content does each successive slice of the corpus contribute?
+    * A bigram is novel in the doc where it first appears (min doc_id);
+    * per doc-id decile we report docs, shingle mass, novel mass, and
+    * novelty permille. A flattening curve means additional data is
+    * mostly duplication of earlier content — the aggregate-level signal
+    * that complements pairwise dedup. Shape: one explode → per-shingle
+    * min → rejoin (both shuffles keyed by shingle, the natural key);
+    * the decile bound is a 1-row broadcast. */
+  def textNovelty(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.spread(Tables.documents(s, d))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh", expr(
+        "array_distinct(CASE WHEN size(toks) >= 2 THEN " +
+          "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat_ws(' ', slice(toks, i, 2))) " +
+          "ELSE slice(toks, 1, 0) END)"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val first = sh.groupBy(col("g")).agg(min(col("doc_id")).as("fs"))
+    val perDoc = sh.join(first, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("fs") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+    val mx = Tables.documents(s, d).agg(max(col("doc_id")).as("mx"))
+    perDoc.crossJoin(broadcast(mx))
+      .withColumn("decile", least(expr("doc_id * 10 div (mx + 1)"), lit(9L)))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_sh")).as("n_shingles"),
+        sum(col("n_novel")).as("n_novel"))
+      .withColumn("novelty_pm", expr("n_novel * 1000 div n_shingles"))
+      .orderBy(col("decile").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_novelty" -> textNovelty,
     "q_text_prefix_block" -> textPrefixBlock,
     "q_text_hashtrick" -> textHashtrick,
     "q_text_zipf" -> textZipf,
@@ -984,6 +1019,29 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk)),
+        |           i -> tk[i] || ' ' || tk[i + 1]))) AS g
+        |  FROM toks WHERE len(tk) >= 2),
+        |first AS (
+        |  SELECT g, min(doc_id) AS fs FROM sh GROUP BY g),
+        |per_doc AS (
+        |  SELECT sh.doc_id, count(*) AS n_sh,
+        |         sum(CASE WHEN first.fs = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
+        |  FROM sh JOIN first ON sh.g = first.g
+        |  GROUP BY sh.doc_id),
+        |mx AS (SELECT max(doc_id) AS mx FROM documents)
+        |SELECT least(doc_id * 10 // (mx + 1), 9) AS decile,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+        |       CAST(sum(n_novel) AS BIGINT) AS n_novel,
+        |       CAST(sum(n_novel) * 1000 // sum(n_sh) AS BIGINT) AS novelty_pm
+        |FROM per_doc CROSS JOIN mx
+        |GROUP BY 1
+        |ORDER BY decile ASC""".stripMargin,
     "q_text_zipf" ->
       s"""WITH t AS (
         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

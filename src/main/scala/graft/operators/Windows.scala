@@ -326,7 +326,30 @@ object Windows {
       .orderBy(col("user_id").asc, col("event_id").asc)
   }
 
+  /** cume_dist + ratio-to-report in one pass: per market segment, each
+    * customer's cumulative balance-distribution position (cume_dist is
+    * rows≤current/rows — an exact rational, so the double is
+    * deterministic with no rounding) and their share of the segment's
+    * total balance in integer permille (balances → exact cents first;
+    * a double segment SUM would be shuffle-order-dependent, the
+    * classic parallel-sum trap). */
+  def winCumedist(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment")).orderBy(col("cents").asc)
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment"))
+    Tables.customer(s, d)
+      .withColumn("cents", expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("seg_cents", sum(col("cents")).over(ws))
+      .withColumn("share_pm", expr("cents * 1000 div seg_cents"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("cents"),
+        col("cd"), col("share_pm"))
+      .orderBy(col("c_mktsegment").asc, col("cents").asc, col("c_custkey").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_cumedist" -> winCumedist,
     "q_win_argmax"       -> winArgmax,
     "q_win_outlier"      -> winOutlier,
     "q_win_slope"        -> winSlope,
@@ -344,6 +367,18 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_cumedist" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer)
+        |SELECT c_custkey, c_mktsegment, cents,
+        |       cume_dist() OVER (PARTITION BY c_mktsegment
+        |                         ORDER BY cents ASC) AS cd,
+        |       CAST(cents * 1000 // sum(cents) OVER (PARTITION BY c_mktsegment)
+        |         AS BIGINT) AS share_pm
+        |FROM c
+        |ORDER BY c_mktsegment ASC, cents ASC, c_custkey ASC""".stripMargin,
     "q_win_outlier" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS us,
