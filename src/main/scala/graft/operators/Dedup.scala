@@ -378,17 +378,26 @@ object Dedup {
     * lambdas are interpreted, so an inlined 8-digit fold over `md5(x)`
     * would digest 8× per shingle), folded to [0, p), then 8 array_min
     * passes. No shuffle, no explode. */
+  /** Append s0..s{MdPerms-1} md5-minhash signature columns derived from
+    * an existing shingle-array column (one scan — callers that also need
+    * the shingle sets get both without a second documents scan + rejoin).
+    * Computed through the fused [[graft.functions.Md5MinHashSigs]]
+    * expression — one JVM loop per row; the equivalent nested-transform
+    * SQL re-enters the interpreted lambda evaluator per element per perm
+    * (measured ~3× slower on the calibration query). */
+  private def withMd5Sigs(df: DataFrame, shCol: String): DataFrame = {
+    graft.functions.VectorExprs.register(df.sparkSession)
+    val withMh = df.withColumn("mh", expr(s"md5_minhash_sigs($shCol, $MdPerms)"))
+    withMh.select((df.columns.map(col).toSeq ++
+      (0 until MdPerms).map(i => col("mh").getItem(i).as(s"s$i"))): _*)
+  }
+
   def minhashMd5Sigs(docs: DataFrame, nGram: Int = 2): DataFrame = {
-    val hs = withToks(Tables.spread(docs))
+    val base = withToks(Tables.spread(docs))
       .withColumn("sh", expr(shingles(nGram)))
       .filter(size(col("sh")) > 0)
-      .withColumn("hs", expr(
-        s"transform(transform(sh, x -> md5(x)), h -> ${DetHash.sparkHexInt("h")} % $MdP)"))
-    val sigCols = (0 until MdPerms).map { i =>
-      expr(s"array_min(transform(hs, v -> (${mdA(i)} * v + ${mdB(i)}) % $MdP))")
-        .as(s"s$i")
-    }
-    hs.select((col("doc_id") +: sigCols): _*)
+    withMd5Sigs(base, "sh")
+      .select((col("doc_id") +: (0 until MdPerms).map(i => col(s"s$i"))): _*)
   }
 
   def dedupMinhashMd5(s: SparkSession, d: String): DataFrame =
@@ -405,12 +414,15 @@ object Dedup {
     * scale the same audit runs over a key-sampled block — the point is
     * the measured error profile, not full coverage. */
   def dedupEstErr(s: SparkSession, d: String): DataFrame = {
-    val docs = withToks(Tables.spread(Tables.documents(s, d)))
-      .withColumn("tset", expr(shingles(2)))
-      .filter(size(col("tset")) > 0)
-    val sigs = minhashMd5Sigs(Tables.documents(s, d))
-    val base = docs.select(col("doc_id"), col("lang"), col("source"), col("tset"))
-      .join(sigs, "doc_id")
+    // tset and signatures from ONE scan (withMd5Sigs) — a separate
+    // minhashMd5Sigs call would rescan documents and force a doc_id
+    // re-join shuffle for columns this scan already has in hand.
+    val base = withMd5Sigs(
+      withToks(Tables.spread(Tables.documents(s, d)))
+        .withColumn("tset", expr(shingles(2)))
+        .filter(size(col("tset")) > 0)
+        .select(col("doc_id"), col("lang"), col("source"), col("tset")),
+      "tset")
     val aCols = col("doc_id").as("a_id") +: col("lang").as("lang") +:
       col("source").as("source") +: col("tset").as("ta") +:
       (0 until MdPerms).map(i => col(s"s$i").as(s"a$i"))
