@@ -448,6 +448,35 @@ object Dedup {
       .orderBy(col("band").asc)
   }
 
+  private val SweepRows = Seq(1, 2, 4)
+
+  /** LSH banding-parameter sweep — the tuning table consulted BEFORE
+    * committing a banding geometry at corpus scale: for each rows-per-band
+    * choice over the same 8 md5-oracled permutations, the realized bucket
+    * count, candidate-pair workload and hottest bucket. Candidate counts
+    * come from Σ C(bucket, 2) over per-bucket SIZES — pairs are counted
+    * arithmetically, never materialized, so the sweep itself stays
+    * near-linear even for geometries that would generate quadratic
+    * candidates (exactly the configurations it exists to warn about). */
+  def dedupLshSweep(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashMd5Sigs(Tables.documents(s, d))
+    def cfg(r: Int): DataFrame = {
+      val bands = (0 until MdPerms / r).map { b =>
+        concat_ws(":", (lit(b.toString) +:
+          (b * r until (b + 1) * r).map(i => col(s"s$i").cast("string"))): _*)
+      }
+      sigs.select(explode(array(bands: _*)).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(expr("n * (n - 1) div 2")).as("cand_pairs"),
+          max(col("n")).as("max_bucket"))
+        .select(lit(r.toLong).as("rows_per_band"),
+          lit((MdPerms / r).toLong).as("n_bands"),
+          col("n_buckets"), col("cand_pairs"), col("max_bucket"))
+    }
+    SweepRows.map(cfg).reduce(_ union _).orderBy(col("rows_per_band").asc)
+  }
+
   // ---------------------------------------------------------------- simhash
 
   private val SimBits = 16
@@ -569,6 +598,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash_md5" -> dedupMinhashMd5,
     "q_dedup_est_err"  -> dedupEstErr,
+    "q_dedup_lsh_sweep" -> dedupLshSweep,
     "q_dedup_jaccard"  -> dedupJaccard,
     "q_dedup_contain"  -> dedupContain,
     "q_dedup_minhash"  -> dedupMinhash,
@@ -620,7 +650,27 @@ object Dedup {
        |  FROM f)""".stripMargin
   }
 
+  /** One banding-sweep leg: per-band bucket keys unioned, sized, rolled up. */
+  private def sweepLegSql(r: Int): String = {
+    val bandSelects = (0 until MdPerms / r).map { b =>
+      val key = (s"'$b'" +: (b * r until (b + 1) * r).map(i =>
+        s"CAST(s$i AS VARCHAR)")).mkString(" || ':' || ")
+      s"SELECT $key AS bucket FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""SELECT CAST($r AS BIGINT) AS rows_per_band,
+       |       CAST(${MdPerms / r} AS BIGINT) AS n_bands,
+       |       count(*) AS n_buckets,
+       |       CAST(sum(n * (n - 1) // 2) AS BIGINT) AS cand_pairs,
+       |       CAST(max(n) AS BIGINT) AS max_bucket
+       |FROM (SELECT bucket, count(*) AS n FROM (
+       |  $bandSelects) GROUP BY bucket)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_dedup_lsh_sweep" ->
+      (s"""WITH $mdSigsCte
+        |${SweepRows.map(sweepLegSql).mkString("", "\nUNION ALL\n", "")}
+        |ORDER BY rows_per_band ASC""".stripMargin),
     "q_dedup_minhash_md5" ->
       (s"""WITH $mdSigsCte
         |SELECT doc_id, ${(0 until MdPerms).map(i => s"s$i").mkString(", ")}

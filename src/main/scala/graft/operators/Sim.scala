@@ -339,18 +339,30 @@ object Sim {
     * is 32 rows and broadcasts; assignment is one narrow pass over the
     * corpus — the shape that PQ-encodes 100 TB of embeddings without a
     * shuffle beyond the final 32-group aggregate. */
-  def embPq(s: SparkSession, d: String): DataFrame = {
-    val q = Tables.embeddings(s, d)
+  /** Quantized 8×8-dim subspace decomposition shared by the PQ queries:
+    * one row per (vec_id, subspace m) with the 8-dim BIGINT sub-vector. */
+  private def pqSubs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
       .withColumn("qv", expr(
         "transform(embedding, x -> CAST(least(127, greatest(-128, " +
           "floor(CAST(x AS DOUBLE) * 64.0D + 0.5D))) AS BIGINT))"))
-      .select(col("vec_id"), col("qv"))
-    val subs = q.select(col("vec_id"), explode(expr(
+      .select(col("vec_id"), explode(expr(
         "transform(sequence(0, 7), m -> struct(m AS m, slice(qv, m * 8 + 1, 8) AS sub))"))
         .as("s"))
       .select(col("vec_id"), col("s.m").cast("long").as("m"), col("s.sub").as("sub"))
-    val cents = subs.filter(col("vec_id") < 4)
+
+  /** The 4 deterministic seed centroids per subspace (first 4 vectors). */
+  private def pqCents(s: SparkSession, d: String): DataFrame =
+    pqSubs(s, d).filter(col("vec_id") < 4)
       .select(col("m").as("cm"), col("vec_id").as("c"), col("sub").as("cent"))
+
+  private val pqL2 =
+    "aggregate(zip_with(sub, cent, (a, b) -> (a - b) * (a - b)), " +
+      "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+
+  def embPq(s: SparkSession, d: String): DataFrame = {
+    val subs = pqSubs(s, d)
+    val cents = pqCents(s, d)
     val w = Window.partitionBy(col("vec_id"), col("m"))
       .orderBy(col("dist").asc, col("c").asc)
     subs.join(broadcast(cents), col("m") === col("cm"))
@@ -362,6 +374,82 @@ object Sim {
       .groupBy(col("m"), col("c"))
       .agg(count(lit(1)).as("n_assigned"), sum(col("dist")).as("sum_sqerr"))
       .orderBy(col("m").asc, col("c").asc)
+  }
+
+  /** PQ asymmetric-distance search (ADC) — the query path that makes
+    * product quantization an INDEX rather than just compression: corpus
+    * vectors are stored only as 8 one-byte centroid codes
+    * ([[embPq]]'s assignment), and each query precomputes an 8×4
+    * lookup table of exact BIGINT L2 distances from its sub-vectors to
+    * every centroid; a candidate's approximate distance is then 8 LUT
+    * additions — no touching the original vectors. Engine shape: codes
+    * are corpus-sized and never shuffle wide (the LUT, 320 rows, is
+    * broadcast onto the (m, code) join), the per-candidate sum is one
+    * grouped aggregate keyed by (query, candidate). Top-5 per query,
+    * ties broken by id. */
+  def simPqSearch(s: SparkSession, d: String): DataFrame = {
+    val subs = pqSubs(s, d)
+    val cents = pqCents(s, d)
+    val wAsn = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist").asc, col("c").asc)
+    val codes = subs.join(broadcast(cents), col("m") === col("cm"))
+      .withColumn("dist", expr(pqL2))
+      .withColumn("rn", row_number().over(wAsn))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("c").as("code"))
+    val lut = subs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("m").as("qm"), col("sub"))
+      .join(broadcast(cents), col("qm") === col("cm"))
+      .withColumn("dq", expr(pqL2))
+      .select(col("q_id"), col("qm"), col("c"), col("dq"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist").asc, col("c_id").asc)
+    codes.join(broadcast(lut),
+        codes("m") === col("qm") && codes("code") === lut("c"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id").as("c_id"))
+      .agg(sum(col("dq")).as("adc_dist"))
+      .withColumn("rn", row_number().over(wTop).cast("long"))
+      .filter(col("rn") <= 5)
+      .orderBy(col("q_id").asc, col("rn").asc)
+  }
+
+  /** kNN-graph construction + mutuality audit — the prep step for
+    * graph-based clustering/dedup over embeddings: per label block,
+    * every vector's 3 nearest cosine neighbors become directed edges,
+    * and the per-label MUTUAL-edge rate (a→b and b→a) measures how
+    * navigable the neighborhood structure is (low reciprocity = hub
+    * domination, the known failure mode of kNN graphs). Block-bounded
+    * all-pairs (same contract as dedupJaccard); shuffle_hash pins the
+    * label-keyed shuffle join so no unbounded side broadcasts; the
+    * mutuality check is one self-join of the edge list on the reversed
+    * key. Integer outputs. */
+  def simKnnGraph(s: SparkSession, d: String): DataFrame = {
+    val e = vectors(s, d)
+    val a = e.select(col("label"), col("vec_id").as("q_id"),
+      col("embedding").as("qa"), col("nrm").as("qn"))
+    val b = e.select(col("label").as("label_b"), col("vec_id").as("c_id"),
+      col("embedding").as("ca"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    val edges = a.hint("shuffle_hash")
+      .join(b, col("label") === col("label_b") && col("q_id") =!= col("c_id"))
+      .withColumn("cos", expr("vec_dot(qa, ca)") / (col("qn") * col("cn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("label"), col("q_id"), col("c_id"))
+    val rev = edges.select(col("q_id").as("rq"), col("c_id").as("rc"))
+    edges.join(rev, col("q_id") === col("rc") && col("c_id") === col("rq"),
+        "left_semi")
+      .groupBy(col("label")).agg(count(lit(1)).as("n_mutual"))
+      .join(edges.groupBy(col("label"))
+        .agg(countDistinct(col("q_id")).as("n_nodes"),
+          count(lit(1)).as("n_edges")), Seq("label"), "right")
+      .withColumn("n_mutual", coalesce(col("n_mutual"), lit(0L)))
+      .withColumn("recip_pm", expr("n_mutual * 1000 div n_edges"))
+      .select(col("label").cast("long").as("label"), col("n_nodes"),
+        col("n_edges"), col("n_mutual"), col("recip_pm"))
+      .orderBy(col("label").asc)
   }
 
   /** ANN quality evaluation — recall@5 of the IVF probe-1 search against
@@ -397,6 +485,8 @@ object Sim {
     "q_emb_quant"      -> embQuant,
     "q_sim_topk"       -> simTopk,
     "q_knn_label"      -> knnLabel,
+    "q_sim_pq_search"  -> simPqSearch,
+    "q_sim_knn_graph"  -> simKnnGraph,
     "q_emb_matryoshka" -> embMatryoshka,
     "q_dedup_embcos"   -> dedupEmbcos,
     "q_sim_ivf"        -> simIvf,
@@ -548,6 +638,73 @@ object Sim {
         |LEFT JOIN ivf i ON t.q_id = i.q_id AND t.c_id = i.c_id
         |GROUP BY t.q_id
         |ORDER BY t.q_id ASC""").stripMargin,
+    // Directed 3-NN edges per label block, mutual edges via reversed
+    // self-join; fold-order-identical cosines, id tiebreaks.
+    "q_sim_knn_graph" ->
+      (eCte + """,
+        |p AS (
+        |  SELECT q.label, q.vec_id AS q_id, c.vec_id AS c_id,
+        |         """ + dotSql + """ AS cos
+        |  FROM e q JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id),
+        |r AS (
+        |  SELECT label, q_id, c_id,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY cos DESC, c_id ASC) AS rn
+        |  FROM p),
+        |ed AS (SELECT label, q_id, c_id FROM r WHERE rn <= 3),
+        |mu AS (
+        |  SELECT a.label, count(*) AS n_mutual
+        |  FROM ed a JOIN ed b ON a.q_id = b.c_id AND a.c_id = b.q_id
+        |  GROUP BY a.label),
+        |st AS (
+        |  SELECT label, count(DISTINCT q_id) AS n_nodes, count(*) AS n_edges
+        |  FROM ed GROUP BY label)
+        |SELECT CAST(st.label AS BIGINT) AS label, st.n_nodes, st.n_edges,
+        |       COALESCE(mu.n_mutual, 0) AS n_mutual,
+        |       CAST(COALESCE(mu.n_mutual, 0) * 1000 // st.n_edges AS BIGINT)
+        |         AS recip_pm
+        |FROM st LEFT JOIN mu ON st.label = mu.label
+        |ORDER BY label ASC""").stripMargin,
+    // Same decomposition/centroids as q_emb_pq; codes and the per-query
+    // LUT joined on (subspace, code), exact BIGINT sums throughout.
+    "q_sim_pq_search" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |           x -> CAST(least(127, greatest(-128,
+        |             floor(CAST(x AS DOUBLE) * 64.0 + 0.5))) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |subs AS (
+        |  SELECT vec_id, m, qv[m * 8 + 1 : m * 8 + 8] AS sub
+        |  FROM q CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms),
+        |cents AS (
+        |  SELECT m AS cm, vec_id AS c, sub AS cent FROM subs WHERE vec_id < 4),
+        |d AS (
+        |  SELECT s.vec_id, s.m, c.c,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(list_zip(s.sub, c.cent),
+        |             z -> (z[1] - z[2]) * (z[1] - z[2]))),
+        |           (acc, x) -> acc + x) AS dist
+        |  FROM subs s JOIN cents c ON s.m = c.cm),
+        |codes AS (
+        |  SELECT vec_id, m, c AS code FROM (
+        |    SELECT vec_id, m, c,
+        |           row_number() OVER (PARTITION BY vec_id, m
+        |                              ORDER BY dist ASC, c ASC) AS rn
+        |    FROM d) WHERE rn = 1),
+        |lut AS (
+        |  SELECT vec_id AS q_id, m, c, dist AS dq FROM d WHERE vec_id < 10),
+        |adc AS (
+        |  SELECT l.q_id, co.vec_id AS c_id, CAST(sum(l.dq) AS BIGINT) AS adc_dist
+        |  FROM codes co JOIN lut l ON co.m = l.m AND co.code = l.c
+        |  WHERE co.vec_id <> l.q_id
+        |  GROUP BY 1, 2)
+        |SELECT q_id, c_id, adc_dist, rn FROM (
+        |  SELECT q_id, c_id, adc_dist,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY adc_dist ASC, c_id ASC) AS rn
+        |  FROM adc)
+        |WHERE rn <= 5
+        |ORDER BY q_id ASC, rn ASC""".stripMargin,
     "q_emb_pq" ->
       """WITH q AS (
         |  SELECT vec_id, list_transform(embedding,
