@@ -448,5 +448,13 @@ object VectorExprs {
         }
         Md5MinHashSigs(exprs(0), n)
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "wavg_cents", exprs =>
+        WeightedAvgCents(exprs(0), exprs(1)).toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "wmedian_cents", exprs =>
+        WeightedMedianCents(exprs(0), exprs(1)).toAggregateExpression(),
+      "built-in")
   }
 }

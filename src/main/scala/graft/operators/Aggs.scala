@@ -331,7 +331,49 @@ object Aggs {
       .orderBy(col("gid").asc, col("l_returnflag").asc_nulls_last,
         col("l_linestatus").asc_nulls_last)
 
+  /** The q_udaf_wavg semantics through the NATIVE aggregate tier:
+    * [[graft.functions.WeightedAvgCents]] is a DeclarativeAggregate
+    * whose update/merge are Catalyst expression trees — codegen'd,
+    * partially aggregated, merge-order-exact (integer cents), where the
+    * Aggregator tier pays encoder boxing and the double version owes its
+    * last ulp to summation order. Same join/grouping shape as
+    * q_udaf_wavg. */
+  def udafWavgNative(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    val li = Tables.lineitem(s, d)
+      .withColumn("cents", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .withColumn("qty", expr("CAST(l_quantity AS BIGINT)"))
+    val p = broadcast(Tables.part(s, d))
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(expr("wavg_cents(cents, qty)").as("wavg_cents"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("p_brand").asc)
+  }
+
+  /** The q_agg_wmedian semantics through the OBJECT-buffer native tier:
+    * [[graft.functions.WeightedMedianCents]] is a TypedImperativeAggregate
+    * whose state is a value→weight histogram, so map-side combine
+    * collapses duplicate cents before the shuffle — the window-rank form
+    * this replaces shuffles EVERY order row into a per-group sort. State
+    * is distinct-value-bounded (quantized cents), the histogram-median
+    * tradeoff. Oracle is the same window crossing-point SQL, so the gate
+    * proves histogram-merge ≡ rank-then-filter exactly. */
+  def aggWmedianNative(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    Tables.orders(s, d)
+      .withColumn("cents",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .withColumn("wt", expr("CAST(1 + o_orderkey % 5 AS BIGINT)"))
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("wmedian_cents(cents, wt)").as("wmedian_cents"),
+        sum(col("wt")).as("total_weight"))
+      .orderBy(col("o_orderpriority").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_wmedian_native" -> aggWmedianNative,
+    "q_udaf_wavg_native" -> udafWavgNative,
     "q_agg_groupingid" -> aggGroupingId,
     "q_udaf_topk"       -> udafTopk,
     "q_typed_agg"       -> typedAgg,
@@ -355,6 +397,38 @@ object Aggs {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same crossing-point algebra as q_agg_wmedian — the native
+    // histogram aggregate must reproduce the window form exactly.
+    "q_agg_wmedian_native" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |         1 + o_orderkey % 5 AS wt
+        |  FROM orders),
+        |c AS (
+        |  SELECT *,
+        |         sum(wt) OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY cents ASC, o_orderkey ASC
+        |                       ROWS UNBOUNDED PRECEDING) AS cum,
+        |         sum(wt) OVER (PARTITION BY o_orderpriority) AS tot
+        |  FROM t),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |                               ORDER BY cum ASC, o_orderkey ASC) AS rn
+        |  FROM c WHERE cum * 2 >= tot)
+        |SELECT o_orderpriority, cents AS wmedian_cents,
+        |       CAST(tot AS BIGINT) AS total_weight
+        |FROM r WHERE rn = 1
+        |ORDER BY o_orderpriority ASC""".stripMargin,
+    "q_udaf_wavg_native" ->
+      """SELECT p_brand,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                * CAST(l_quantity AS BIGINT))
+        |         // sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wavg_cents,
+        |       count(*) AS cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand ASC""".stripMargin,
     "q_agg_groupingid" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

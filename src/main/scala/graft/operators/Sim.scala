@@ -488,6 +488,7 @@ object Sim {
     "q_sim_pq_search"  -> simPqSearch,
     "q_sim_knn_graph"  -> simKnnGraph,
     "q_emb_matryoshka" -> embMatryoshka,
+    "q_emb_binquant"   -> embBinquant,
     "q_dedup_embcos"   -> dedupEmbcos,
     "q_sim_ivf"        -> simIvf,
     "q_sim_ivf_probe2" -> simIvfProbe2,
@@ -530,6 +531,46 @@ object Sim {
       .orderBy(col("q_id").asc)
   }
 
+  /** Binary (sign-bit) quantization ANN: each 64-dim float vector
+    * compresses to TWO BIGINT words (32 sign bits each — split keeps bit
+    * 63 out of play, so the packed words stay non-negative and the
+    * arithmetic is engine-portable), and candidate distance is XOR +
+    * popcount — a 256× storage cut and an integer-only scan, the memory
+    * layout binary-quantized vector stores (FAISS binary indexes) run at
+    * corpus scale. Top-5 per query by exact Hamming (tie: c_id), each
+    * neighbor audited against the full-precision cosine top-10
+    * (`in_cos10`) — the recall evidence a deployment needs before
+    * trusting sign bits as the coarse stage. Broadcast-queries × corpus
+    * scan, per-partition top-k: the distributed brute-force shape;
+    * packing itself is a narrow codegen map. */
+  def embBinquant(s: SparkSession, d: String): DataFrame = {
+    def pack(off: Int) =
+      s"aggregate(sequence(0, 31), 0L, (acc, i) -> acc + " +
+        s"IF(element_at(embedding, i + $off) > 0, shiftleft(1L, i), 0L))"
+    val e = vectors(s, d)
+      .withColumn("h0", expr(pack(1)))
+      .withColumn("h1", expr(pack(33)))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qa"),
+        col("nrm").as("qn"), col("h0").as("q0"), col("h1").as("q1"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ca"),
+      col("nrm").as("cn"), col("h0").as("c0"), col("h1").as("c1"))
+    val wH = Window.partitionBy(col("q_id"))
+      .orderBy(col("ham").asc, col("c_id").asc)
+    val wC = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .withColumn("ham",
+        expr("CAST(bit_count(q0 ^ c0) + bit_count(q1 ^ c1) AS BIGINT)"))
+      .withColumn("cos", expr("vec_dot(qa, ca)") / (col("qn") * col("cn")))
+      .withColumn("rc", row_number().over(wC))
+      .withColumn("rn", row_number().over(wH).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("c_id"), col("ham"),
+        when(col("rc") <= 10, 1L).otherwise(0L).as("in_cos10"))
+      .orderBy(col("q_id").asc, col("rn").asc)
+  }
+
   private val eCte =
     """WITH e AS (
       |  SELECT vec_id, label, embedding,
@@ -545,6 +586,46 @@ object Sim {
       |           (a, x) -> a + x) / (q.nrm * c.nrm)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Sign-pack rebuilt with the same 32-bit split; Hamming via
+    // xor+bit_count; cosine ranking reuses the fold-parity dot.
+    "q_emb_binquant" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(embedding,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |           (a, x) -> a + x)) AS nrm,
+        |         CAST(list_sum(list_transform(range(0, 32), i ->
+        |           CASE WHEN embedding[i + 1] > 0
+        |                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))
+        |           AS BIGINT) AS h0,
+        |         CAST(list_sum(list_transform(range(0, 32), i ->
+        |           CASE WHEN embedding[i + 33] > 0
+        |                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))
+        |           AS BIGINT) AS h1
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |         CAST(bit_count(xor(q.h0, c.h0))
+        |            + bit_count(xor(q.h1, c.h1)) AS BIGINT) AS ham,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(list_zip(q.embedding, c.embedding),
+        |             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),
+        |           (a, x) -> a + x) / (q.nrm * c.nrm) AS cos
+        |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10),
+        |r AS (
+        |  SELECT q_id, c_id, ham,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY ham ASC, c_id ASC) AS rn,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY cos DESC, c_id ASC) AS rc
+        |  FROM p)
+        |SELECT q_id, CAST(rn AS BIGINT) AS rn, c_id, ham,
+        |       CAST(CASE WHEN rc <= 10 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS in_cos10
+        |FROM r WHERE rn <= 5
+        |ORDER BY q_id ASC, rn ASC""".stripMargin,
     // Truncated side rebuilt with the same slice + fold; rankings joined
     // per query, overlap counted where both ranks clear 10.
     "q_emb_matryoshka" ->

@@ -420,4 +420,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges <= 3, s"PPS tagging introduced extra shuffles:\n$p")
     assert(!p.contains("Join"), s"sampler must not join:\n$p")
   }
+
+  test("bloom audit broadcasts the word table; probe stream never cartesians") {
+    val p = plan("q_join_bloom")
+    assert(p.contains("BroadcastHashJoin"), s"word table not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("pq search broadcasts centroids and the query LUT — codes never shuffle wide") {
+    val p = plan("q_sim_pq_search")
+    assert(p.contains("BroadcastHashJoin"), s"LUT not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("knn graph joins label-blocked via shuffle hash — no unbounded broadcast side") {
+    val p = plan("q_sim_knn_graph")
+    assert(p.contains("ShuffledHashJoin"), s"label self-join lost its hint:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("lsh sweep counts candidates from bucket sizes: no self-join anywhere") {
+    val p = plan("q_dedup_lsh_sweep")
+    assert(!p.contains("Join"), s"sweep must not materialize pairs:\n$p")
+  }
 }

@@ -102,4 +102,24 @@ class Round13OpsSpec extends SparkSpec {
     // finer bands must cost more candidate pairs — the curve the sweep exists to show
     assert(local.head._4 > local.last._4)
   }
+
+  test("udaf wavg native: DeclarativeAggregate equals a local integer replay and partially aggregates") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_quantity")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100), r.getDouble(2).toLong))
+    val brand = Tables.part(spark, sf0001)
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val local = li.groupBy(r => brand(r._1)).map { case (b, g) =>
+      b -> (g.map(r => r._2 * r._3).sum / g.map(_._3).sum, g.length.toLong)
+    }
+    val df = operators.Aggs.udafWavgNative(spark, sf0001)
+    val rows = df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+    assert(rows.toMap == local)
+    // native tier contract: planned as partial + final hash aggregation
+    // (one buffer crosses the shuffle), like a built-in sum
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("partial_weightedavgcents"), s"no partial agg:\n$plan")
+    assert(plan.contains("HashAggregate"))
+  }
 }
