@@ -257,6 +257,57 @@ object Dedup {
     nearDupPairs(Tables.documents(s, d))
       .orderBy(col("a_id").asc, col("b_id").asc)
 
+  /** Incremental (delta-ingest) near-dup — the query a production corpus
+    * actually runs per batch: NEW documents (here the deterministic 10%
+    * slice doc_id%10=7) are LSH-matched against the EXISTING corpus
+    * only. The candidate join is new-side buckets × corpus-side buckets
+    * on (band, bucket), so its cost is O(delta × collision rate), never
+    * the corpus-quadratic full re-dedup: at 100 TB the corpus side's
+    * signatures are computed once at ingest and sit partitioned by
+    * bucket; each day's delta streams through this exact plan. Same
+    * recall-licensed banding as [[nearDupPairs]] (est ≥ 0.25·perms
+    * prefilter, 16×2 bands at threshold 0.7 ⇒ miss ≈ 2e-5), exact
+    * Jaccard verify on candidates, then ONE row per duplicated new doc:
+    * its best corpus match (max jac, min match_id tiebreak) — the
+    * keep/drop verdict the ingest gate consumes. */
+  def dedupIncr(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bkt = minhashBuckets(docs, 2, 32, 2)
+    val n = bkt.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id").as("new_id"), col("sig").as("nsig"),
+        col("band_id"), col("bucket"))
+    val c = bkt.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id").as("old_id"), col("sig").as("osig"),
+        col("band_id").as("band_o"), col("bucket").as("bucket_o"))
+    val cand = n.join(c,
+        col("band_id") === col("band_o") && col("bucket") === col("bucket_o"))
+      .withColumn("est", expr(
+        "aggregate(zip_with(nsig, osig, (p, q) -> IF(p = q, 1, 0)), 0, (acc, v) -> acc + v)"))
+      .filter(col("est") >= lit(0.25 * 32))
+      .select(col("new_id"), col("old_id"))
+      .repartition(s.sessionState.conf.numShufflePartitions,
+        col("new_id"), col("old_id"))
+      .distinct()
+    val withSets = withToks(Tables.spread(docs))
+      .withColumn("tset", expr(shingles(2)))
+    val a = withSets.select(col("doc_id").as("new_id"), col("tset").as("ta"))
+    val b = withSets.select(col("doc_id").as("old_id"), col("tset").as("tb"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("new_id"))
+      .orderBy(col("jac").desc, col("old_id").asc)
+    cand.join(a, "new_id").join(b, "old_id")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("uni",
+        (size(col("ta")) + size(col("tb"))).cast("long") - col("inter"))
+      .filter(col("uni") > 0)
+      .withColumn("jac", col("inter").cast("double") / col("uni"))
+      .filter(col("jac") >= 0.7)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("new_id"), col("old_id").as("match_id"),
+        col("inter"), col("uni"), col("jac"))
+      .orderBy(col("new_id").asc)
+  }
+
   /** Duplicate-cluster resolution — the step that turns near-dup PAIRS
     * into per-document survivors: connected components by iterative
     * min-label propagation (each round every member adopts the smallest
@@ -603,6 +654,7 @@ object Dedup {
     "q_dedup_contain"  -> dedupContain,
     "q_dedup_minhash"  -> dedupMinhash,
     "q_dedup_neardup"  -> dedupNeardup,
+    "q_dedup_incr"     -> dedupIncr,
     "q_dedup_clusters" -> dedupClusters,
     "q_dedup_simhash"  -> dedupSimhash,
     "q_dedup_hamming"  -> dedupHamming,
@@ -757,6 +809,37 @@ object Dedup {
         |FROM p
         |WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.7
         |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+    // Delta-vs-corpus all-pairs is the ORACLE only — the engine is the
+    // LSH candidate join; recall ≈ 1 banding licenses the compare as in
+    // q_dedup_neardup. Best match per new doc: max jac (a ratio of the
+    // same integers both engines divide), match_id tiebreak.
+    "q_dedup_incr" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(tk)),
+        |           i -> tk[i] || ' ' || tk[i + 1])) AS tset
+        |  FROM toks),
+        |p AS (
+        |  SELECT a.doc_id AS new_id, b.doc_id AS match_id,
+        |         CAST(len(list_intersect(a.tset, b.tset)) AS BIGINT) AS inter,
+        |         CAST(len(a.tset) + len(b.tset)
+        |           - len(list_intersect(a.tset, b.tset)) AS BIGINT) AS uni
+        |  FROM t a JOIN t b
+        |    ON a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
+        |j AS (
+        |  SELECT new_id, match_id, inter, uni,
+        |         CAST(inter AS DOUBLE) / uni AS jac
+        |  FROM p WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.7),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY new_id
+        |                               ORDER BY jac DESC, match_id ASC) AS rn
+        |  FROM j)
+        |SELECT new_id, match_id, inter, uni, jac
+        |FROM r WHERE rn = 1
+        |ORDER BY new_id ASC""".stripMargin,
     // Recursive CTE = transitive closure over the same (all-pairs-
     // verified) edge set; min reachable label per member ≡ the engine's
     // min-label propagation fixed point.

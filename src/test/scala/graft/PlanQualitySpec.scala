@@ -443,4 +443,10 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q_dedup_lsh_sweep")
     assert(!p.contains("Join"), s"sweep must not materialize pairs:\n$p")
   }
+
+  test("incremental dedup joins delta buckets to corpus buckets — never a cartesian or corpus broadcast") {
+    val p = plan("q_dedup_incr")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"delta dedup must stay an equi-join on (band, bucket):\n$p")
+  }
 }

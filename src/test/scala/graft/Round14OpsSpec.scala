@@ -90,4 +90,32 @@ class Round14OpsSpec extends SparkSpec {
     assert(got.map(_._5).sum > 0, "no hamming neighbor hit the cosine top-10")
     assert(got.map(_._4).max > 0)
   }
+
+  test("dedup incr: delta-vs-corpus best matches equal an exhaustive local replay") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def bigrams(t: String): Set[String] = {
+      val tk = t.split(" ", -1)
+      (1 until tk.length).map(i => tk(i - 1) + " " + tk(i)).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> bigrams(t) }.toMap
+    val newIds = docs.map(_._1).filter(_ % 10 == 7)
+    val oldIds = docs.map(_._1).filter(_ % 10 != 7)
+    val expected = newIds.flatMap { n =>
+      val best = oldIds.flatMap { o =>
+        val inter = (sets(n) & sets(o)).size.toLong
+        val uni = sets(n).size + sets(o).size - inter
+        if (uni > 0 && inter.toDouble / uni >= 0.7)
+          Some((o, inter, uni, inter.toDouble / uni))
+        else None
+      }.sortBy { case (o, _, _, j) => (-j, o) }.headOption
+      best.map { case (o, i, u, j) => (n, o, i, u, j) }
+    }.sortBy(_._1)
+    val got = operators.Dedup.dedupIncr(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == expected.toSeq)
+    // the delta split is non-degenerate on this data: dups exist
+    assert(got.nonEmpty, "no duplicated new docs at sf0.001 — split degenerate")
+  }
 }
