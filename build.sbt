@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses the last 2000 bytes of `sbt "runMain graft.Bench"`
+// stdout for a JSON line. sbt's default LoggedOutput strategy re-logs forked
+// stdout as `[info] {...}`, so the line never starts with `{` and the parse
+// fails (BENCH_r01–r03 all recorded parsed:null). StdoutOutput passes the
+// forked process's stdout/stderr through raw, no prefix.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

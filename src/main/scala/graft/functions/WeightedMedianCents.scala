@@ -72,7 +72,11 @@ case class WeightedMedianCents(
       var res: Any = null
       while (i < entries.length && res == null) {
         cum += entries(i)._2
-        if (2 * cum >= total) res = entries(i)._1
+        // 2·cum ≥ total, written overflow-safe: doubling cum wraps negative
+        // once cumulative weight passes Long.MaxValue/2 and would silently
+        // skip the true median. cum ≥ ⌈total/2⌉ is the same predicate for
+        // non-negative weights and never overflows.
+        if (cum >= total / 2 + total % 2) res = entries(i)._1
         i += 1
       }
       res

@@ -14,10 +14,14 @@ import graft.Tables
   * in corpus size. That blocking is exactly what makes these runnable at
   * 100 TB: the shuffle keys are the blocks, each task sees one bucket.
   *
-  * MinHash/SimHash use Spark's xxhash64 (no DuckDB equivalent → declared
-  * without oracle; unit tests pin their semantics on crafted near-dups).
-  * Jaccard and the hyperplane buckets are pure deterministic arithmetic
-  * and are fully oracled.
+  * Hash discipline: the INTERNAL candidate machinery (minhashBuckets →
+  * nearDupPairs/dedupIncr) uses Spark's xxhash64 — fast, well-mixed, and
+  * oracled END-TO-END because the declared outputs are the verified exact
+  * pairs, not the hashes. Every declared row that EXPOSES hash-derived
+  * values (signatures, bucket stats) computes them from deterministic
+  * hashes both engines reproduce bit-identically (md5 hex fold for
+  * MinHash, the seed-7 ×131 polynomial for SimHash), so all of them carry
+  * hard DuckDB oracles.
   */
 object Dedup {
 
@@ -339,19 +343,26 @@ object Dedup {
     * fixed 2 deliberately does not pay those sequential job barriers —
     * only the rare extension rounds do. */
   def clusterLabels(pairs: DataFrame, rounds: Int = 2,
-      maxRounds: Int = 12): DataFrame = {
+      maxRounds: Int = 12,
+      maxBroadcastRows: Long = Hints.MaxBroadcastRows): DataFrame = {
     val p = pairs.localCheckpoint(true)
+    // Measured bound on label-state rows: every member appears in ≥1 pair,
+    // so |members| ≤ 2·|pairs|. One cheap count over the checkpointed leaf
+    // decides broadcast-vs-shuffle for EVERY round's state join — under
+    // the threshold the hint papers over the checkpoint's missing size
+    // statistics (a few hundred rows would otherwise shuffle-join); above
+    // it the hint is dropped and each round is the standard shuffled
+    // label-propagation join, no driver-memory cliff at corpus scale.
+    val memberBound = 2L * p.count()
+    def hint(df: DataFrame): DataFrame =
+      Hints.hintIfSmall(df, memberBound, maxBroadcastRows)
     val edges = p.union(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-    // label state is pairs-sized (members, not corpus) — broadcast it
-    // explicitly: the checkpointed leaf carries no size statistics, so
-    // the planner would otherwise fall back to a full shuffle join per
-    // round for a few hundred rows
     def step(l: DataFrame): DataFrame = {
       val fromNeighbors = edges
-        .join(broadcast(l), edges("b_id") === l("id"))
+        .join(hint(l), edges("b_id") === l("id"))
         .groupBy(col("a_id").as("nid"))
         .agg(min(col("lbl")).as("nlbl"))
-      l.join(broadcast(fromNeighbors), l("id") === col("nid"), "left")
+      l.join(hint(fromNeighbors), l("id") === col("nid"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
     }
     var labels = p.select(explode(array(col("a_id"), col("b_id"))).as("id"))
@@ -374,7 +385,7 @@ object Dedup {
     def unconverged(l: DataFrame): Boolean = {
       val la = l.select(col("id").as("a_id"), col("lbl").as("la"))
       val lb = l.select(col("id").as("b_id"), col("lbl").as("lb"))
-      p.join(broadcast(la), "a_id").join(broadcast(lb), "b_id")
+      p.join(hint(la), "a_id").join(hint(lb), "b_id")
         .filter(col("la") =!= col("lb")).limit(1).count() > 0
     }
     var r = rounds
@@ -397,16 +408,32 @@ object Dedup {
       .select(col("id").as("doc_id"), col("lbl").as("canon_id"))
       .orderBy(col("doc_id").asc)
 
-  /** Query surface: per-band bucket statistics (always NumBands rows).
-    * Pair extraction itself is pinned by unit tests on crafted near-dups. */
-  def dedupMinhash(s: SparkSession, d: String): DataFrame =
-    minhashBuckets(Tables.documents(s, d))
+  /** Query surface: per-band bucket statistics (always MdPerms/2 rows) at
+    * the production 2-rows-per-band geometry, computed over the md5
+    * signatures so every value is DuckDB-reproducible — this is the row
+    * that monitors whether LSH bucket load stays near-uniform as the
+    * corpus grows (a hot max_bucket is the first sign banding needs
+    * re-tuning). The band key is the exact signature-pair string, not a
+    * re-hash: a deterministic key both engines build identically, and at
+    * scale the bucket string is the shuffle key either way. The xxhash64
+    * banding ([[minhashBuckets]]) remains the internal candidate
+    * machinery; its outputs are never declared directly. */
+  def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashMd5Sigs(Tables.documents(s, d))
+    val bands = (0 until MdPerms / 2).map { b =>
+      struct(lit(b.toLong).as("band_id"),
+        concat_ws(":", col(s"s${2 * b}").cast("string"),
+          col(s"s${2 * b + 1}").cast("string")).as("bucket"))
+    }
+    sigs.select(explode(array(bands: _*)).as("bb"))
+      .select(col("bb.band_id"), col("bb.bucket"))
       .groupBy(col("band_id"), col("bucket"))
       .agg(count(lit(1)).as("sz"))
       .groupBy(col("band_id"))
       .agg(count(lit(1)).as("n_buckets"), sum(col("sz")).as("n_docs"),
         max(col("sz")).as("max_bucket"))
       .orderBy(col("band_id").asc)
+  }
 
   // ------------------------------------------------------ md5 minhash (oracled)
 
@@ -551,8 +578,13 @@ object Dedup {
       .select(col("doc_id"), col("simhash"))
   }
 
+  /** Declared signature surface: the 32-bit frequency-weighted bigram
+    * SimHash ([[hammingSigs]] — polynomial char hash shared verbatim with
+    * the oracle), NOT the xxhash64 16-bit [[simhash]] (which stays as the
+    * internal fast path, unit-test-pinned). Same narrow-map plan either
+    * way; determinism buys the hard oracle. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
-    simhash(Tables.documents(s, d)).orderBy(col("doc_id").asc)
+    hammingSigs(Tables.documents(s, d)).orderBy(col("doc_id").asc)
 
   // ------------------------------------- deterministic banded hamming dedup
 
@@ -701,6 +733,40 @@ object Dedup {
        |         $sigLines
        |  FROM f)""".stripMargin
   }
+
+  /** DuckDB twin of [[hammingSigs]] (CTE chain ending in
+    * `sig(doc_id, sh)`): bigram shingle occurrences, seed-7 ×131 mod
+    * 2^31−1 polynomial char hash, per-bit ±1 votes, sign → bit. Shared by
+    * the q_dedup_hamming pair oracle and the q_dedup_simhash signature
+    * oracle. */
+  private def hamSigCte: String =
+    """tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+      |           i -> tk[i] || ' ' || tk[i + 1])) AS tok
+      |  FROM tk),
+      |h AS (
+      |  SELECT doc_id,
+      |         list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |           list_transform(range(1, length(tok) + 1),
+      |             i -> CAST(ord(substr(tok, CAST(i AS INTEGER), 1)) AS BIGINT))),
+      |           (h, c) -> (h * 131 + c) % 2147483647) AS th
+      |  FROM tok
+      |  WHERE length(tok) > 0),
+      |v AS (
+      |  SELECT doc_id, b,
+      |         sum(CASE WHEN ((th >> CAST(b AS INTEGER)) & 1) = 1
+      |                  THEN 1 ELSE -1 END) AS vote
+      |  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bits
+      |  GROUP BY doc_id, b),
+      |sig AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN vote > 0
+      |                       THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+      |                       ELSE 0 END) AS BIGINT) AS sh
+      |  FROM v GROUP BY doc_id)""".stripMargin
 
   /** One banding-sweep leg: per-band bucket keys unioned, sized, rolled up. */
   private def sweepLegSql(r: Int): String = {
@@ -870,38 +936,32 @@ object Dedup {
     // All-pairs oracle is EXACT here (not probabilistic): 4-band
     // pigeonholing has recall 1 at hamming ≤ 3 by construction.
     "q_dedup_hamming" ->
-      """WITH tk AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tk
-        |  FROM documents),
-        |tok AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
-        |           i -> tk[i] || ' ' || tk[i + 1])) AS tok
-        |  FROM tk),
-        |h AS (
-        |  SELECT doc_id,
-        |         list_reduce(list_prepend(CAST(7 AS BIGINT),
-        |           list_transform(range(1, length(tok) + 1),
-        |             i -> CAST(ord(substr(tok, CAST(i AS INTEGER), 1)) AS BIGINT))),
-        |           (h, c) -> (h * 131 + c) % 2147483647) AS th
-        |  FROM tok
-        |  WHERE length(tok) > 0),
-        |v AS (
-        |  SELECT doc_id, b,
-        |         sum(CASE WHEN ((th >> CAST(b AS INTEGER)) & 1) = 1
-        |                  THEN 1 ELSE -1 END) AS vote
-        |  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bits
-        |  GROUP BY doc_id, b),
-        |sig AS (
-        |  SELECT doc_id,
-        |         CAST(sum(CASE WHEN vote > 0
-        |                       THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
-        |                       ELSE 0 END) AS BIGINT) AS sh
-        |  FROM v GROUP BY doc_id)
+      (s"""WITH $hamSigCte
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
-        |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+        |ORDER BY a_id ASC, b_id ASC""").stripMargin,
+    // Same sig CTE as q_dedup_hamming — the declared SimHash signature
+    // surface IS the hamming family's signature, bit-identical.
+    "q_dedup_simhash" ->
+      (s"""WITH $hamSigCte
+        |SELECT doc_id, sh AS sig FROM sig
+        |ORDER BY doc_id ASC""").stripMargin,
+    "q_dedup_minhash" ->
+      (s"""WITH $mdSigsCte,
+        |b AS (
+        |  ${(0 until MdPerms / 2).map(b =>
+             s"SELECT CAST($b AS BIGINT) AS band_id, CAST(s${2 * b} AS VARCHAR) " +
+               s"|| ':' || CAST(s${2 * b + 1} AS VARCHAR) AS bucket FROM sigs")
+             .mkString("\n  UNION ALL\n  ")}),
+        |z AS (SELECT band_id, bucket, count(*) AS sz FROM b GROUP BY 1, 2)
+        |SELECT band_id, count(*) AS n_buckets,
+        |       CAST(sum(sz) AS BIGINT) AS n_docs,
+        |       CAST(max(sz) AS BIGINT) AS max_bucket
+        |FROM z
+        |GROUP BY band_id
+        |ORDER BY band_id ASC""").stripMargin,
     "q_sim_ann" ->
       (s"""SELECT $bucketSql AS bucket, count(*) AS n_vecs
         |FROM embeddings

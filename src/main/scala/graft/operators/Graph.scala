@@ -46,23 +46,26 @@ object Graph {
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
+    // Node state is node-count-sized and the checkpointed leaves carry no
+    // size statistics; the measured node count (cheap — deg is cached)
+    // decides broadcast-vs-shuffle for every round's state join. Under the
+    // threshold this avoids the planner shuffle-joining a 16k-row state
+    // table per round; above it (a corpus whose node table outgrows
+    // broadcast) each round degrades to the standard shuffled PageRank
+    // join — algebra unchanged, no hand-edited hints.
+    val nodeBound = deg.count()
+    def hint(df: DataFrame): DataFrame = Hints.hintIfSmall(df, nodeBound)
     var rank = deg.select(col("node"), lit(1000000L).as("pr"))
     for (_ <- 1 to rounds) {
-      // node state is node-count-sized and the checkpointed edge leaf
-      // carries no size statistics, so without the explicit hint the
-      // planner shuffle-joins a 16k-row state table every round (same
-      // statistics cliff as clusterLabels). At a scale where the node
-      // state outgrows broadcast, drop the hint and this is the standard
-      // shuffled PageRank round — the algebra is unchanged.
       val st = deg.join(rank, "node")
-      rank = edges.join(broadcast(st), edges("src") === st("node"))
+      rank = edges.join(hint(st), edges("src") === st("node"))
         .select(col("dst"), expr("pr div deg").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("in_sum"))
         .select(col("dst").as("node"),
           (lit(150000L) + expr("(850 * in_sum) div 1000")).as("pr"))
     }
-    rank.join(broadcast(deg), "node")
+    rank.join(hint(deg), "node")
       .select(col("node"), col("pr"), col("deg"))
   }
 
@@ -118,10 +121,10 @@ object Graph {
     * histogram (hop → node count) for 3 fixed levels. Each level is one
     * equi-join of the checkpointed edge list against the frontier plus an
     * anti-join against the visited set — the standard distributed BFS
-    * round. Frontier/visited are node-count-sized, hence the broadcast
-    * hints (same statistics cliff as pagerank's rank state); at a scale
-    * where the visited set outgrows broadcast both hints drop and the
-    * level becomes two shuffled joins, algebra unchanged. Levels are
+    * round. Frontier/visited are node-count-sized and broadcast only while
+    * a measured node bound stays under [[Hints.MaxBroadcastRows]] (same
+    * statistics cliff as pagerank's rank state); past it both joins
+    * degrade to shuffles automatically, algebra unchanged. Levels are
     * FIXED so the declared output is a deterministic snapshot; the hop-3
     * frontier is whatever the third expansion reaches, converged or not
     * (the oracle unrolls the same 3 levels). */
@@ -135,6 +138,14 @@ object Graph {
       .distinct()
       .localCheckpoint(true)
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    // Frontier/visited are node-count-sized; node count ≤ 2·|edges|, so one
+    // cheap count over the checkpointed directed edge leaf bounds them for
+    // the whole traversal. Under the threshold the hints paper over the
+    // checkpoints' missing statistics; above it every level is two shuffled
+    // joins (frontier expand + visited anti-join) — the standard
+    // distributed BFS round, algebra unchanged.
+    val nodeBound = 2L * e0.count()
+    def hint(df: DataFrame): DataFrame = Hints.hintIfSmall(df, nodeBound)
     // Per-level checkpoint of the (tiny, node-sized) frontier: each level
     // references the previous one twice (frontier join + visited
     // anti-join), so the lazy plan holds 2^maxHop copies of the per-level
@@ -147,10 +158,10 @@ object Graph {
     var frontier = visited.select(col("node"))
     for (h <- 1 to maxHop) {
       val next = edges
-        .join(broadcast(frontier.select(col("node").as("fn"))),
+        .join(hint(frontier.select(col("node").as("fn"))),
           edges("src") === col("fn"))
         .select(col("dst").as("node")).distinct()
-        .join(broadcast(visited.select(col("node").as("vn"))),
+        .join(hint(visited.select(col("node").as("vn"))),
           col("node") === col("vn"), "left_anti")
         .withColumn("hop", lit(h.toLong))
         .localCheckpoint(true)

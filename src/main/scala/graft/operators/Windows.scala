@@ -308,7 +308,12 @@ object Windows {
     * The same trick every argmin/argmax-under-window needs on engines
     * whose max_by has no frame form; exact while event ids stay below
     * 10⁹ (they are dense indexes here — guarded in the spec). Constant
-    * work per row, the trailing-frame family's scale contract. */
+    * work per row, the trailing-frame family's scale contract.
+    *
+    * Data contract, enforced in-plan: cents ≥ 0. The packing unpacks with
+    * Spark's `div` (truncates toward zero) while DuckDB's `//` floors —
+    * identical only when the packed key is non-negative, so negative cents
+    * are filtered out here AND in the oracle rather than assumed away. */
   def winArgmax(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("us").asc, col("event_id").asc)
@@ -318,6 +323,7 @@ object Windows {
       .withColumn("us", expr("unix_micros(ts)"))
       .withColumn("cents",
         expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .filter(col("cents") >= 0)
       .withColumn("mk",
         max(expr("cents * 1000000000 + (999999999 - event_id)")).over(w))
       .select(col("event_id"), col("user_id"), col("cents"),
@@ -412,7 +418,7 @@ object Windows {
         |         max(cents * 1000000000 + (999999999 - event_id))
         |           OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
         |                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mk
-        |  FROM e)
+        |  FROM e WHERE cents >= 0)
         |SELECT event_id, user_id, cents,
         |       CAST(mk // 1000000000 AS BIGINT) AS max_cents,
         |       CAST(999999999 - mk % 1000000000 AS BIGINT) AS argmax_event_id

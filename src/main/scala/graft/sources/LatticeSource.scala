@@ -82,18 +82,29 @@ class LatticeScanBuilder(n: Long, slices: Int) extends ScanBuilder
     case _       => None
   }
 
+  // Saturating v+1: `id <= Long.MaxValue` must widen hi to the full range,
+  // not overflow to Long.MinValue and produce an empty (wrong) scan. Same
+  // guard on the lo side for `id > Long.MaxValue` (correctly empty, not
+  // full-range via wraparound).
+  private def succ(v: Long): Long =
+    if (v == Long.MaxValue) Long.MaxValue else v + 1
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val residual = filters.filter {
       case GreaterThan("id", v) if asLong(v).isDefined =>
-        lo = math.max(lo, asLong(v).get + 1); false
+        // v = MaxValue admits no Long, so force an empty range instead of
+        // relying on succ's saturation (which would wrongly include MaxValue).
+        if (asLong(v).get == Long.MaxValue) { lo = n; hi = 0 }
+        else lo = math.max(lo, asLong(v).get + 1)
+        false
       case GreaterThanOrEqual("id", v) if asLong(v).isDefined =>
         lo = math.max(lo, asLong(v).get); false
       case LessThan("id", v) if asLong(v).isDefined =>
         hi = math.min(hi, asLong(v).get); false
       case LessThanOrEqual("id", v) if asLong(v).isDefined =>
-        hi = math.min(hi, asLong(v).get + 1); false
+        hi = math.min(hi, succ(asLong(v).get)); false
       case EqualTo("id", v) if asLong(v).isDefined =>
-        lo = math.max(lo, asLong(v).get); hi = math.min(hi, asLong(v).get + 1); false
+        lo = math.max(lo, asLong(v).get); hi = math.min(hi, succ(asLong(v).get)); false
       case _ => true
     }
     pushed = filters.diff(residual)

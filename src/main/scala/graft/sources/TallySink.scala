@@ -83,19 +83,36 @@ class TallyBatchWrite(schema: StructType, path: String, queryId: String)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val tallies = messages.collect { case t: TallyCommit if t.rows > 0 => t }
+    // The manifest IS the atomicity marker, so its own write must be atomic:
+    // stream to a hidden temp sibling, then renameTo (atomic on a POSIX
+    // filesystem). A driver crash mid-write leaves only ._tally.inprogress,
+    // never a truncated _tally that readers would accept as success.
     val manifest = new File(path, "_tally")
-    val w = new BufferedWriter(new FileWriter(manifest))
+    val tmp = new File(path, s"._tally.$queryId.inprogress")
+    val w = new BufferedWriter(new FileWriter(tmp))
     try {
       w.write(s"rows=${tallies.map(_.rows).sum}\n")
       w.write(s"bytes=${tallies.map(_.bytes).sum}\n")
       w.write(s"files=${tallies.length}\n")
       tallies.map(_.file).sorted.foreach(f => w.write(s"file=$f\n"))
     } finally w.close()
+    if (!tmp.renameTo(manifest))
+      throw new java.io.IOException(s"tally sink: rename to $manifest failed")
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
     messages.collect { case t: TallyCommit => t }
       .foreach(t => new File(path, t.file).delete())
+    // Executors that died before task-level abort ran never produced a
+    // commit message, so their .inprogress temps aren't named above; sweep
+    // this job's orphans (temp names embed the queryId) so abort really
+    // does remove everything an incomplete job left behind.
+    val dir = new File(path)
+    val orphans = Option(dir.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.getName.startsWith(".part-" + queryId) &&
+        f.getName.endsWith(".inprogress"))
+    orphans.foreach(_.delete())
+  }
 }
 
 class TallyWriterFactory(schema: StructType, path: String, queryId: String)

@@ -449,4 +449,44 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"delta dedup must stay an equi-join on (band, bucket):\n$p")
   }
+
+  test("hintIfSmall broadcasts under the row threshold and shuffles above it") {
+    import graft.operators.Hints
+    // Auto-broadcast off: both join inputs here are tiny, so the planner
+    // would broadcast the probe side on its own statistics and mask what
+    // this test isolates — that the HINT alone decides the strategy, as it
+    // does for the iterative operators' statistics-less checkpointed state.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val a = spark.range(1000).toDF("id")
+      val state = spark.range(100).toDF("id").localCheckpoint(true)
+      val hinted = a.join(Hints.hintIfSmall(state, rows = 100), "id")
+      assert(hinted.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+        s"under-threshold state lost its broadcast:\n${hinted.queryExecution.sparkPlan}")
+      val unhinted = a.join(Hints.hintIfSmall(state, rows = 100, maxRows = 99), "id")
+      val p = unhinted.queryExecution.sparkPlan.toString
+      assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+        s"over-threshold state must shuffle-join (static plan):\n$p")
+      assert(hinted.collect().map(_.getLong(0)).sorted.toSeq ==
+        unhinted.collect().map(_.getLong(0)).sorted.toSeq)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("clusterLabels shuffle variant (hint threshold 0) matches the broadcast variant") {
+    import spark.implicits._
+    // two clique-like clusters plus a diameter-3 chain (1-2-3-4) that
+    // forces the convergence-extension rounds through the shuffled path too
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L)).toDF("a_id", "b_id")
+    def run(maxBc: Long) =
+      graft.operators.Dedup.clusterLabels(pairs, maxBroadcastRows = maxBc)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bc = run(graft.operators.Hints.MaxBroadcastRows)
+    val sh = run(0L)
+    assert(bc == sh, "shuffled label propagation diverged from broadcast variant")
+    assert(sh == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L), (22L, 20L)))
+  }
 }
