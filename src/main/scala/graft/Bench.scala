@@ -46,28 +46,45 @@ object Bench {
         try SparkEntry.queries(n)(spark, warmDir).count()
         catch { case _: Throwable => () }
       }
+    // A query that throws records -1 (BASELINE.md contract), never its
+    // time-to-exception: a fast failure must read as a failure in the
+    // artifact, not as a healthy sub-0.1 s timing (BENCH_r04 masked a
+    // 73-query breakage exactly this way). One successful rep clears the
+    // marker; a query is "failed" only if ALL reps threw.
     val best = scala.collection.mutable.Map[String, Double]()
+    val failed = scala.collection.mutable.Set[String]()
     for (rep <- 1 to reps) {
       for (name <- names) {
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => () }
+        val ok =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] FAIL $name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+            false
+          }
         val t = (System.nanoTime() - t0) / 1e9
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
-        System.err.println(f"[bench] rep=$rep $name%-24s $t%8.3f s  best=${best(name)}%8.3f")
+        val prev = best.get(name).filter(_ >= 0).getOrElse(Double.MaxValue)
+        if (ok) best(name) = math.min(prev, t)
+        else if (!best.contains(name)) best(name) = -1.0
+        System.err.println(f"[bench] rep=$rep $name%-24s $t%8.3f s  ok=$ok best=${best(name)}%8.3f")
       }
     }
+    names.foreach(n => if (best.getOrElse(n, -1.0) < 0) failed += n)
     val load = try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
                catch { case _: Throwable => "" }
     def f3(d: Double): String = "%.3f".format(d)
-    val total = best.values.sum
-    val sorted = best.toSeq.sortBy(-_._2)
+    // Total is over SUCCESSFUL queries only; failures are carried as -1 in
+    // the per-query map plus an explicit n_failed count so a broken suite
+    // can never present as a healthy total.
+    val total = best.values.filter(_ >= 0).sum
+    val sorted = best.toSeq.sortBy { case (_, v) => if (v < 0) Double.NegativeInfinity else -v }
     // Greedy: include slowest queries while the final line stays ≤ budget.
+    // Failed queries (-1) sort FIRST so they always make the line.
     val budget = 1600
     val fixedFmt = (shown: Seq[(String, Double)], omitted: Seq[(String, Double)]) =>
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{""" +
         shown.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString(",") +
-        s"""},"sf":"$sfDir","reps":$reps,"n_queries":${best.size},""" +
+        s"""},"sf":"$sfDir","reps":$reps,"n_queries":${best.size},"n_failed":${failed.size},""" +
         s""""omitted_fastest":${omitted.size},"omitted_sum":${f3(omitted.map(_._2).sum)},"loadavg":"$load"}"""
     var cut = sorted.size
     while (cut > 0 && fixedFmt(sorted.take(cut), sorted.drop(cut)).length > budget) cut -= 1

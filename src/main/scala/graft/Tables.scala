@@ -15,8 +15,10 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS); reading nanos as long is
-    // harmless for every other table and lets raw reads succeed everywhere.
+    // Some fixture generations store events.ts as TIMESTAMP(NANOS), which
+    // Spark's vectorized reader rejects unless nanos are read as long.
+    // Reading nanos as long is harmless for every other table and lets raw
+    // reads succeed against either generation of fixtures.
     // NOTE: this is a session-wide runtime conf (there is no per-read
     // option for it), so loading any table through here also flips nanos
     // handling for parquet reads issued outside this library in the same
@@ -97,14 +99,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long (runtime conf) and truncate to
-    * microseconds — exactly what DuckDB does when it reads the same file,
-    * so oracle comparisons stay exact. */
-  def events(s: SparkSession, d: String): DataFrame =
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  /** `events.ts` has shipped in two storage dtypes across fixture
+    * generations, so normalize by the dtype the READ actually produced,
+    * not by assumption — the loader contract is a single stable output
+    * type (session-TZ TimestampType, microsecond values):
+    *   - TIMESTAMP(NANOS): read as long (nanosAsLong conf above), truncate
+    *     ns→µs — exactly what DuckDB does reading the same file, so oracle
+    *     comparisons stay exact.
+    *   - timestamp[us] without tz: Spark reads TIMESTAMP_NTZ; cast to
+    *     TimestampType (sessions here run UTC, and the driver compare
+    *     strips tz, so values are unchanged).
+    *   - already TimestampType: pass through.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts read as unsupported dtype $other — fixture generation changed again?")
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

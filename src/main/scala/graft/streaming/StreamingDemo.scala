@@ -23,18 +23,25 @@ case class SessionOut(user_id: Long, start_s: Long, end_s: Long, n_events: Long)
 object StreamingDemo {
 
   /** events.parquet as an unbounded source (schema must be supplied for
-    * readStream; ns→µs conversion matches graft.Tables.events). File
-    * sources need a directory, so the (read-only) single file is staged
-    * into a temp dir — in production this would just be the ingest dir. */
+    * readStream; ts normalization branches on the read dtype exactly like
+    * graft.Tables.events — the fixture has shipped both TIMESTAMP(NANOS)
+    * and timestamp[us] across generations). File sources need a
+    * directory, so the (read-only) single file is staged into a temp
+    * dir — in production this would just be the ingest dir. */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val dir = java.nio.file.Files.createTempDirectory("graft-stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events.parquet"))
-    spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.readStream.schema(schema).parquet(dir.toString)
+    schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
 
   /** Watermarked 1-hour tumbling aggregation — identical algebra to the

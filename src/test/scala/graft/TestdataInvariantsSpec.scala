@@ -25,11 +25,35 @@ class TestdataInvariantsSpec extends SparkSpec {
       .filter(size(col("embedding")) =!= 64).count() == 0)
   }
 
-  test("events.ts converts to timestamp (ns→µs) with expected range") {
+  test("all 10 tables load with analyzable schemas (fixture-regeneration canary)") {
+    // The driver can and did regenerate /root/testdata mid-project (r4:
+    // events.ts went parquet ns → µs and broke 73 queries at analysis
+    // time). This is the cheap first gate: every loader must produce a
+    // plan that ANALYZES and returns a row on the current fixtures.
+    val loaders: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      Map("region" -> Tables.region, "nation" -> Tables.nation,
+        "customer" -> Tables.customer, "supplier" -> Tables.supplier,
+        "part" -> Tables.part, "orders" -> Tables.orders,
+        "lineitem" -> Tables.lineitem, "events" -> Tables.events,
+        "documents" -> Tables.documents, "embeddings" -> Tables.embeddings)
+    Tables.all.foreach { t =>
+      val df = loaders(t)(spark, sf0001)
+      assert(df.schema.nonEmpty, s"$t: empty schema")
+      assert(df.limit(1).collect().length == 1, s"$t: no rows readable")
+    }
+  }
+
+  test("events loader output contract: ts is TimestampType in the 2024-01 range") {
+    // Asserts the LOADER's output contract, not the storage dtype — the
+    // fixture has shipped ts as both TIMESTAMP(NANOS) and timestamp[us]
+    // across generations, and Tables.events must normalize either to
+    // session-TZ TimestampType with the same microsecond values.
     val e = Tables.events(spark, sf0001)
-      .agg(min("ts").cast("string"), max("ts").cast("string")).head()
-    assert(e.getString(0).startsWith("2024-01-0"))
-    assert(e.getString(1).startsWith("2024-01-3"))
+    assert(e.schema("ts").dataType == org.apache.spark.sql.types.TimestampType,
+      s"ts normalized to ${e.schema("ts").dataType}, want TimestampType")
+    val r = e.agg(min("ts").cast("string"), max("ts").cast("string")).head()
+    assert(r.getString(0).startsWith("2024-01-0"))
+    assert(r.getString(1).startsWith("2024-01-3"))
   }
 
   test("documents.text is single-byte ASCII (licenses byte≡char oracle equivalence)") {
