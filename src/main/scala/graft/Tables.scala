@@ -14,6 +14,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Parquet schema per file path, inferred once per JVM. Without an
+    * explicit schema every `spark.read.parquet` launches a footer-reading
+    * job at PLAN CONSTRUCTION time — one cluster scheduling round-trip
+    * per table reference before any query runs, measured as exactly the
+    * +1 job on all 243 query constructions. With the memo, inference runs
+    * once per (path) and every later construction is job-free (pinned by
+    * PlanQualitySpec's lazy-construction guard). A production catalog
+    * makes this moot (the metastore holds the schema); this is the
+    * path-reading equivalent. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Some fixture generations store events.ts as TIMESTAMP(NANOS), which
     // Spark's vectorized reader rejects unless nanos are read as long.
@@ -26,7 +38,10 @@ object Tables {
     // fresh default sessions, and a partial loader that only works after
     // a manual conf call would be a worse surface.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
   }
 
   /** Decouple per-row CPU-heavy featurization (shingling, hashing,

@@ -7,12 +7,16 @@ import org.apache.spark.sql.{Encoder, Encoders}
   * mergeable heavy-hitter/frequency summary that answers "how often did
   * key x occur" from a fixed-size matrix instead of a key-count table.
   *
-  * DEPTH×WIDTH counters; row r hashes x with an odd multiplier (Java
-  * long arithmetic wraps mod 2^64, which is part of the hash — this is
-  * why the sketch is no-oracle: DuckDB BIGINT overflow throws instead of
-  * wrapping). Point estimate = min over rows of the hit cell, which can
-  * only OVER-estimate a true count (collisions add, never subtract) —
-  * CountMinSpec pins that one-sided error plus exact merge associativity.
+  * DEPTH×WIDTH counters; row r hashes x with the textbook Carter–Wegman
+  * pairwise-independent family h_r(x) = ((a_r·x + b_r) mod p) mod WIDTH,
+  * p = 2³¹−1. Operands stay under 2⁶² so the arithmetic never wraps —
+  * deliberately: the identical expression evaluates bit-equal in engines
+  * with CHECKED overflow (DuckDB), which is what lets q_approx_cms carry
+  * a full value oracle (the oracle SQL replays bucket counts and the
+  * row-min estimate; constants are mirrored there verbatim). Point
+  * estimate = min over rows of the hit cell, which can only OVER-estimate
+  * a true count (collisions add, never subtract) — CountMinSpec pins that
+  * one-sided error plus exact merge associativity.
   *
   * Like every Aggregator it plans as partial+final: each partition folds
   * rows into its local matrix and only DEPTH·WIDTH longs cross the
@@ -21,15 +25,16 @@ import org.apache.spark.sql.{Encoder, Encoders}
 object CountMinSketch extends Aggregator[Long, Array[Long], Array[Long]] {
   val Depth = 4
   val Width = 256
-
-  /** Odd multiplicative constants (splitmix64/Knuth-style); the >>> 33
-    * keeps the high bits, which is where multiply mixing concentrates. */
-  private val MulA = Array(0x9e3779b97f4a7c15L, 0xbf58476d1ce4e5b9L,
-    0x94d049bb133111ebL, 0xff51afd7ed558ccdL)
+  /** Mersenne prime 2³¹−1; with a,b < p and x folded into [0,p), every
+    * intermediate stays < 2⁶² — no wrap in Java, no overflow error in
+    * checked-arithmetic engines. */
+  val P = 2147483647L
+  val HashA = Array(1103515245L, 1588635695L, 1999999973L, 1223106847L)
+  val HashB = Array(12345L, 1013904223L, 370248451L, 998244353L)
 
   def slot(r: Int, x: Long): Int = {
-    val h = (x * MulA(r)) >>> 33
-    (h % Width).toInt
+    val xm = java.lang.Math.floorMod(x, P)
+    (((HashA(r) * xm + HashB(r)) % P) % Width).toInt
   }
 
   override def zero: Array[Long] = new Array[Long](Depth * Width)

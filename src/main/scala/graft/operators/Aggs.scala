@@ -184,24 +184,33 @@ object Aggs {
 
   /** Count-min frequency estimates vs exact counts for a probe key set.
     * One pass builds the mergeable DEPTH×WIDTH sketch (8 KiB crosses the
-    * shuffle, never a key-count table); the finished matrix — an
-    * aggregate RESULT, driver-sized by design like approxQuantile's
-    * cutoffs — parameterizes a probe UDF. `overcount` makes the sketch's
-    * one-sided error auditable in the output; CountMinSpec pins the
-    * ≥-exact guarantee and merge associativity. No oracle: the row
-    * hashes rely on Java's wrapping long multiply, which DuckDB's
-    * checked BIGINT arithmetic cannot express. */
+    * shuffle, never a key-count table); the finished matrix rides along
+    * as a 1-row BROADCAST (crossJoin) — not a driver `.head()` — so
+    * query construction stays lazy and the probe stage reads the matrix
+    * where it runs. The point estimate is pure codegen'd SQL: min over
+    * DEPTH of element_at at the Carter–Wegman slot (constants from
+    * [[graft.functions.CountMinSketch]], mirrored verbatim in the oracle
+    * SQL, which replays bucket counts in DuckDB — the modular hash never
+    * overflows, so checked and wrapping engines agree bit-for-bit).
+    * `overcount` makes the sketch's one-sided error auditable in the
+    * output; CountMinSpec pins the ≥-exact guarantee and merge
+    * associativity. */
   def approxCms(s: SparkSession, d: String): DataFrame = {
-    val cms = udaf(graft.functions.CountMinSketch)
+    import graft.functions.{CountMinSketch => CMS}
+    val cms = udaf(CMS)
     val ev = Tables.events(s, d)
     val sketch = ev.agg(cms(col("user_id")).as("sk"))
-      .head().getSeq[Long](0).toArray
-    val est = udf((u: Long) => graft.functions.CountMinSketch.estimate(sketch, u))
+    val estExpr = expr((0 until CMS.Depth).map { r =>
+      s"element_at(sk, ${r * CMS.Width} + CAST(((${CMS.HashA(r)} * (user_id % ${CMS.P}) " +
+        s"+ ${CMS.HashB(r)}) % ${CMS.P}) % ${CMS.Width} AS INT) + 1)"
+    }.mkString("least(", ", ", ")"))
     ev.filter(col("user_id") % 5 === 0)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("exact"))
-      .withColumn("cms_est", est(col("user_id")))
+      .crossJoin(broadcast(sketch))
+      .withColumn("cms_est", estExpr)
       .withColumn("overcount", col("cms_est") - col("exact"))
+      .select(col("user_id"), col("exact"), col("cms_est"), col("overcount"))
       .orderBy(col("user_id").asc)
   }
 
@@ -397,6 +406,35 @@ object Aggs {
   )
 
   val oracle: Map[String, String] = Map(
+    // Full replay of the count-min pipeline: bucket counts per (row,
+    // slot) under the same Carter–Wegman constants as
+    // graft.functions.CountMinSketch (keep in sync!), estimate = min
+    // over the DEPTH hit cells. The modular hash never overflows BIGINT,
+    // so DuckDB's checked arithmetic reproduces the sketch bit-exactly.
+    "q_approx_cms" ->
+      """WITH h(r, a, b) AS (VALUES
+        |    (0, 1103515245, 12345),
+        |    (1, 1588635695, 1013904223),
+        |    (2, 1999999973, 370248451),
+        |    (3, 1223106847, 998244353)),
+        |cells AS (
+        |  SELECT h.r AS r,
+        |         ((h.a * (e.user_id % 2147483647) + h.b) % 2147483647) % 256 AS slot,
+        |         count(*) AS c
+        |  FROM events e CROSS JOIN h
+        |  GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT user_id, count(*) AS exact
+        |  FROM events WHERE user_id % 5 = 0
+        |  GROUP BY user_id)
+        |SELECT p.user_id, p.exact, min(c.c) AS cms_est,
+        |       min(c.c) - p.exact AS overcount
+        |FROM probes p
+        |JOIN h ON TRUE
+        |JOIN cells c ON c.r = h.r
+        | AND c.slot = ((h.a * (p.user_id % 2147483647) + h.b) % 2147483647) % 256
+        |GROUP BY p.user_id, p.exact
+        |ORDER BY p.user_id ASC""".stripMargin,
     // Same crossing-point algebra as q_agg_wmedian — the native
     // histogram aggregate must reproduce the window form exactly.
     "q_agg_wmedian_native" ->

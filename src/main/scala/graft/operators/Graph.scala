@@ -218,8 +218,12 @@ object Graph {
         col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
       .distinct()
-    val deg = e0.select(col("pa").as("p"), col("pb").as("q"))
-      .union(e0.select(col("pb").as("p"), col("pa").as("q")))
+    // Both endpoints of each undirected edge in ONE pass over the pair
+    // join (explode of a 2-element array) — a union of two projections
+    // would plan the join+distinct subtree twice and lean on exchange
+    // reuse to dedupe the work; the generator guarantees a single
+    // execution regardless of reuse kicking in.
+    val deg = e0.select(explode(array(col("pa"), col("pb"))).as("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("deg"))
     // octave band k: deg in [2^k, 2^(k+1)) — one CASE string, valid in
     // both engines, generated from the same bounds

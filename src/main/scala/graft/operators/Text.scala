@@ -625,13 +625,14 @@ object Text {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n_ab"))
     // The two totals are plain token/window counts — one narrow scan-agg
-    // job, not a rollup over the count tables (which would re-run the
-    // explode + hash agg just to sum it back up).
+    // job folded in as a 1-row broadcast (crossJoin), never a driver-side
+    // .first(): query construction stays lazy (no Spark job until the
+    // caller acts — PlanQualitySpec asserts this), and at cluster scale
+    // the totals travel with the plan instead of a collect barrier.
     val totals = tk.agg(
       sum(size(col("toks")).cast("long")).as("nu"),
       sum(expr("CASE WHEN size(toks) >= 2 THEN size(toks) - 1 ELSE 0 END")
-        .cast("long")).as("nb")).first()
-    val (nUni, nBi) = (totals.getLong(0), totals.getLong(1))
+        .cast("long")).as("nb"))
     val bi = biAll.filter(col("n_ab") >= 5)
     // Staged integer divisions, not one big rational: n_ab·N²·10⁶ would
     // overflow BIGINT at corpus scale; each stage stays ≤ N² because
@@ -639,9 +640,9 @@ object Text {
     // the oracle, so the ranking is still hash-exact.
     bi.join(broadcast(uni.select(col("t").as("a"), col("n").as("n_a"))), "a")
       .join(broadcast(uni.select(col("t").as("b"), col("n").as("n_b"))), "b")
+      .crossJoin(broadcast(totals))
       .withColumn("lift_ppm", expr(
-        s"((((n_ab * CAST($nUni AS BIGINT)) div n_a) * $nUni) div n_b) " +
-          s"* 1000000 div CAST($nBi AS BIGINT)"))
+        "((((n_ab * nu) div n_a) * nu) div n_b) * 1000000 div nb"))
       .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
         col("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("a").asc, col("b").asc)

@@ -111,16 +111,23 @@ object Windows {
   }
 
   /** The 100 TB quartile path documented on winNtile: approx_percentile
-    * cutoffs (a tiny driver-side array) + a narrow, shuffle-free
-    * assignment map. Not oracled (sketch-based cutoffs differ across
-    * engines); NtileScaleSpec asserts ≥97% agreement with exact ntile. */
+    * cutoffs riding along as a 1-row BROADCAST (crossJoin) + a narrow,
+    * shuffle-free assignment map — not a driver-side `approxQuantile`
+    * action, so plan construction stays lazy and the cutoff aggregate
+    * shares the cluster run (accuracy 1000 ≈ the 0.001 relative error of
+    * the former stat call; both are QuantileSummaries underneath). Not
+    * oracled (sketch-based cutoffs differ across engines); NtileScaleSpec
+    * asserts ≥97% agreement with exact ntile. */
   def approxQuartiles(df: org.apache.spark.sql.DataFrame, c: String): org.apache.spark.sql.DataFrame = {
-    val cuts = df.stat.approxQuantile(c, Array(0.25, 0.5, 0.75), 0.001)
-    df.withColumn("quartile",
-      when(col(c) <= cuts(0), 1L)
-        .when(col(c) <= cuts(1), 2L)
-        .when(col(c) <= cuts(2), 3L)
-        .otherwise(4L))
+    val cuts = df.agg(
+      expr(s"approx_percentile($c, array(0.25, 0.5, 0.75), 1000)").as("q_cuts"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn("quartile",
+        when(col(c) <= element_at(col("q_cuts"), 1), 1L)
+          .when(col(c) <= element_at(col("q_cuts"), 2), 2L)
+          .when(col(c) <= element_at(col("q_cuts"), 3), 3L)
+          .otherwise(4L))
+      .drop("q_cuts")
   }
 
   /** Declared no-oracle surface for [[approxQuartiles]] — the scale path

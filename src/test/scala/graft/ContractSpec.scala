@@ -17,12 +17,14 @@ package graft
 class ContractSpec extends SparkSpec {
 
   // Only the true approximation sketches remain oracle-less: their OUTPUT
-  // is estimator-defined (HLL/CMS/percentile_approx internals), not a
+  // is estimator-defined (HLL/percentile_approx internals), not a
   // deterministic value DuckDB could reproduce. The former members
   // q_dedup_minhash / q_dedup_simhash were re-pointed at deterministic
-  // md5/polynomial hashes in round 4 and now carry hard oracles.
+  // md5/polynomial hashes in round 4 and now carry hard oracles;
+  // q_approx_cms followed in round 5 (Carter–Wegman modular hash never
+  // overflows, so DuckDB replays the sketch exactly).
   private val declaredNoOracle = Set(
-    "q_approx_distinct", "q_win_ntile_approx", "q_approx_hll", "q_approx_cms")
+    "q_approx_distinct", "q_win_ntile_approx", "q_approx_hll")
 
   test("module maps merge without key collisions") {
     val qSum = SparkEntry.modules.map(_._1.size).sum

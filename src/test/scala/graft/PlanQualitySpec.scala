@@ -489,4 +489,62 @@ class PlanQualitySpec extends SparkSpec {
     assert(sh == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
       (10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L), (22L, 20L)))
   }
+
+  test("query construction is lazy outside the declared layout/iterative set") {
+    // A construction-time action (collect/head/first inside fn before the
+    // caller acts) is a hidden driver barrier that serializes plan
+    // building at cluster scale; scalar plan parameters must ride along
+    // as 1-row broadcasts instead (crossJoin(broadcast(agg)) — see
+    // q_approx_cms / q_text_colloc). Two families are legitimately eager
+    // and exempt:
+    //  - storage-layout queries, which materialize the bucketed/
+    //    partitioned/range layout they demonstrate at build time;
+    //  - iterative fixed-point operators, whose driver loop (checkpointed
+    //    rounds + data-dependent convergence checks) IS the operator —
+    //    the bench times fn() itself, so their work is still attributed.
+    val exempt = Set(
+      // layout: materialize the storage layout they demonstrate
+      "q_join_bucketed", "q_src_partitioned", "q_src_lattice",
+      // iterative fixed-point: checkpointed rounds + data-dependent
+      // convergence checks run inside fn by construction
+      "q_dedup_clusters", "q_graph_bfs", "q_graph_pagerank")
+    val sentinels = new java.util.concurrent.atomic.AtomicInteger(0)
+    val others = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (js.properties != null &&
+            "graft-lazy-sentinel" == js.properties.getProperty("spark.jobGroup.id"))
+          sentinels.incrementAndGet()
+        else others.incrementAndGet()
+        ()
+      }
+    }
+    val sc = spark.sparkContext
+    // Pre-warm the per-path schema memo: the FIRST reference to a table
+    // pays its one inference job by design; the laziness contract covers
+    // every construction after that.
+    Tables.all.foreach(t => Tables(spark, sf0001, t).schema)
+    sc.addSparkListener(listener)
+    try {
+      val offenders = scala.collection.mutable.LinkedHashMap[String, Int]()
+      for ((n, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !exempt(n)) {
+        val before = others.get()
+        fn(spark, sf0001)
+        // Sentinel job in a marked group: the listener bus is FIFO, so
+        // once the sentinel's start event is observed, every job the
+        // construction posted before it has been observed too.
+        val sBefore = sentinels.get()
+        sc.setJobGroup("graft-lazy-sentinel", "flush")
+        try sc.parallelize(Seq(1)).count() finally sc.clearJobGroup()
+        val deadline = System.currentTimeMillis + 30000
+        while (sentinels.get() <= sBefore && System.currentTimeMillis < deadline)
+          Thread.sleep(10)
+        val delta = others.get() - before
+        if (delta > 0) offenders(n) = delta
+      }
+      assert(offenders.isEmpty,
+        s"construction-time Spark jobs (query -> n_jobs): $offenders")
+    } finally sc.removeSparkListener(listener)
+  }
 }
