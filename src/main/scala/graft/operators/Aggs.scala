@@ -182,6 +182,123 @@ object Aggs {
       .orderBy(col("event_type").asc)
   }
 
+  // ---------------------------------------------- integer HLL (oracled)
+
+  /** ⌊α_256 · 10⁶⌋ · m² · 2²⁵ — the HLL estimate numerator as ONE exact
+    * long literal shared verbatim by the Spark plan and the oracle SQL
+    * (α_256 = 0.7213/(1 + 1.079/256) ≈ 0.718273). */
+  private val HllEstNum: Long = 718273L * 65536L * 33554432L
+
+  /** Shared CASE ladder (valid in both dialects): position of the highest
+    * set bit of the 24-bit suffix `w`, counted from the top, +1 — the HLL
+    * rank ρ(w); all-zero suffix → 25. */
+  private val hllRhoCase: String =
+    "CASE " + (0 until 24).map(i =>
+      s"WHEN w >= ${1L << (23 - i)} THEN ${i + 1}").mkString(" ") + " ELSE 25 END"
+
+  /** Linear-counting table m·ln(m/V) for every possible zero-register
+    * count V ∈ [1, 255], PRE-ROUNDED to integer literals at plan-build —
+    * the one float in the HLL algorithm folded into a lookup both engines
+    * read identically, keeping the whole estimator integer-exact. */
+  private val hllLinCase: String =
+    "CASE zero_buckets " + (1 to 255).map(v =>
+      s"WHEN $v THEN ${math.round(256.0 * math.log(256.0 / v))}")
+      .mkString(" ") + " ELSE hll_raw END"
+
+  /** Standard HLL regime switch: small-range linear counting applies when
+    * any register is still zero and the raw estimate is under 2.5m. */
+  private val hllUsersExpr: String =
+    "CAST(CASE WHEN zero_buckets > 0 AND hll_raw <= 640 " +
+      s"THEN ($hllLinCase) ELSE hll_raw END AS BIGINT)"
+
+  /** HyperLogLog distinct-user estimate per event type in EXACT integer
+    * arithmetic — the fully-ORACLED twin of [[approxHll]] (whose
+    * datasketches registers/estimate are engine-internal). Same md5 hex
+    * fold as the oracled MinHash family ([[DetHash]]): both engines
+    * compute the identical 32-bit hash, split top-8-bits bucket / 24-bit
+    * suffix, take per-bucket max rank (the registers — 256 × 5 rows, a
+    * partial+final max agg), and evaluate the raw HLL estimate
+    * α·m²/Σ2^−reg with the division scaled to integers (Σ2^−reg is
+    * carried as S = Σ2^(25−reg), an exact BIGINT ≤ 2³³, so the estimate
+    * is α_ppm·m²·2²⁵ div S div 10⁶ — floor-rounded the same on both
+    * engines). `hll_users` applies the standard small-range
+    * linear-counting correction with the float ln pre-rounded into a
+    * 255-entry integer lookup ([[hllLinCase]]), so even the corrected
+    * estimate is bit-equal across engines; `hll_raw`/`zero_buckets` stay
+    * in the output to make the regime switch auditable. [[approxHll]]
+    * remains the native-datasketches row.
+    *
+    * Scale shape: narrow per-row map (md5 + fold + two divs + CASE),
+    * partial max into at most 256·|types| register cells, then a
+    * register-sized final agg — the classic mergeable-sketch plan where
+    * only registers cross the shuffle, never user ids. */
+  def approxHllInt(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
+    val reg = ev
+      .withColumn("hx", expr("md5(CAST(user_id AS STRING))"))
+      .withColumn("h32", expr(DetHash.sparkHexInt("hx")))
+      .withColumn("bucket", expr("h32 div 16777216"))
+      .withColumn("w", expr("h32 % 16777216"))
+      .withColumn("rho", expr(s"CAST($hllRhoCase AS BIGINT)"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+    val est = reg.groupBy(col("event_type"))
+      .agg(sum(expr("CAST(shiftleft(1, CAST(25 - reg AS INT)) AS BIGINT)"))
+          .as("s_present"),
+        count(lit(1)).as("n_present"))
+      .withColumn("zero_buckets", lit(256L) - col("n_present"))
+      .withColumn("s_val",
+        col("s_present") + col("zero_buckets") * lit(33554432L))
+      .withColumn("hll_raw", expr(s"$HllEstNum div s_val div 1000000"))
+      .withColumn("hll_users", expr(hllUsersExpr))
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .join(est, "event_type")
+      .select(col("event_type"), col("n_events"), col("exact_users"),
+        col("hll_users"), col("hll_raw"), col("zero_buckets"))
+      .orderBy(col("event_type").asc)
+  }
+
+  /** DuckDB replay of [[approxHllInt]], generated from the same
+    * constants/ladder. */
+  private def hllIntOracle: String =
+    s"""WITH hx AS (
+       |  SELECT event_type, user_id, md5(CAST(user_id AS VARCHAR)) AS hxs
+       |  FROM events),
+       |h AS (
+       |  SELECT event_type, ${DetHash.duckHexInt("hxs")} AS h32 FROM hx),
+       |w AS (
+       |  SELECT event_type, h32 // 16777216 AS bucket, h32 % 16777216 AS w
+       |  FROM h),
+       |r AS (
+       |  SELECT event_type, bucket, $hllRhoCase AS rho FROM w),
+       |reg AS (
+       |  SELECT event_type, bucket, max(rho) AS reg FROM r GROUP BY 1, 2),
+       |s AS (
+       |  SELECT event_type,
+       |         CAST(sum(1 << (25 - reg)) AS BIGINT) AS s_present,
+       |         count(*) AS n_present
+       |  FROM reg GROUP BY 1),
+       |sv AS (
+       |  SELECT event_type, 256 - n_present AS zero_buckets,
+       |         s_present + (256 - n_present) * 33554432 AS s_val
+       |  FROM s),
+       |sv2 AS (
+       |  SELECT event_type, zero_buckets,
+       |         CAST($HllEstNum // s_val // 1000000 AS BIGINT) AS hll_raw
+       |  FROM sv),
+       |e AS (
+       |  SELECT event_type, count(*) AS n_events,
+       |         count(DISTINCT user_id) AS exact_users
+       |  FROM events GROUP BY 1)
+       |SELECT e.event_type, e.n_events, e.exact_users,
+       |       $hllUsersExpr AS hll_users,
+       |       hll_raw,
+       |       CAST(zero_buckets AS BIGINT) AS zero_buckets
+       |FROM e JOIN sv2 USING (event_type)
+       |ORDER BY e.event_type ASC""".stripMargin
+
   /** Count-min frequency estimates vs exact counts for a probe key set.
     * One pass builds the mergeable DEPTH×WIDTH sketch (8 KiB crosses the
     * shuffle, never a key-count table); the finished matrix rides along
@@ -392,6 +509,7 @@ object Aggs {
     "q_approx_cms"      -> approxCms,
     "q_agg_unpivot"     -> aggUnpivot,
     "q_approx_hll"      -> approxHll,
+    "q_approx_hll_int"  -> approxHllInt,
     "q_agg_median_mode" -> aggMedianMode,
     "q_topk_groups"     -> topkGroups,
     "q_agg_global"      -> aggGlobal,
@@ -406,6 +524,7 @@ object Aggs {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_approx_hll_int" -> hllIntOracle,
     // Full replay of the count-min pipeline: bucket counts per (row,
     // slot) under the same Carter–Wegman constants as
     // graft.functions.CountMinSketch (keep in sync!), estimate = min
