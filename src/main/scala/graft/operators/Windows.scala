@@ -143,6 +143,49 @@ object Windows {
         round(max(col("c_acctbal")), 2).as("hi"))
       .orderBy(col("quartile").asc)
 
+  /** Histogram-quantile quartiles — the third tier of the ntile family
+    * and the one that is BOTH scale-safe and fully ORACLED. q_win_ntile
+    * is exact but needs a total order; q_win_ntile_approx is scale-safe
+    * but its QuantileSummaries cutoffs are engine-internal; this row gets
+    * the best of both by quantizing to fixed $50 bins first: one hash agg
+    * builds the bin histogram (bin-count-sized regardless of row count),
+    * a window over the BINS — not the rows — computes cumulative counts,
+    * the three quartile cutoffs fall out of one 1-row aggregate
+    * (smallest bin with cum·4 ≥ q·total), and assignment is a broadcast
+    * CASE. Every step is integer arithmetic on cents (DuckDB `//` and
+    * Spark `div` both truncate toward zero, verified for negative
+    * balances), so the oracle replays it exactly. Cutoffs are exact at
+    * bin granularity: counts per quartile differ from exact ntile only by
+    * within-boundary-bin ties — the precision/scalability dial is the bin
+    * width. */
+  def winNtileHist(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .withColumn("cents",
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .withColumn("bin", expr("cents div 5000"))
+    val hist = cust.groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    // Unpartitioned window is safe HERE: it runs over the bin histogram
+    // (bounded by the value range / bin width), never the fact rows.
+    val cum = hist.withColumn("cum",
+      sum(col("n")).over(Window.orderBy(col("bin").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cuts = cum
+      .crossJoin(broadcast(hist.agg(sum(col("n")).as("total"))))
+      .agg(
+        min(when(expr("cum * 4 >= 1 * total"), col("bin"))).as("cut1"),
+        min(when(expr("cum * 4 >= 2 * total"), col("bin"))).as("cut2"),
+        min(when(expr("cum * 4 >= 3 * total"), col("bin"))).as("cut3"))
+    cust.crossJoin(broadcast(cuts))
+      .withColumn("quartile", expr(
+        "CAST(CASE WHEN bin <= cut1 THEN 1 WHEN bin <= cut2 THEN 2 " +
+          "WHEN bin <= cut3 THEN 3 ELSE 4 END AS BIGINT)"))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("c_acctbal")), 2).as("lo"),
+        round(max(col("c_acctbal")), 2).as("hi"))
+      .orderBy(col("quartile").asc)
+  }
+
   /** first_value / last_value / nth_value over an UNBOUNDED-both-ways
     * frame per order priority (deterministic order: date + unique key).
     * Output sampled to every-100th order key AFTER the window so the
@@ -371,6 +414,7 @@ object Windows {
     "q_win_ewma"         -> winEwma,
     "q_win_firstlast"    -> winFirstLast,
     "q_win_ntile_approx" -> winNtileApprox,
+    "q_win_ntile_hist"  -> winNtileHist,
     "q_win_rank"        -> winRank,
     "q_win_running"     -> winRunning,
     "q_win_lag"         -> winLag,
@@ -380,6 +424,36 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    // Exact replay of the histogram-quantile pipeline: $50-cent bins,
+    // cumulative counts over the BIN table, cutoffs = smallest bin with
+    // cum*4 >= q*total, CASE assignment. All-integer (// and div both
+    // truncate toward zero, incl. negative balances).
+    "q_win_ntile_hist" ->
+      """WITH b AS (
+        |  SELECT c_custkey, c_acctbal,
+        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000 AS bin
+        |  FROM customer),
+        |h AS (
+        |  SELECT bin, count(*) AS n FROM b GROUP BY 1),
+        |cumt AS (
+        |  SELECT bin, sum(n) OVER (ORDER BY bin ASC
+        |                           ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM h),
+        |t AS (SELECT sum(n) AS total FROM h),
+        |k AS (
+        |  SELECT min(CASE WHEN cum * 4 >= 1 * total THEN bin END) AS cut1,
+        |         min(CASE WHEN cum * 4 >= 2 * total THEN bin END) AS cut2,
+        |         min(CASE WHEN cum * 4 >= 3 * total THEN bin END) AS cut3
+        |  FROM cumt, t),
+        |a AS (
+        |  SELECT b.c_acctbal,
+        |         CAST(CASE WHEN bin <= cut1 THEN 1 WHEN bin <= cut2 THEN 2
+        |              WHEN bin <= cut3 THEN 3 ELSE 4 END AS BIGINT) AS quartile
+        |  FROM b, k)
+        |SELECT quartile, count(*) AS n,
+        |       round(min(c_acctbal), 2) AS lo,
+        |       round(max(c_acctbal), 2) AS hi
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_win_cumedist" ->
       """WITH c AS (
         |  SELECT c_custkey, c_mktsegment,

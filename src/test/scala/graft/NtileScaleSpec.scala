@@ -20,4 +20,22 @@ class NtileScaleSpec extends SparkSpec {
     val agree = joined.filter(col("quartile") === col("q2")).count().toDouble
     assert(agree / total >= 0.97, s"agreement ${agree / total}")
   }
+
+  test("histogram quartiles are balanced within bin granularity (≤10% skew)") {
+    // q_win_ntile_hist trades exact rank boundaries for bin-granular
+    // cutoffs; the quartile populations must still come out near n/4 —
+    // a drift beyond bin-tie noise means the cutoff selection is wrong.
+    for (sf <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val rows = operators.Windows.winNtileHist(spark, sf).collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+      val counts = rows.map(_.getLong(1))
+      val ideal = counts.sum / 4.0
+      counts.foreach(c => assert(math.abs(c - ideal) <= 0.10 * ideal,
+        s"$sf: quartile count $c vs ideal $ideal"))
+      // bands must tile the value range in order: hi(q) < lo(q+1)
+      val los = rows.map(_.getDouble(2)); val his = rows.map(_.getDouble(3))
+      (0 until 3).foreach(i => assert(his(i) < los(i + 1),
+        s"$sf: band $i hi ${his(i)} overlaps band ${i + 1} lo ${los(i + 1)}"))
+    }
+  }
 }
