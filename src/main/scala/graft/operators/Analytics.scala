@@ -434,45 +434,56 @@ object Analytics {
       .limit(20)
   }
 
+  /** Each order's DISTINCT part set as one sorted array row — the shared
+    * first stage of the basket family. ONE shuffle (groupBy order)
+    * replaces the old distinct + self-join-on-order chain (two extra
+    * exchanges of the same rows); pair generation then happens inside the
+    * row, bounded by C(basket, 2) per order. collect_set order is
+    * nondeterministic, so array_sort pins it before any generation. */
+  private def orderParts(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+
+  /** All a<b part pairs of each order, generated locally from the sorted
+    * set (i<j positions of a sorted array ⇒ oriented pairs, each once). */
+  private def orderPairs(s: SparkSession, d: String): DataFrame =
+    orderParts(s, d).select(explode(expr(
+      "flatten(transform(ps, (x, i) -> " +
+        "transform(slice(ps, i + 2, size(ps)), " +
+        "y -> struct(x AS a_part, y AS b_part))))")).as("p"))
+      .select(col("p.a_part").as("a_part"), col("p.b_part").as("b_part"))
+
   /** Market-basket co-occurrence — the association-rule support count:
-    * part pairs appearing in the same order, top-20 by support. The
-    * pair join is keyed on the ORDER (a natural bounded block: an
-    * order's line count is single-digit here and bounded in any real
-    * basket schema), with a_part < b_part orienting each pair once —
-    * pairs per order grow C(lines, 2), never corpus². Distinct parts
-    * within the order first: duplicate lines of one part must not
-    * inflate support. */
-  def basketPairs(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("a_part"))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("b_part"))
-    a.join(b, Seq("l_orderkey"))
-      .filter(col("a_part") < col("b_part"))
+    * part pairs appearing in the same order, top-20 by support. Pairs per
+    * order grow C(lines, 2) — a natural bounded block (an order's line
+    * count is single-digit here and bounded in any real basket schema) —
+    * and are generated inside the order row ([[orderPairs]]), never by a
+    * fact⋈fact join. Distinct parts within the order first: duplicate
+    * lines of one part must not inflate support. */
+  def basketPairs(s: SparkSession, d: String): DataFrame =
+    orderPairs(s, d)
       .groupBy(col("a_part"), col("b_part"))
       .agg(count(lit(1)).as("support"))
       .orderBy(col("support").desc, col("a_part").asc, col("b_part").asc)
       .limit(20)
-  }
 
   /** Association-rule LIFT over the basket pairs — support alone ranks
     * popular×popular pairs first; lift = P(ab)/(P(a)·P(b)) corrects for
     * item popularity. Integer-exact as in q_text_colloc: lift_ppm =
     * support·n_orders·10⁶ div (supp_a·supp_b) compares the exact
-    * rational (lift is monotone in it). Item supports are an aggregate
-    * over the same distinct (order, part) set, broadcast back twice;
-    * support floor ≥ 3 applies the standard small-sample guard. */
+    * rational (lift is monotone in it). Pair supports, item supports and
+    * the order count all derive from ONE [[orderParts]] stage (one
+    * shuffle of the fact); items broadcast back twice, the order count
+    * rides a 1-row broadcast — the query stays one lazy plan with no
+    * driver-side action. Support floor ≥ 3 applies the standard
+    * small-sample guard. */
   def basketLift(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val itemSupp = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("supp"))
-    // order count rides a 1-row broadcast, not a plan-time .count() —
-    // the query stays one lazy plan with no driver-side action
-    val nOrders = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("a_part"))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("b_part"))
-    a.join(b, Seq("l_orderkey"))
-      .filter(col("a_part") < col("b_part"))
+    val op = orderParts(s, d)
+    val itemSupp = op.select(explode(col("ps")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("supp"))
+    val nOrders = op.agg(count(lit(1)).as("n_orders"))
+    orderPairs(s, d)
       .groupBy(col("a_part"), col("b_part"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 3)

@@ -490,6 +490,28 @@ class PlanQualitySpec extends SparkSpec {
       (10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L), (22L, 20L)))
   }
 
+  test("integer HLL aggregates registers map-side; sketch broadcast, no cartesian blowup") {
+    val p = executedPlan("q_approx_hll_int")
+    // registers must combine BEFORE the shuffle (partial max per
+    // (event_type, bucket)) — the property that keeps user ids from
+    // crossing the wire at corpus scale
+    assert(p.contains("partial_max"), "register max agg is not partial+final")
+    assert(!p.contains("CartesianProduct"), "unexpected cartesian in HLL plan")
+  }
+
+  test("histogram quartiles window over bins, cutoffs broadcast, no row-level total order") {
+    val p = executedPlan("q_win_ntile_hist")
+    // The one Window in this plan runs over the bin HISTOGRAM (fed by a
+    // hash aggregate), never the raw customer rows — the difference
+    // between a bounded single partition and an unscalable total order.
+    assert(p.contains("Window"), "expected a window over the bin histogram")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "histogram agg is not partial+final")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "quartile cutoffs should broadcast to the assignment stage")
+    assert(!p.contains("CartesianProduct"), "unexpected cartesian in ntile-hist plan")
+  }
+
   test("query construction is lazy outside the declared layout/iterative set") {
     // A construction-time action (collect/head/first inside fn before the
     // caller acts) is a hidden driver barrier that serializes plan
