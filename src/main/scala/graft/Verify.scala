@@ -21,6 +21,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
@@ -30,9 +31,17 @@ object Verify {
         // visible in the driver log instead of a mystery bench outlier.
         System.err.println(f"[verify] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
       } catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // One unmissable trailer: a per-query failure line can scroll out of a
+    // long driver log, the round-4 fixture regeneration proved silent
+    // partial output costs a whole round's correctness gate.
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] n_failed=${failed.size}: ${failed.sorted.mkString(",")}")
+    else System.err.println("[verify] n_failed=0")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -56,6 +56,42 @@ class TestdataInvariantsSpec extends SparkSpec {
     assert(r.getString(1).startsWith("2024-01-3"))
   }
 
+  test("events loader normalizes every storage dtype generation (long-ns, ntz, tz)") {
+    // The ns fixture generation no longer exists on disk, so synthesize
+    // each branch's input: a LongType ts (what nanosAsLong yields on a
+    // TIMESTAMP(NANOS) file), a TIMESTAMP_NTZ ts (the current timestamp[us]
+    // generation), and a plain TimestampType ts. All three must come out
+    // as session-TZ TimestampType with identical microsecond values.
+    // Distinct dirs per branch — Tables memoizes schema per path.
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val baseUs = 1704067200L * 1000000L // 2024-01-01T00:00:00Z in µs
+    def dirFor(tag: String): String =
+      java.nio.file.Files.createTempDirectory(s"graft-evt-$tag").toString
+    def loadFrom(tag: String, write: String => Unit): Long = {
+      val d = dirFor(tag); write(s"$d/events.parquet")
+      val e = Tables.events(spark, d)
+      assert(e.schema("ts").dataType == TimestampType, s"$tag branch")
+      e.select(unix_micros(col("ts"))).head().getLong(0)
+    }
+    import spark.implicits._
+    val viaNs = loadFrom("ns", p =>
+      // 1500 extra ns must truncate to 1 µs, exactly like DuckDB
+      Seq((1L, baseUs * 1000L + 1500L)).toDF("event_id", "ts")
+        .write.parquet(p))
+    val viaNtz = loadFrom("ntz", p =>
+      Seq((1L, baseUs + 1L)).toDF("event_id", "us")
+        .select(col("event_id"),
+          timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+        .write.parquet(p))
+    val viaTz = loadFrom("tz", p =>
+      Seq((1L, baseUs + 1L)).toDF("event_id", "us")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"))
+        .write.parquet(p))
+    assert(viaNs == baseUs + 1L, s"ns→µs truncation: $viaNs")
+    assert(viaNtz == baseUs + 1L, s"ntz cast: $viaNtz")
+    assert(viaTz == baseUs + 1L, s"tz passthrough: $viaTz")
+  }
+
   test("documents.text is single-byte ASCII (licenses byte≡char oracle equivalence)") {
     // The multimodal oracles compare Spark byte-level ops with DuckDB
     // character-level ops; only valid while every char is one byte.
