@@ -42,4 +42,48 @@ class CountMinSpec extends SparkSpec {
     assert(CountMinSketch.estimate(sk, 2L) == 1L)
     assert(CountMinSketch.estimate(sk, 99L) <= 4L, "phantom key bounded by mass")
   }
+
+  test("property: CW slots in range and estimates never undercount, any Long keys") {
+    // The round-5 Carter–Wegman hash folds x with floorMod before the
+    // affine map, so even Long.MinValue must land in [0, Width) on every
+    // row — and the one-sided error guarantee must hold for arbitrary
+    // multisets, not just fixture ids.
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val keys = Gen.listOfN(64, Gen.oneOf(
+      Gen.choose(Long.MinValue, Long.MaxValue),
+      Gen.oneOf(0L, -1L, 1L, Long.MinValue, Long.MaxValue,
+        CountMinSketch.P, -CountMinSketch.P)))
+    val prop = forAll(keys) { xs =>
+      val slotsOk = xs.forall(x => (0 until CountMinSketch.Depth).forall { r =>
+        val s = CountMinSketch.slot(r, x)
+        s >= 0 && s < CountMinSketch.Width
+      })
+      val sk = xs.foldLeft(CountMinSketch.zero)(CountMinSketch.reduce)
+      val oneSided = xs.groupBy(identity).forall { case (x, occ) =>
+        CountMinSketch.estimate(sk, x) >= occ.size
+      }
+      slotsOk && oneSided
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+
+  test("property: merging split sketches equals the whole-data sketch, any split") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val gen = for {
+      xs <- Gen.listOfN(48, Gen.choose(-100000L, 100000L))
+      cut <- Gen.choose(0, 48)
+    } yield (xs, cut)
+    val prop = forAll(gen) { case (xs, cut) =>
+      val (l, r) = xs.splitAt(cut)
+      val whole = xs.foldLeft(CountMinSketch.zero)(CountMinSketch.reduce)
+      // merge mutates its first argument — feed it fresh fold results
+      val merged = CountMinSketch.merge(
+        l.foldLeft(CountMinSketch.zero)(CountMinSketch.reduce),
+        r.foldLeft(CountMinSketch.zero)(CountMinSketch.reduce))
+      merged.toSeq == whole.toSeq
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
 }
