@@ -232,16 +232,24 @@ object Aggs {
     * partial max into at most 256·|types| register cells, then a
     * register-sized final agg — the classic mergeable-sketch plan where
     * only registers cross the shuffle, never user ids. */
-  def approxHllInt(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
-    val reg = ev
-      .withColumn("hx", expr("md5(CAST(user_id AS STRING))"))
+  /** (event_type, bucket, reg) HLL registers from any (event_type,
+    * user_id) frame — shared by the batch query and the STREAMING parity
+    * test: registers are a pure max-aggregate, so the identical plan
+    * runs as a Structured Streaming stateful agg (update/complete mode)
+    * with one state row per (type, bucket), the mergeable-sketch
+    * streaming story in one reusable stage. */
+  def hllRegisters(ev: DataFrame): DataFrame =
+    ev.withColumn("hx", expr("md5(CAST(user_id AS STRING))"))
       .withColumn("h32", expr(DetHash.sparkHexInt("hx")))
       .withColumn("bucket", expr("h32 div 16777216"))
       .withColumn("w", expr("h32 % 16777216"))
       .withColumn("rho", expr(s"CAST($hllRhoCase AS BIGINT)"))
       .groupBy(col("event_type"), col("bucket"))
       .agg(max(col("rho")).as("reg"))
+
+  def approxHllInt(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
+    val reg = hllRegisters(ev)
     val est = reg.groupBy(col("event_type"))
       .agg(sum(expr("CAST(shiftleft(1, CAST(25 - reg AS INT)) AS BIGINT)"))
           .as("s_present"),

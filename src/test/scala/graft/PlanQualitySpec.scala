@@ -497,6 +497,10 @@ class PlanQualitySpec extends SparkSpec {
     // crossing the wire at corpus scale
     assert(p.contains("partial_max"), "register max agg is not partial+final")
     assert(!p.contains("CartesianProduct"), "unexpected cartesian in HLL plan")
+    // column pruning must reach the scan: the query touches only
+    // (event_type, user_id), so the wide event columns stay unread
+    assert(!p.contains("props") && !p.contains("value"),
+      "scan reads columns the HLL never uses")
   }
 
   test("histogram quartiles window over bins, cutoffs broadcast, no row-level total order") {

@@ -400,4 +400,26 @@ class StreamingSpec extends SparkSpec {
     // user 1: sessions of 2 and 1 events; user 2: one session of 1
     assert(sw.toSeq == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
   }
+
+  test("streaming HLL registers equal the batch registers (mergeable sketch state)") {
+    // The integer-HLL register stage is a pure max-aggregate, so the
+    // IDENTICAL plan runs as a streaming stateful agg with one state row
+    // per (event_type, bucket) — the mergeable-sketch property carried
+    // into Structured Streaming. Complete-mode memory sink vs the batch
+    // registers over the same file must agree row-for-row.
+    val streamed = operators.Aggs.hllRegisters(
+      streaming.StreamingDemo.eventsStream(spark, sf0001)
+        .select(col("event_type"), col("user_id")))
+    val q = streamed.writeStream.format("memory").queryName("hll_reg_test")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val a = spark.table("hll_reg_test")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val b = operators.Aggs.hllRegisters(
+      Tables.events(spark, sf0001).select(col("event_type"), col("user_id")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a.nonEmpty && a == b,
+      s"streaming registers diverge from batch: ${(a diff b).take(3)} / ${(b diff a).take(3)}")
+  }
 }
