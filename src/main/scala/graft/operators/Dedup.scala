@@ -408,6 +408,33 @@ object Dedup {
       .select(col("id").as("doc_id"), col("lbl").as("canon_id"))
       .orderBy(col("doc_id").asc)
 
+  /** Cluster-representative selection — the APPLY step of cluster-level
+    * dedup, the keep/drop verdict an ingest gate consumes (the span-level
+    * twin is q_text_spancut). Per near-dup cluster keep the "best" member
+    * (longest text, doc_id tiebreak — any deterministic quality key slots
+    * in); everyone else points at the kept representative. The window
+    * partitions by CLUSTER id, so partitions are cluster-sized regardless
+    * of corpus size, and the cluster labels come from the same
+    * convergence-guarded label propagation as q_dedup_clusters. */
+  def dedupRepr(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val cl = clusterLabels(nearDupPairs(Tables.documents(s, d))
+        .select(col("a_id"), col("b_id")))
+      .select(col("id").as("doc_id"), col("lbl").as("canon_id"))
+    val wFull = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canon_id"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    cl.join(docs, "doc_id")
+      .withColumn("repr_id", first(col("doc_id")).over(wFull))
+      .withColumn("keep",
+        when(col("doc_id") === col("repr_id"), 1L).otherwise(0L))
+      .select(col("doc_id"), col("canon_id"), col("repr_id"),
+        col("n_chars"), col("keep"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Query surface: per-band bucket statistics (always MdPerms/2 rows) at
     * the production 2-rows-per-band geometry, computed over the md5
     * signatures so every value is DuckDB-reproducible — this is the row
@@ -688,6 +715,7 @@ object Dedup {
     "q_dedup_neardup"  -> dedupNeardup,
     "q_dedup_incr"     -> dedupIncr,
     "q_dedup_clusters" -> dedupClusters,
+    "q_dedup_repr"     -> dedupRepr,
     "q_dedup_simhash"  -> dedupSimhash,
     "q_dedup_hamming"  -> dedupHamming,
     "q_sim_ann"        -> simAnnBuckets
@@ -932,6 +960,44 @@ object Dedup {
         |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS canon_id
         |FROM reach
         |GROUP BY id
+        |ORDER BY doc_id ASC""".stripMargin,
+    // Same transitive-closure base as q_dedup_clusters, extended with the
+    // representative window: per cluster keep the longest doc (doc_id
+    // tiebreak), everyone else points at it.
+    "q_dedup_repr" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(tk)),
+        |           i -> tk[i] || ' ' || tk[i + 1])) AS tset
+        |  FROM toks),
+        |e AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM t a JOIN t b ON a.doc_id <> b.doc_id
+        |  WHERE len(a.tset) + len(b.tset) - len(list_intersect(a.tset, b.tset)) > 0
+        |    AND CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+        |        / (len(a.tset) + len(b.tset)
+        |           - len(list_intersect(a.tset, b.tset))) >= 0.7),
+        |reach(id, lbl) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.id),
+        |cl AS (
+        |  SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS canon_id
+        |  FROM reach GROUP BY id),
+        |m AS (
+        |  SELECT cl.doc_id, cl.canon_id, d.n_chars,
+        |         first_value(cl.doc_id) OVER (
+        |           PARTITION BY cl.canon_id
+        |           ORDER BY d.n_chars DESC, cl.doc_id ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |           AS repr_id
+        |  FROM cl JOIN documents d ON cl.doc_id = d.doc_id)
+        |SELECT doc_id, canon_id, repr_id, n_chars,
+        |       CAST(CASE WHEN doc_id = repr_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM m
         |ORDER BY doc_id ASC""".stripMargin,
     // All-pairs oracle is EXACT here (not probabilistic): 4-band
     // pigeonholing has recall 1 at hamming ≤ 3 by construction.

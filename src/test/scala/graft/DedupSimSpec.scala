@@ -123,6 +123,21 @@ class DedupSimSpec extends SparkSpec {
     assert(lbl(10L) == 10L && lbl(11L) == 10L, s"island: $lbl")
   }
 
+  test("dedupRepr: one keeper per cluster, and it is the longest member") {
+    val rows = operators.Dedup.dedupRepr(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (canon, members) =>
+      val keepers = members.filter(_._5 == 1L)
+      assert(keepers.length == 1, s"cluster $canon: ${keepers.length} keepers")
+      val k = keepers.head
+      // keeper is the member every row points at, and no member is longer
+      assert(members.forall(_._3 == k._1), s"cluster $canon: repr mismatch")
+      assert(members.forall(m => m._4 < k._4 ||
+        (m._4 == k._4 && m._1 >= k._1)), s"cluster $canon: keeper not best")
+    }
+  }
+
   test("salted aggregation equals plain groupBy aggregation") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sf0001)
