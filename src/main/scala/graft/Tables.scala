@@ -22,9 +22,29 @@ object Tables {
     * once per (path) and every later construction is job-free (pinned by
     * PlanQualitySpec's lazy-construction guard). A production catalog
     * makes this moot (the metastore holds the schema); this is the
-    * path-reading equivalent. */
+    * path-reading equivalent.
+    *
+    * The memo key includes a (mtime, length) fingerprint of the path, so
+    * an in-place fixture regeneration (TESTDATA.md warns the driver may
+    * rewrite /root/testdata) invalidates the entry instead of serving a
+    * stale schema to a long-lived session — the regenerated file gets one
+    * fresh inference job, exactly like a first read. */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** Cheap staleness fingerprint: for a plain file its (mtime, length);
+    * for a directory (multi-file parquet) the fold of every child's
+    * (name, mtime, length). Fixture tables are single files, so this is
+    * one stat call on the hot path. */
+  private def pathFingerprint(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    if (st.isFile) s"${st.getModificationTime}:${st.getLen}"
+    else fs.listStatus(p).sortBy(_.getPath.getName)
+      .map(c => s"${c.getPath.getName}:${c.getModificationTime}:${c.getLen}")
+      .mkString(",")
+  }
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Some fixture generations store events.ts as TIMESTAMP(NANOS), which
@@ -39,8 +59,9 @@ object Tables {
     // a manual conf call would be a worse surface.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/$name.parquet"
-    val schema = schemaCache.computeIfAbsent(path,
-      p => spark.read.parquet(p).schema)
+    val key = s"$path@${pathFingerprint(spark, path)}"
+    val schema = schemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
     spark.read.schema(schema).parquet(path)
   }
 

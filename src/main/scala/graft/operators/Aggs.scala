@@ -326,7 +326,7 @@ object Aggs {
     val ev = Tables.events(s, d)
     val sketch = ev.agg(cms(col("user_id")).as("sk"))
     val estExpr = expr((0 until CMS.Depth).map { r =>
-      s"element_at(sk, ${r * CMS.Width} + CAST(((${CMS.HashA(r)} * (user_id % ${CMS.P}) " +
+      s"element_at(sk, ${r * CMS.Width} + CAST(((${CMS.HashA(r)} * pmod(user_id, ${CMS.P}) " +
         s"+ ${CMS.HashB(r)}) % ${CMS.P}) % ${CMS.Width} AS INT) + 1)"
     }.mkString("least(", ", ", ")"))
     ev.filter(col("user_id") % 5 === 0)
@@ -546,7 +546,7 @@ object Aggs {
         |    (3, 1223106847, 998244353)),
         |cells AS (
         |  SELECT h.r AS r,
-        |         ((h.a * (e.user_id % 2147483647) + h.b) % 2147483647) % 256 AS slot,
+        |         ((h.a * (((e.user_id % 2147483647) + 2147483647) % 2147483647) + h.b) % 2147483647) % 256 AS slot,
         |         count(*) AS c
         |  FROM events e CROSS JOIN h
         |  GROUP BY 1, 2),
@@ -559,7 +559,7 @@ object Aggs {
         |FROM probes p
         |JOIN h ON TRUE
         |JOIN cells c ON c.r = h.r
-        | AND c.slot = ((h.a * (p.user_id % 2147483647) + h.b) % 2147483647) % 256
+        | AND c.slot = ((h.a * (((p.user_id % 2147483647) + 2147483647) % 2147483647) + h.b) % 2147483647) % 256
         |GROUP BY p.user_id, p.exact
         |ORDER BY p.user_id ASC""".stripMargin,
     // Same crossing-point algebra as q_agg_wmedian — the native

@@ -54,8 +54,10 @@ object Geo {
     * floor division — the partition-key pattern that turns spatial joins
     * and density maps into equi-key work at scale (cell id = shuffle key,
     * exactly like the time bucket in the range join). floor(x/10.0), not
-    * integer `div`: Spark's div truncates toward zero while DuckDB's //
-    * floors, so negative coordinates would disagree. */
+    * integer `div`: both engines' integer division truncates toward zero
+    * (verified: DuckDB `-7 // 2 = -3`, same as Spark div), which would
+    * collapse all of (-10°, 10°) into cell 0 — the binning needs true
+    * floor semantics, so both the query and the oracle spell floor(). */
   def geoGrid(s: SparkSession, d: String): DataFrame =
     withCoords(Tables.customer(s, d))
       .withColumn("cell_lat", floor(col("lat") / 10.0).cast("long"))

@@ -360,10 +360,12 @@ object Windows {
     * 10⁹ (they are dense indexes here — guarded in the spec). Constant
     * work per row, the trailing-frame family's scale contract.
     *
-    * Data contract, enforced in-plan: cents ≥ 0. The packing unpacks with
-    * Spark's `div` (truncates toward zero) while DuckDB's `//` floors —
-    * identical only when the packed key is non-negative, so negative cents
-    * are filtered out here AND in the oracle rather than assumed away. */
+    * Data contract, enforced in-plan: cents ≥ 0. Both engines' integer
+    * division truncates toward zero (verified: DuckDB `-7 // 2 = -3`,
+    * same as Spark div), so div itself agrees on negatives — but the
+    * pack key `cents·10⁹ + tiebreak` is only ORDER-PRESERVING for
+    * non-negative cents, so negative cents are filtered out here AND in
+    * the oracle rather than assumed away. */
   def winArgmax(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("us").asc, col("event_id").asc)

@@ -40,7 +40,12 @@ object StreamingDemo {
     schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _                => raw
+      case TimestampType    => raw
+      // Mirror Tables.events: an unrecognized storage dtype must fail
+      // loudly here too, or the next fixture-generation change would
+      // break stream/batch parity silently.
+      case other => throw new IllegalStateException(
+        s"events.ts read as unsupported dtype $other — fixture generation changed again?")
     }
   }
 
