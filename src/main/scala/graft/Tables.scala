@@ -36,7 +36,7 @@ object Tables {
     * for a directory (multi-file parquet) the fold of every child's
     * (name, mtime, length). Fixture tables are single files, so this is
     * one stat call on the hot path. */
-  private def pathFingerprint(spark: SparkSession, path: String): String = {
+  private[graft] def pathFingerprint(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)

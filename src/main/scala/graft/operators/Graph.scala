@@ -41,14 +41,19 @@ object Graph {
       .localCheckpoint(true)
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     // deg is referenced once per power-iteration round plus the final
-    // readout; node-sized, so one eager checkpoint beats re-running its
-    // grouped count over the edge list at every reference.
+    // readout; node-sized, so one checkpoint beats re-running its grouped
+    // count over the edge list at every reference. LAZY, folded into the
+    // nodeBound count below: that count is the first action on deg
+    // itself, so one job materializes the leaf AND measures it (the
+    // union branches above read the already-eager e0 cache, no
+    // double-compute race).
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // Node state is node-count-sized and the checkpointed leaves carry no
-    // size statistics; the measured node count (cheap — deg is cached)
-    // decides broadcast-vs-shuffle for every round's state join. Under the
+    // size statistics; the measured node count (the job that also
+    // materializes deg) decides broadcast-vs-shuffle for every round's
+    // state join. Under the
     // threshold this avoids the planner shuffle-joining a 16k-row state
     // table per round; above it (a corpus whose node table outgrows
     // broadcast) each round degrades to the standard shuffled PageRank
@@ -136,7 +141,11 @@ object Graph {
       .select(concat(lit("c"), col("o_custkey")).as("src"),
         concat(lit("s"), col("l_suppkey")).as("dst"))
       .distinct()
-      .localCheckpoint(true)
+      // LAZY checkpoint folded into the node-bound count below — the
+      // count is the first action on e0 ITSELF (not through the union),
+      // so one job materializes the truncated leaf and measures it; the
+      // union branches then read the cache.
+      .localCheckpoint(false)
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     // Frontier/visited are node-count-sized; node count ≤ 2·|edges|, so one
     // cheap count over the checkpointed directed edge leaf bounds them for

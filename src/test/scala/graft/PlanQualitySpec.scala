@@ -573,4 +573,61 @@ class PlanQualitySpec extends SparkSpec {
         s"construction-time Spark jobs (query -> n_jobs): $offenders")
     } finally sc.removeSparkListener(listener)
   }
+
+  test("iterative family: construction job budget pinned, repr reuses the label leaf") {
+    // The iterative exemptions above are not a blank check: this pins the
+    // construction-time job budget of each exempted iterative query so a
+    // regression (an extra eager checkpoint, an unfolded bound count)
+    // fails loudly. The lazy-checkpoint fold (materialize-on-first-count)
+    // and the shared label memo are what these numbers certify:
+    //  - q_dedup_repr constructed AFTER q_dedup_clusters must post ZERO
+    //    jobs — it consumes the memoized checkpointed label leaf;
+    //  - the others pay only their declared bound-count + checkpoint
+    //    rounds (AQE splits one action into a few stage jobs, so the pin
+    //    is an upper bound measured on the converged fixture).
+    val sc = spark.sparkContext
+    Tables.all.foreach(t => Tables(spark, sf0001, t).schema)
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sentinels = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (js.properties != null &&
+            "graft-lazy-sentinel" == js.properties.getProperty("spark.jobGroup.id"))
+          sentinels.incrementAndGet()
+        else counter.incrementAndGet()
+        ()
+      }
+    }
+    def jobsDuring(thunk: => Unit): Int = {
+      val before = counter.get()
+      thunk
+      val sBefore = sentinels.get()
+      sc.setJobGroup("graft-lazy-sentinel", "flush")
+      try sc.parallelize(Seq(1)).count() finally sc.clearJobGroup()
+      val deadline = System.currentTimeMillis + 30000
+      while (sentinels.get() <= sBefore && System.currentTimeMillis < deadline)
+        Thread.sleep(10)
+      counter.get() - before
+    }
+    sc.addSparkListener(listener)
+    try {
+      val budgets = Seq(
+        // (query, construction job budget measured on the sf0.001 fixture
+        // at local[4] after the lazy-checkpoint folds — AQE stage jobs
+        // included, so these are the real scheduling-round counts)
+        "q_dedup_clusters" -> 19,
+        "q_dedup_repr"     -> 0,  // memo hit: zero pipeline re-run
+        "q_graph_pagerank" -> 6,
+        "q_graph_bfs"      -> 15)
+      val measured = budgets.map { case (n, budget) =>
+        val jobs = jobsDuring { SparkEntry.queries(n)(spark, sf0001); () }
+        (n, jobs, budget)
+      }
+      val over = measured.filter { case (_, jobs, budget) => jobs > budget }
+      assert(over.isEmpty,
+        "construction job budget exceeded (query, jobs, budget): " +
+          over.mkString(", ") + s"; all measured: $measured")
+    } finally sc.removeSparkListener(listener)
+  }
 }
