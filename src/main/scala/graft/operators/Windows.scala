@@ -186,6 +186,71 @@ object Windows {
       .orderBy(col("quartile").asc)
   }
 
+  /** EXACT quartiles without the single-task total order — the fourth
+    * tier of the ntile family and the standard scale answer
+    * (range-partitioned two-pass rank): q_win_ntile is exact but funnels
+    * into one task; q_win_ntile_approx and q_win_ntile_hist are
+    * scale-safe but approximate/bin-granular; this row is BOTH exact and
+    * distributed, and carries the SAME oracle as q_win_ntile.
+    *
+    * Pass 1: range-repartition rows on the order key (non-overlapping
+    * sorted ranges, the same repartitionByRange lever as
+    * Tables.writeRange) and count each partition — a #partitions-sized
+    * table whose cumulative sums are every partition's global rank
+    * offset. Pass 2: row_number WITHIN each range partition (window
+    * partitioned by spark_partition_id, so partition-sized tasks, never
+    * a total order), plus the broadcast offset = exact global rank.
+    * ntile(4) is then pure arithmetic on (rank, N): the first N mod 4
+    * buckets take ⌈N/4⌉ rows, the rest ⌊N/4⌋ — Spark's ntile contract,
+    * replayed bit-exactly. run_min_bal/run_max_bal fall out without any
+    * window at all: over a running frame first_value is the globally
+    * first row's value (a 1-row broadcast min(struct)) and last_value is
+    * the current row's own value. Every rank is exact integer math, so
+    * the q_win_ntile oracle gates this plan unchanged. */
+  def winNtileExact2(s: SparkSession, d: String): DataFrame = {
+    val nParts = s.sessionState.conf.numShufflePartitions
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+    val ranged = cust
+      .repartitionByRange(nParts, col("c_acctbal").asc, col("c_custkey").asc)
+      .withColumn("pid", spark_partition_id().cast("long"))
+    // #partitions-sized side: per-partition counts, cumulative offsets,
+    // and the grand total. The window here runs over ≤ nParts rows —
+    // bounded by the partition count, not the data (same licence as the
+    // bin-histogram window in winNtileHist).
+    val parts = ranged.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+    val offs = parts
+      .withColumn("off",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("pid").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(parts.agg(sum(col("cnt")).as("total"))))
+      .select(col("pid"), col("off"), col("total"))
+    // Globally-first row by the range order — the value first_value()
+    // sees from every running frame.
+    val firstRow = cust.agg(
+      min(struct(col("c_acctbal"), col("c_custkey"))).as("fr"))
+      .select(col("fr.c_acctbal").as("run_min_bal"))
+    val wLocal = Window.partitionBy(col("pid"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    ranged
+      .withColumn("lrn", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offs), "pid")
+      .withColumn("rk", col("off") + col("lrn"))
+      .crossJoin(broadcast(firstRow))
+      .withColumn("quartile", expr(
+        // Spark/SQL ntile(4): base = N div 4, rem = N mod 4; ranks up to
+        // cut = rem·(base+1) land in the first rem (larger) buckets. The
+        // base=0 corner (N < 4) never reaches the ELSE branch: cut = N ≥ rk.
+        """CAST(IF(rk <= (total % 4) * (total div 4 + 1),
+          |       (rk - 1) div (total div 4 + 1) + 1,
+          |       total % 4 + (rk - (total % 4) * (total div 4 + 1) - 1)
+          |         div (total div 4) + 1) AS BIGINT)""".stripMargin))
+      .withColumn("run_max_bal", col("c_acctbal"))
+      .select(col("c_custkey"), col("c_acctbal"), col("quartile"),
+        col("run_min_bal"), col("run_max_bal"))
+      .orderBy(col("c_custkey").asc)
+  }
+
   /** first_value / last_value / nth_value over an UNBOUNDED-both-ways
     * frame per order priority (deterministic order: date + unique key).
     * Output sampled to every-100th order key AFTER the window so the
@@ -417,6 +482,7 @@ object Windows {
     "q_win_firstlast"    -> winFirstLast,
     "q_win_ntile_approx" -> winNtileApprox,
     "q_win_ntile_hist"  -> winNtileHist,
+    "q_win_ntile_exact2" -> winNtileExact2,
     "q_win_rank"        -> winRank,
     "q_win_running"     -> winRunning,
     "q_win_lag"         -> winLag,
@@ -634,6 +700,20 @@ object Windows {
         |             ORDER BY c_acctbal ASC, c_custkey ASC)
         |ORDER BY c_custkey ASC""".stripMargin,
     "q_win_ntile" ->
+      """SELECT c_custkey, c_acctbal,
+        |       ntile(4) OVER ord AS quartile,
+        |       first_value(c_acctbal) OVER run AS run_min_bal,
+        |       last_value(c_acctbal)  OVER run AS run_max_bal
+        |FROM customer
+        |WINDOW ord AS (ORDER BY c_acctbal ASC, c_custkey ASC),
+        |       run AS (ORDER BY c_acctbal ASC, c_custkey ASC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY c_custkey ASC""".stripMargin,
+    // Deliberately the SAME oracle as q_win_ntile: the two-pass
+    // range-partitioned rank must reproduce the single-window answer
+    // bit-for-bit — same columns, same quartile assignment, same
+    // running first/last values.
+    "q_win_ntile_exact2" ->
       """SELECT c_custkey, c_acctbal,
         |       ntile(4) OVER ord AS quartile,
         |       first_value(c_acctbal) OVER run AS run_min_bal,

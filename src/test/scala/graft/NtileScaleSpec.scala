@@ -21,6 +21,19 @@ class NtileScaleSpec extends SparkSpec {
     assert(agree / total >= 0.97, s"agreement ${agree / total}")
   }
 
+  test("two-pass exact ntile equals the single-window answer row-for-row") {
+    // q_win_ntile_exact2 claims EXACTNESS, not agreement: every row's
+    // (quartile, run_min_bal, run_max_bal) must equal the single-task
+    // window form on both fixtures.
+    for (sf <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val exact = operators.Windows.winNtile(spark, sf).collect()
+      val two = operators.Windows.winNtileExact2(spark, sf).collect()
+      assert(exact.length == two.length, s"$sf: row counts differ")
+      exact.zip(two).foreach { case (a, b) =>
+        assert(a == b, s"$sf: $a != $b") }
+    }
+  }
+
   test("histogram quartiles are balanced within bin granularity (≤10% skew)") {
     // q_win_ntile_hist trades exact rank boundaries for bin-granular
     // cutoffs; the quartile populations must still come out near n/4 —

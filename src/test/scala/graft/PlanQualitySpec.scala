@@ -516,6 +516,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "unexpected cartesian in ntile-hist plan")
   }
 
+  test("two-pass exact ntile: range exchange, pid-partitioned row window, no built-in ntile") {
+    val p = executedPlan("q_win_ntile_exact2")
+    // The raw-row stage must be a RANGE exchange (non-overlapping sorted
+    // partitions) with rank computed per range partition — never the
+    // single-task total order built-in ntile needs.
+    assert(p.contains("rangepartitioning("),
+      "expected repartitionByRange exchange feeding the rank stage")
+    assert(p.matches("(?s).*row_number\\(\\) windowspecdefinition\\(pid.*"),
+      "row_number must run inside a window PARTITIONED by the range-partition id")
+    assert(!p.contains("ntile("),
+      "built-in ntile implies the unpartitioned total-order window")
+    // Offsets/total/first-row ride along as broadcasts to the assignment
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "rank offsets should broadcast to the assignment stage")
+  }
+
   test("query construction is lazy outside the declared layout/iterative set") {
     // A construction-time action (collect/head/first inside fn before the
     // caller acts) is a hidden driver barrier that serializes plan
