@@ -105,6 +105,36 @@ object StreamingDemo {
         GroupStateTimeout.EventTimeTimeout())(update)
   }
 
+  /** Batch-id-keyed idempotent upsert — the foreachBatch complement to
+    * TallySink's two-phase commit. Structured Streaming's exactly-once
+    * contract for foreachBatch is REPLAY-WITH-SAME-ID: after a failure
+    * the batch re-executes under the identical batchId, so a sink that
+    * keys its write on the id and OVERWRITES is idempotent by
+    * construction — the retry replaces the partial output instead of
+    * appending beside it. This is the standard production upsert recipe
+    * (overwrite a batch-id partition / MERGE keyed on batch id); here the
+    * unit is one parquet directory per batch id, which also gives the
+    * read side partition pruning on batch_id for free. */
+  def upsertBatch(outDir: String)(batch: DataFrame, batchId: Long): Unit =
+    batch.write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(outDir, s"batch_id=$batchId").toString)
+
+  /** Read-side merge of [[upsertBatch]] output: latest batch wins per
+    * key (Hive-style partition discovery turns the batch_id=N directory
+    * names into a column; the per-key window partitions are key-sized).
+    * Together the pair is an upsert table: writers never rewrite old
+    * batches except their own retries, readers resolve currency. */
+  def readUpserts(spark: SparkSession, outDir: String,
+      keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("batch_id").desc)
+    spark.read.parquet(outDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
   /** Run the stream to completion against the (finite) file source and
     * return the materialized result from the in-memory sink. */
   def runTumblingToMemory(spark: SparkSession, sfDir: String,

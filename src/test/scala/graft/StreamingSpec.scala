@@ -309,6 +309,49 @@ class StreamingSpec extends SparkSpec {
     assert(seen.sortBy(_._1).map(_._2).toSeq == Seq(3L, 1L))
   }
 
+  test("batch-id-keyed overwrite upsert is exactly-once across a forced retry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val out = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-upsert-ck").toString
+    // Injected failure AFTER the write of batch 1's first execution: the
+    // exactly-once claim is that the replay (same batchId) OVERWRITES the
+    // orphaned output rather than duplicating beside it.
+    val failedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writesPerBatch = new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
+    def start() = mem.toDS().toDF("k", "v").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        streaming.StreamingDemo.upsertBatch(out)(b, id)
+        writesPerBatch.merge(id, 1, (a, x) => a + x)
+        if (id == 1L && !failedOnce.getAndSet(true))
+          throw new RuntimeException("injected post-write pre-commit failure")
+        ()
+      }
+      .start()
+    val q1 = start()
+    mem.addData((1L, 10L)); q1.processAllAvailable()        // batch 0 commits
+    mem.addData((1L, 20L), (2L, 5L))
+    intercept[Exception] { q1.processAllAvailable() }       // batch 1 dies post-write
+    try q1.stop() catch { case _: Throwable => () }
+    val q2 = start()                                        // recover from checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+    // The retry really happened: batch 1 executed (and wrote) twice.
+    assert(failedOnce.get())
+    assert(writesPerBatch.get(1L) == 2, s"expected 2 writes of batch 1, got $writesPerBatch")
+    // ...and the table still reads exactly-once: one row per key, latest
+    // batch winning (k=1 upserted 10 -> 20 by batch 1).
+    val rows = streaming.StreamingDemo.readUpserts(spark, out, Seq("k"))
+      .select(col("k"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows == Map(1L -> 20L, 2L -> 5L), s"got $rows")
+    // no duplicate rows survive at the raw level for committed keys either
+    val perKey = streaming.StreamingDemo.readUpserts(spark, out, Seq("k")).groupBy("k").count().collect()
+    assert(perKey.forall(_.getLong(1) == 1L))
+  }
+
   test("transformWithState keeps typed per-key state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
