@@ -58,9 +58,11 @@ object OsmPipeline {
       .orderBy(col("cnt").desc, col("uid").asc)
       .limit(k)
 
-  /** mapparser.py analog: top-level element census — read the whole doc
-    * as one row and count the repeated children (includes relations,
-    * which the star flattener skips). */
+  /** mapparser.py analog: top-level element census — read each document
+    * as one row, count the repeated children, and SUM across documents: a
+    * directory of .osm files yields one row per file (rowTag=osm), so a
+    * head() here silently censused only the first file (caught by the
+    * multi-file golden in OsmLargeSpec). */
   def tagCensus(spark: SparkSession, xmlPath: String): Map[String, Long] = {
     val doc = spark.read.format("xml").option("rowTag", "osm").load(xmlPath)
     // XML inference yields an array for repeated children but a bare
@@ -73,7 +75,10 @@ object OsmPipeline {
         case _ => when(col(name).isNotNull, 1L).otherwise(0L)
       }
     val row = doc.select(cnt("node").as("node"), cnt("way").as("way"),
-      cnt("relation").as("relation")).head()
+      cnt("relation").as("relation"))
+      .agg(sum(col("node")).as("node"), sum(col("way")).as("way"),
+        sum(col("relation")).as("relation"))
+      .head()
     Seq("node", "way", "relation").map(n => n -> row.getAs[Long](n)).toMap
   }
 

@@ -81,6 +81,29 @@ object OsmXml {
       .select(col("id"), col("nd._ref").cast("long").as("node_id"),
         col("position").cast("int").as("position"))
 
+  /** <relation> header attributes — the element type the 5-table star
+    * deliberately skips (reference contract); exposed as its own reader
+    * so multipolygon/route consumers aren't forced back to raw XML. */
+  def relations(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("xml").option("rowTag", "relation").load(path)
+      .select(
+        col("_id").cast("long").as("id"),
+        col("_user").as("user"),
+        col("_uid").cast("long").as("uid"),
+        col("_version").cast("string").as("version"),
+        col("_changeset").cast("long").as("changeset"),
+        col("_timestamp").cast("string").as("timestamp"))
+
+  /** relation→member list in document order (type/ref/role + position) —
+    * the ways_nodes analog for relations. */
+  def relationsMembers(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("xml").option("rowTag", "relation").load(path)
+      .select(col("_id").cast("long").as("id"),
+        posexplode(col("member")).as(Seq("position", "m")))
+      .select(col("id"), col("m._type").as("member_type"),
+        col("m._ref").cast("long").as("ref"), col("m._role").as("role"),
+        col("position").cast("int").as("position"))
+
   /** The full star in one call. */
   def loadStar(spark: SparkSession, path: String): Map[String, DataFrame] = Map(
     "nodes"      -> nodes(spark, path),
