@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-headroom measurement: build a 10× key-shifted replica of the
+  * sf0.1 fixture ("sf1") and measure the slowest declared queries on
+  * both, turning the "survives 100×" design arguments into at least one
+  * measured 10× data point (recorded in BASELINE.md).
+  *
+  * The replica preserves the workload's STRUCTURE, not just its volume:
+  *  - every key column shifts by a per-rep stride, so joins keep their
+  *    fan-in and the trade graph becomes 10 disjoint copies (node and
+  *    edge count ×10, degree distribution unchanged);
+  *  - document text tokens get a per-rep suffix (tokenizer splits on
+  *    single spaces), so within-rep Jaccard structure is EXACTLY the
+  *    original while cross-rep shingle sets are disjoint — duplicate
+  *    RATE stays constant instead of every doc gaining 9 trivial twins
+  *    (which would grow near-dup pairs quadratically and measure an
+  *    output explosion, not engine scaling);
+  *  - embeddings get a tiny per-rep offset so vector sets are distinct
+  *    without moving the distribution.
+  *
+  * Usage: runMain graft.Headroom [srcDir] [outDir] [reps]
+  * Prints one JSON line per query: {"query":…,"src_s":…,"scaled_s":…,
+  * "ratio":…} plus a trailer with the medians.
+  */
+object Headroom {
+
+  val SlowQueries: Seq[String] = Seq(
+    "q_dedup_clusters", "q_dedup_repr", "q_graph_bfs", "q_graph_pagerank",
+    "q_dedup_incr", "q_text_novelty", "q_dedup_neardup", "q_dedup_hamming",
+    "q_dedup_lsh_sweep", "q_graph_degree", "q_dedup_est_err",
+    "q_win_ntile", "q_win_ntile_exact2", "q_tpch_q3", "q_evt_session")
+
+  def generate(spark: SparkSession, src: String, out: String, reps: Int): Unit = {
+    val done = new java.io.File(s"$out/_DONE")
+    if (done.exists()) return
+    def tbl(n: String) = spark.read.parquet(s"$src/$n.parquet")
+    def write(df: DataFrame, n: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$n.parquet")
+    def replicate(n: String)(f: (DataFrame, Int) => DataFrame): Unit =
+      write((0 until reps).map(r => f(tbl(n), r)).reduce(_ unionByName _), n)
+
+    // shared dims: unchanged (both halves of every replica join them)
+    Seq("region", "nation").foreach(n => write(tbl(n), n))
+    val K = 10000000L   // dim-key stride
+    val O = 1000000000L // fact-key stride
+    replicate("customer")((d, r) => d.withColumn("c_custkey", col("c_custkey") + r * K))
+    replicate("supplier")((d, r) => d.withColumn("s_suppkey", col("s_suppkey") + r * K))
+    replicate("part")((d, r) => d.withColumn("p_partkey", col("p_partkey") + r * K))
+    replicate("orders")((d, r) => d
+      .withColumn("o_orderkey", col("o_orderkey") + r * O)
+      .withColumn("o_custkey", col("o_custkey") + r * K))
+    replicate("lineitem")((d, r) => d
+      .withColumn("l_orderkey", col("l_orderkey") + r * O)
+      .withColumn("l_partkey", col("l_partkey") + r * K)
+      .withColumn("l_suppkey", col("l_suppkey") + r * K))
+    replicate("events")((d, r) => d
+      .withColumn("event_id", col("event_id") + r * O)
+      .withColumn("user_id", col("user_id") + r * 1000000L))
+    replicate("documents")((d, r) => {
+      val t = if (r == 0) d else d.withColumn("text",
+        expr(s"array_join(transform(split(text, ' '), t -> concat(t, '_x$r')), ' ')"))
+      t.withColumn("doc_id", col("doc_id") + r * 1000000L)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    })
+    replicate("embeddings")((d, r) => d
+      .withColumn("vec_id", col("vec_id") + r * 1000000L)
+      .withColumn("embedding",
+        expr(s"transform(embedding, v -> CAST(v + $r * 0.0011 AS FLOAT))")))
+    done.createNewFile()
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft-sf1")
+    val reps = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, src, out, reps)
+
+    def time(fn: => Long): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+    // warm-up: JIT + codegen on the small fixture
+    SlowQueries.foreach { n =>
+      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
+    val ratios = scala.collection.mutable.ArrayBuffer.empty[Double]
+    SlowQueries.foreach { n =>
+      val q = SparkEntry.queries(n)
+      // min of 2 reps on each side, interleaved, small side first
+      val s1 = time(q(spark, src).count()); val b1 = time(q(spark, out).count())
+      val s2 = time(q(spark, src).count()); val b2 = time(q(spark, out).count())
+      val (s, b) = (math.min(s1, s2), math.min(b1, b2))
+      val ratio = b / s
+      ratios += ratio
+      println(f"""{"query":"$n","src_s":$s%.3f,"scaled_s":$b%.3f,"ratio":$ratio%.2f}""")
+    }
+    val sorted = ratios.sorted
+    val median = sorted(sorted.size / 2)
+    println(f"""{"metric":"headroom","reps":$reps,"n_queries":${ratios.size},"median_ratio":$median%.2f,"max_ratio":${sorted.last}%.2f}""")
+    spark.stop()
+  }
+}
