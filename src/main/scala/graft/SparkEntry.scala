@@ -31,6 +31,7 @@ object SparkEntry {
     (operators.Graph.queries,      operators.Graph.oracle),
     (operators.SqlReport.queries,  operators.SqlReport.oracle),
     (operators.Analytics.queries,  operators.Analytics.oracle),
+    (operators.TpchFull.queries,   operators.TpchFull.oracle),
     (multimodal.Multimodal.queries, multimodal.Multimodal.oracle)
   )
 

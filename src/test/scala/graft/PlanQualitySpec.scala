@@ -532,6 +532,35 @@ class PlanQualitySpec extends SparkSpec {
       "rank offsets should broadcast to the assignment stage")
   }
 
+  test("TPC-H completion set: dims broadcast, correlations stay semi/anti, no stray cartesians") {
+    // Q1: single-pass partial agg over lineitem, no join at all.
+    val p1 = plan("q_tpch_q1")
+    assert(p1.contains("HashAggregate") && !p1.contains("Join"), s"q1:\n$p1")
+    // Q2: part/supplier dims broadcast; the per-part min is a window keyed
+    // on the part key, never a global sort before the top-100.
+    val p2 = plan("q_tpch_q2")
+    assert(p2.contains("BroadcastHashJoin") && p2.contains("Window"))
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoop"))
+    // Q4: EXISTS compiles to one LeftSemi on the order key.
+    val p4 = plan("q_tpch_q4")
+    assert(p4.contains("LeftSemi") && !p4.contains("CartesianProduct"))
+    // Q9/Q16/Q20: filtered part + supplier sides broadcast.
+    Seq("q_tpch_q9", "q_tpch_q16", "q_tpch_q20").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcasts:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q grew a cartesian:\n$p")
+    }
+    // Q11: the only nested-loop is the deliberate 1-row total fold
+    // (crossJoin(broadcast(agg)) — same shape as q_tpch_q15).
+    val p11 = plan("q_tpch_q11")
+    assert(p11.contains("LeftSemi") && !p11.contains("CartesianProduct"))
+    // Q21: both correlations survive as LeftSemi + LeftAnti equi joins.
+    val p21 = plan("q_tpch_q21")
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"), s"q21:\n$p21")
+    assert(!p21.contains("CartesianProduct") && !p21.contains("BroadcastNestedLoop"))
+  }
+
   test("query construction is lazy outside the declared layout/iterative set") {
     // A construction-time action (collect/head/first inside fn before the
     // caller acts) is a hidden driver barrier that serializes plan
