@@ -31,7 +31,10 @@ object Headroom {
     "q_dedup_clusters", "q_dedup_repr", "q_graph_bfs", "q_graph_pagerank",
     "q_dedup_incr", "q_text_novelty", "q_dedup_neardup", "q_dedup_hamming",
     "q_dedup_lsh_sweep", "q_graph_degree", "q_dedup_est_err",
-    "q_win_ntile", "q_win_ntile_exact2", "q_tpch_q3", "q_evt_session")
+    "q_win_ntile", "q_win_ntile_exact2", "q_tpch_q3", "q_evt_session",
+    // TPC-H completion set: the window-min (Q2), semi+anti double
+    // correlation (Q21), and distinct-count (Q16) shapes
+    "q_tpch_q2", "q_tpch_q21", "q_tpch_q16")
 
   def generate(spark: SparkSession, src: String, out: String, reps: Int): Unit = {
     val done = new java.io.File(s"$out/_DONE")
