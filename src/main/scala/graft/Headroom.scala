@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.Headroom [srcDir] [outDir] [reps]
   * Prints one JSON line per query: {"query":…,"src_s":…,"scaled_s":…,
   * "ratio":…} plus a trailer with the medians.
+  *
+  * SPARK_GRAFT_HEADROOM_ALL=1 sweeps the ENTIRE declared query surface
+  * instead of the curated slow set, prints only the worst ratios plus
+  * the distribution trailer, and writes the complete per-query map to
+  * target/headroom_full.json — the full measured answer to "which plan
+  * shapes grow faster than the data".
   */
 object Headroom {
 
@@ -94,25 +100,43 @@ object Headroom {
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
+    val all = sys.env.get("SPARK_GRAFT_HEADROOM_ALL").contains("1")
+    // sorted order keeps memo producers before consumers (clusters < repr)
+    val names = if (all) SparkEntry.queries.keys.toSeq.sorted else SlowQueries
     // warm-up: JIT + codegen on the small fixture
-    SlowQueries.foreach { n =>
+    names.foreach { n =>
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
-    val ratios = scala.collection.mutable.ArrayBuffer.empty[Double]
-    SlowQueries.foreach { n =>
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    val failedQ = scala.collection.mutable.ArrayBuffer.empty[String]
+    names.foreach { n =>
       val q = SparkEntry.queries(n)
-      // min of 2 reps on each side, interleaved, small side first
-      val s1 = time(q(spark, src).count()); val b1 = time(q(spark, out).count())
-      val s2 = time(q(spark, src).count()); val b2 = time(q(spark, out).count())
-      val (s, b) = (math.min(s1, s2), math.min(b1, b2))
-      val ratio = b / s
-      ratios += ratio
-      println(f"""{"query":"$n","src_s":$s%.3f,"scaled_s":$b%.3f,"ratio":$ratio%.2f}""")
+      try {
+        // min of 2 reps on each side, interleaved, small side first
+        val s1 = time(q(spark, src).count()); val b1 = time(q(spark, out).count())
+        val s2 = time(q(spark, src).count()); val b2 = time(q(spark, out).count())
+        val (s, b) = (math.min(s1, s2), math.min(b1, b2))
+        results += ((n, s, b))
+        if (!all)
+          println(f"""{"query":"$n","src_s":$s%.3f,"scaled_s":$b%.3f,"ratio":${b / s}%.2f}""")
+      } catch { case _: Throwable => failedQ += n }
     }
-    val sorted = ratios.sorted
+    if (all) {
+      val lines = results.map { case (n, s, b) =>
+        f"""  "$n": {"src_s":$s%.3f,"scaled_s":$b%.3f,"ratio":${b / s}%.2f}""" }
+      val fw = new java.io.FileWriter("target/headroom_full.json")
+      fw.write(lines.mkString("{\n", ",\n", "\n}\n")); fw.close()
+      results.sortBy { case (_, s, b) => -(b / s) }.take(15).foreach {
+        case (n, s, b) =>
+          println(f"""{"query":"$n","src_s":$s%.3f,"scaled_s":$b%.3f,"ratio":${b / s}%.2f}""")
+      }
+    }
+    val sorted = results.map { case (_, s, b) => b / s }.sorted
     val median = sorted(sorted.size / 2)
-    println(f"""{"metric":"headroom","reps":$reps,"n_queries":${ratios.size},"median_ratio":$median%.2f,"max_ratio":${sorted.last}%.2f}""")
+    val p90 = sorted(((sorted.size - 1) * 9) / 10)
+    println(f"""{"metric":"headroom","reps":$reps,"n_queries":${sorted.size},"n_failed":${failedQ.size},"median_ratio":$median%.2f,"p90_ratio":$p90%.2f,"max_ratio":${sorted.last}%.2f}""")
+    if (failedQ.nonEmpty) println(s"""{"failed":${failedQ.mkString("[\"", "\",\"", "\"]")}}""")
     spark.stop()
   }
 }

@@ -185,6 +185,20 @@ object Relational {
         sum((col("id") * 37) % 12000).as("lat_units"))
       .orderBy(col("tag").asc)
 
+  /** Metadata-answered aggregation surface: ungrouped COUNT/MIN(id)/
+    * MAX(id) over a filter-narrowed lattice range push COMPLETELY into
+    * the V2 connector (SupportsPushDownAggregates) — the scan emits one
+    * closed-form row and zero data rows ever cross the source boundary,
+    * the same way a parquet reader answers count(*) from footers. The
+    * pushed plan shape is pinned in LatticeSourceSpec; here the VALUES
+    * are oracled against DuckDB's range(). */
+  def srcLatticeAgg(s: SparkSession, d: String): DataFrame =
+    s.read.format("lattice").option("n", "20000").load()
+      .filter(col("id") >= 5000 && col("id") < 15000)
+      .agg(count(lit(1)).as("n_points"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+
   /** Partition-pruned read surface — the storage-layout twin of
     * q_join_bucketed: orders written Hive-partitioned by o_orderstatus
     * (idempotent local copy, the analog of maintaining a partitioned
@@ -210,6 +224,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_src_partitioned" -> srcPartitioned,
     "q_src_lattice" -> srcLattice,
+    "q_src_lattice_agg" -> srcLatticeAgg,
     "q_sample_split"      -> sampleSplit,
     "q_sample_weighted"   -> sampleWeighted,
     "q_set_except_all"    -> setExceptAll,
@@ -234,6 +249,9 @@ object Relational {
         |WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority ASC""".stripMargin,
+    "q_src_lattice_agg" ->
+      """SELECT count(*) AS n_points, min(i) AS min_id, max(i) AS max_id
+        |FROM (SELECT unnest(range(5000, 15000)) AS i)""".stripMargin,
     "q_src_lattice" ->
       """SELECT CASE WHEN i % 2 = 0 THEN 'even' ELSE 'odd' END AS tag,
         |       count(*) AS n,

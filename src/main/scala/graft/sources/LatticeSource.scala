@@ -4,7 +4,8 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -29,6 +30,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    returned as residuals for Spark to evaluate.
   *  - `pruneColumns` narrows the produced schema, so a `select(lon)`
   *    never materializes lat/tag (the V2 analog of columnar projection).
+  *  - `pushAggregation` COMPLETELY pushes ungrouped COUNT(*)/MIN(id)/
+  *    MAX(id): the scan answers them in closed form over the (already
+  *    filter-narrowed) key range and emits ONE row — zero rows ever
+  *    cross the source boundary. This is the deepest V2 read tier
+  *    (metadata-only aggregation, the analog of parquet footer
+  *    count/min/max answering), and it composes with filter pushdown
+  *    because Spark pushes filters first and only offers the aggregate
+  *    when no residual filter remains.
   *
   * LatticeSourceSpec pins both behaviors against the physical plan and
   * the row values against the shared derivation constants. Registered via
@@ -69,12 +78,15 @@ class LatticeTable(n: Long, slices: Int) extends Table with SupportsRead {
 }
 
 class LatticeScanBuilder(n: Long, slices: Int) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var lo = 0L
   private var hi = n
   private var pushed = Array.empty[Filter]
   private var required: StructType = LatticeTable.schema
+  // Parsed pushed-aggregate plan: tokens in output order ("count"|"min"|"max").
+  private var aggFuncs: Seq[String] = Nil
 
   private def asLong(v: Any): Option[Long] = v match {
     case l: Long => Some(l)
@@ -116,8 +128,79 @@ class LatticeScanBuilder(n: Long, slices: Int) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  private def isId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case r: NamedReference => r.fieldNames.sameElements(Array("id"))
+      case _                 => false
+    }
+
+  private def token(f: AggregateFunc): Option[String] = f match {
+    case _: CountStar            => Some("count")
+    case m: Min if isId(m.column) => Some("min")
+    case m: Max if isId(m.column) => Some("max")
+    case _                       => None
+  }
+
+  private def accepts(agg: Aggregation): Seq[Option[String]] =
+    if (agg.groupByExpressions.nonEmpty) Seq(None)
+    else agg.aggregateExpressions.toSeq.map(token)
+
+  /** Closed-form answers are exact finals, never partials. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    accepts(agg).forall(_.isDefined)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val parsed = accepts(agg)
+    if (parsed.exists(_.isEmpty)) return false
+    aggFuncs = parsed.flatten
+    true
+  }
+
   override def build(): Scan =
-    new LatticeScan(lo, math.max(lo, hi), slices, required, pushed)
+    if (aggFuncs.nonEmpty)
+      new LatticeAggScan(lo, math.max(lo, hi), aggFuncs, pushed)
+    else
+      new LatticeScan(lo, math.max(lo, hi), slices, required, pushed)
+}
+
+/** Aggregate-pushdown scan: one partition, one row, values computed from
+  * the range bounds alone — the row universe is never enumerated. MIN/MAX
+  * are null on an empty range (matching SQL aggregate semantics). */
+class LatticeAggScan(lo: Long, hi: Long, funcs: Seq[String],
+    pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(funcs.zipWithIndex.map {
+    case (f, i) => StructField(s"agg_${f}_$i", LongType, nullable = f != "count")
+  })
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(LatticePartition(lo, hi))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LatticeAggReaderFactory(funcs)
+
+  override def description(): String =
+    s"lattice AGG range=[$lo,$hi) funcs=[${funcs.mkString(", ")}] pushed=[${pushed.mkString(", ")}]"
+}
+
+class LatticeAggReaderFactory(funcs: Seq[String]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val lp = p.asInstanceOf[LatticePartition]
+    val empty = lp.end <= lp.start
+    val values: Seq[Any] = funcs.map {
+      case "count" => math.max(0L, lp.end - lp.start)
+      case "min"   => if (empty) null else lp.start
+      case "max"   => if (empty) null else lp.end - 1
+    }
+    new PartitionReader[InternalRow] {
+      private var served = false
+      override def next(): Boolean = { val r = !served; served = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(values)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class LatticeScan(lo: Long, hi: Long, slices: Int, schema: StructType,

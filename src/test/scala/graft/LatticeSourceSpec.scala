@@ -72,4 +72,30 @@ class LatticeSourceSpec extends SparkSpec {
     val df = read(1000).filter(col("id") >= 900 && col("id") < 100)
     assert(df.count() == 0)
   }
+
+  test("ungrouped count/min/max push completely: the scan emits ONE closed-form row") {
+    val df = read(1000000).filter(col("id") >= 5000 && col("id") < 15000)
+      .agg(count(lit(1)).as("n_points"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("lattice AGG range=[5000,15000)"),
+      s"aggregate not pushed into the connector:\n$plan")
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((10000L, 5000L, 14999L)))
+  }
+
+  test("pushed aggregate over an empty range: count 0, null min/max") {
+    val df = read(1000).filter(col("id") >= 900 && col("id") < 100)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"))
+    val r = df.collect().head
+    assert(r.getLong(0) == 0L && r.isNullAt(1))
+  }
+
+  test("grouped or non-id aggregates stay Spark-side (rows flow, plan aggregates)") {
+    val df = read(100).groupBy(col("tag")).agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("lattice AGG"), s"grouped agg wrongly claimed:\n$plan")
+    assert(df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("even" -> 50L, "odd" -> 50L))
+  }
 }
