@@ -4,7 +4,7 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -38,6 +38,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    count/min/max answering), and it composes with filter pushdown
   *    because Spark pushes filters first and only offers the aggregate
   *    when no residual filter remains.
+  *  - `pushLimit` / `pushTopN` (id-ordered) truncate the planned range
+  *    itself: LIMIT k keeps [lo, lo+k); ORDER BY id DESC LIMIT k keeps
+  *    [hi−k, hi) served in descending order from a single partition, so
+  *    Spark drops its own Sort+Limit entirely (fully pushed, not
+  *    partial) — the generated-range analog of an index-ordered scan.
   *
   * LatticeSourceSpec pins both behaviors against the physical plan and
   * the row values against the shared derivation constants. Registered via
@@ -79,7 +84,8 @@ class LatticeTable(n: Long, slices: Int) extends Table with SupportsRead {
 
 class LatticeScanBuilder(n: Long, slices: Int) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var lo = 0L
   private var hi = n
@@ -87,6 +93,9 @@ class LatticeScanBuilder(n: Long, slices: Int) extends ScanBuilder
   private var required: StructType = LatticeTable.schema
   // Parsed pushed-aggregate plan: tokens in output order ("count"|"min"|"max").
   private var aggFuncs: Seq[String] = Nil
+  // Pushed LIMIT/TopN: range truncation + serve order.
+  private var descending = false
+  private var limited = false
 
   private def asLong(v: Any): Option[Long] = v match {
     case l: Long => Some(l)
@@ -156,11 +165,35 @@ class LatticeScanBuilder(n: Long, slices: Int) extends ScanBuilder
     true
   }
 
+  /** LIMIT k over the generated range IS a range truncation. */
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, if (lo > Long.MaxValue - limit) Long.MaxValue else lo + limit)
+    limited = true
+    true
+  }
+
+  /** ORDER BY id [ASC|DESC] LIMIT k: keep the k-edge of the range and
+    * serve it in the requested order — fully pushed, so Spark drops its
+    * Sort+Limit. Multi-key or non-id orders are declined. */
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    if (orders.length != 1 || !isId(orders(0).expression())) return false
+    descending = orders(0).direction() == SortDirection.DESCENDING
+    if (descending) lo = math.max(lo, if (hi < Long.MinValue + limit) Long.MinValue else hi - limit)
+    else hi = math.min(hi, if (lo > Long.MaxValue - limit) Long.MaxValue else lo + limit)
+    limited = true
+    true
+  }
+
+  override def isPartiallyPushed(): Boolean = false
+
   override def build(): Scan =
     if (aggFuncs.nonEmpty)
       new LatticeAggScan(lo, math.max(lo, hi), aggFuncs, pushed)
     else
-      new LatticeScan(lo, math.max(lo, hi), slices, required, pushed)
+      // a pushed LIMIT/TopN must serve from ONE partition in key order;
+      // the unlimited scan keeps its parallel slices
+      new LatticeScan(lo, math.max(lo, hi), if (limited) 1 else slices,
+        required, pushed, descending, limited)
 }
 
 /** Aggregate-pushdown scan: one partition, one row, values computed from
@@ -204,7 +237,8 @@ class LatticeAggReaderFactory(funcs: Seq[String]) extends PartitionReaderFactory
 }
 
 class LatticeScan(lo: Long, hi: Long, slices: Int, schema: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], descending: Boolean = false,
+    limited: Boolean = false) extends Scan with Batch {
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -221,20 +255,25 @@ class LatticeScan(lo: Long, hi: Long, slices: Int, schema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LatticeReaderFactory(schema)
+    new LatticeReaderFactory(schema, descending)
 
   override def description(): String =
-    s"lattice range=[$lo,$hi) pushed=[${pushed.mkString(", ")}]"
+    s"lattice range=[$lo,$hi)" +
+      (if (limited) s" limited${if (descending) " desc" else ""}" else "") +
+      s" pushed=[${pushed.mkString(", ")}]"
 }
 
 case class LatticePartition(start: Long, end: Long) extends InputPartition
 
-class LatticeReaderFactory(schema: StructType) extends PartitionReaderFactory {
+class LatticeReaderFactory(schema: StructType, descending: Boolean = false)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val lp = p.asInstanceOf[LatticePartition]
     new PartitionReader[InternalRow] {
-      private var cur = lp.start - 1
-      override def next(): Boolean = { cur += 1; cur < lp.end }
+      private var cur = if (descending) lp.end else lp.start - 1
+      override def next(): Boolean =
+        if (descending) { cur -= 1; cur >= lp.start }
+        else { cur += 1; cur < lp.end }
       override def get(): InternalRow = InternalRow.fromSeq(
         schema.fields.toSeq.map(_.name match {
           case "id"  => cur

@@ -91,6 +91,32 @@ class LatticeSourceSpec extends SparkSpec {
     assert(r.getLong(0) == 0L && r.isNullAt(1))
   }
 
+  test("LIMIT pushes as a range truncation composed with the filter range") {
+    val df = read(1000000).filter(col("id") >= 100).limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[100,105) limited"),
+      s"limit not folded into the planned range:\n$plan")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(100L, 101L, 102L, 103L, 104L))
+  }
+
+  test("ORDER BY id DESC LIMIT pushes fully: range tail served descending, no Spark sort") {
+    val df = read(1000).orderBy(col("id").desc).limit(3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[997,1000) limited desc"),
+      s"top-N not pushed:\n$plan")
+    assert(!plan.contains("TakeOrderedAndProject") && !plan.contains("Sort"),
+      s"Spark kept its own sort despite full pushdown:\n$plan")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(999L, 998L, 997L))
+  }
+
+  test("non-id ORDER BY is declined: Spark keeps its top-k, values stay right") {
+    val df = read(1000).orderBy(col("lat").asc, col("id").asc).limit(1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("limited"), s"non-id order wrongly claimed:\n$plan")
+    val r = df.collect().head
+    assert(r.getDouble(1) == (0 until 1000).map(i => sources.LatticeTable.lat(i.toLong)).min)
+  }
+
   test("grouped or non-id aggregates stay Spark-side (rows flow, plan aggregates)") {
     val df = read(100).groupBy(col("tag")).agg(count(lit(1)).as("n"))
     val plan = df.queryExecution.executedPlan.toString
