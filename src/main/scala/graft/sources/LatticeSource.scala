@@ -43,6 +43,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    [hi−k, hi) served in descending order from a single partition, so
   *    Spark drops its own Sort+Limit entirely (fully pushed, not
   *    partial) — the generated-range analog of an index-ordered scan.
+  *  - `estimateStatistics` reports the EXACT post-pushdown row count and
+  *    byte size, so the static planner broadcasts a filter-narrowed
+  *    lattice side without hints or AQE — pushdown feeding join
+  *    strategy, the V2 statistics loop closed.
   *
   * LatticeSourceSpec pins both behaviors against the physical plan and
   * the row values against the shared derivation constants. Registered via
@@ -238,10 +242,24 @@ class LatticeAggReaderFactory(funcs: Seq[String]) extends PartitionReaderFactory
 
 class LatticeScan(lo: Long, hi: Long, slices: Int, schema: StructType,
     pushed: Array[Filter], descending: Boolean = false,
-    limited: Boolean = false) extends Scan with Batch {
+    limited: Boolean = false) extends Scan with Batch
+    with SupportsReportStatistics {
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+
+  /** Exact stats for the post-pushdown range: generated data has no
+    * estimation error, so the planner's broadcast decision is driven by
+    * the true narrowed size (per-row bytes = the unsafe-row footprint of
+    * the pruned schema, bounded below by the 8B id). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = math.max(0L, hi - lo)
+    private val rowBytes = math.max(8, schema.fields.map(_.dataType.defaultSize).sum + 8)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * rowBytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val span = hi - lo

@@ -117,6 +117,23 @@ class LatticeSourceSpec extends SparkSpec {
     assert(r.getDouble(1) == (0 until 1000).map(i => sources.LatticeTable.lat(i.toLong)).min)
   }
 
+  test("reported statistics reflect the pushed range and drive a hint-free broadcast") {
+    // exact stats: 50 rows after pushdown, not the 1e6-row table
+    val narrowed = read(1000000).filter(col("id") >= 0 && col("id") < 50)
+    val stats = narrowed.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(50)) || stats.sizeInBytes < 10000,
+      s"stats not narrowed by pushdown: $stats")
+    // the static planner (no hint, no AQE replan needed) broadcasts the
+    // narrowed side into a fact join purely from the reported size
+    val fact = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), (col("l_orderkey") % 50).as("k"))
+    val joined = fact.join(narrowed.select(col("id"), col("lat")),
+      col("k") === col("id"))
+    val plan = joined.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"narrowed lattice side not broadcast from reported stats:\n$plan")
+  }
+
   test("grouped or non-id aggregates stay Spark-side (rows flow, plan aggregates)") {
     val df = read(100).groupBy(col("tag")).agg(count(lit(1)).as("n"))
     val plan = df.queryExecution.executedPlan.toString
