@@ -141,4 +141,37 @@ class LatticeSourceSpec extends SparkSpec {
     assert(df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
       Map("even" -> 50L, "odd" -> 50L))
   }
+
+  test("V2 catalog routes pure SQL to the connector with pushdown intact") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.LatticeCatalog")
+    val df = spark.sql(
+      "SELECT id, tag FROM graft.gen.lattice_20000 WHERE id >= 5000 AND id < 5003")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[5000,5003)"),
+      s"catalog-routed scan lost filter pushdown:\n$plan")
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((5000L, "even"), (5001L, "odd"), (5002L, "even")))
+    // complete aggregate pushdown rides the catalog route too
+    val agg = spark.sql(
+      "SELECT count(*) AS n FROM graft.gen.lattice_20000 WHERE id < 100")
+    assert(agg.queryExecution.executedPlan.toString.contains("lattice AGG"),
+      "catalog-routed aggregate not pushed")
+    assert(agg.collect().head.getLong(0) == 100L)
+    // read-only: mutations are refused
+    intercept[Exception](spark.sql("DROP TABLE graft.gen.lattice_20000"))
+  }
+
+  test("V2 catalog functions expose the shared derivation to SQL") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.LatticeCatalog")
+    val r = spark.sql(
+      "SELECT graft.gen.lattice_lat(7) AS la, graft.gen.lattice_lon(7) AS lo")
+      .collect().head
+    assert(r.getDouble(0) == sources.LatticeTable.lat(7L))
+    assert(r.getDouble(1) == sources.LatticeTable.lon(7L))
+    // catalog function values agree with the table's own columns
+    val viaTable = spark.sql(
+      "SELECT lat, lon FROM graft.gen.lattice_20000 WHERE id = 7").collect().head
+    assert((r.getDouble(0), r.getDouble(1)) ==
+      ((viaTable.getDouble(0), viaTable.getDouble(1))))
+  }
 }
