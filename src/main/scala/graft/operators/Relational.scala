@@ -199,6 +199,19 @@ object Relational {
         min(col("id")).as("min_id"),
         max(col("id")).as("max_id"))
 
+  /** Catalog-routed twin of [[srcLatticeAgg]]: the same aggregate
+    * reaches the connector through PURE SQL over V2 catalog identifiers
+    * (TableCatalog plugin registered on the session conf) — proving the
+    * catalog tier end-to-end against the same oracle, complete
+    * aggregate pushdown included (LatticeSourceSpec pins the plan). */
+  def srcCatalog(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.LatticeCatalog")
+    s.sql(
+      """SELECT count(*) AS n_points, min(id) AS min_id, max(id) AS max_id
+        |FROM graft.gen.lattice_20000
+        |WHERE id >= 5000 AND id < 15000""".stripMargin)
+  }
+
   /** Partition-pruned read surface — the storage-layout twin of
     * q_join_bucketed: orders written Hive-partitioned by o_orderstatus
     * (idempotent local copy, the analog of maintaining a partitioned
@@ -225,6 +238,7 @@ object Relational {
     "q_src_partitioned" -> srcPartitioned,
     "q_src_lattice" -> srcLattice,
     "q_src_lattice_agg" -> srcLatticeAgg,
+    "q_src_catalog" -> srcCatalog,
     "q_sample_split"      -> sampleSplit,
     "q_sample_weighted"   -> sampleWeighted,
     "q_set_except_all"    -> setExceptAll,
@@ -250,6 +264,9 @@ object Relational {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority ASC""".stripMargin,
     "q_src_lattice_agg" ->
+      """SELECT count(*) AS n_points, min(i) AS min_id, max(i) AS max_id
+        |FROM (SELECT unnest(range(5000, 15000)) AS i)""".stripMargin,
+    "q_src_catalog" ->
       """SELECT count(*) AS n_points, min(i) AS min_id, max(i) AS max_id
         |FROM (SELECT unnest(range(5000, 15000)) AS i)""".stripMargin,
     "q_src_lattice" ->
