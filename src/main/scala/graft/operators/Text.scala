@@ -432,12 +432,19 @@ object Text {
   /** Sparse document similarity via the inverted index: top-20 doc pairs
     * by raw term-frequency dot product over a posting-list self-join —
     * the SPARSE complement to the dense embedding cosine (q_sim_topk).
-    * The scale knob is the df cap: tokens present in more than 1/4 of
-    * the corpus are dropped BEFORE the self-join, because a posting list
-    * of length df contributes df² pair terms — the classic hot-posting
-    * skew. What survives joins on the token (equi key), aggregates per
-    * pair, and top-20s through a bounded heap. Integer tf products, so
-    * the ranking is hash-exact. */
+    * The scale knob is the df cap: hot tokens are dropped BEFORE the
+    * self-join, because a posting list of length df contributes df²
+    * pair terms — the classic hot-posting skew. The cap is
+    * least(N/4, 500): the RELATIVE arm drops corpus-wide stopwords,
+    * but relative-only fails on sharded/multi-source corpora where
+    * token popularity is per-shard (every shard-hot token slips under
+    * a global N/4 as N grows — measured on the 10× replica: Σdf² grew
+    * 71,756× and the query took 479× its base time), so the ABSOLUTE
+    * arm bounds every posting at 500 and total pair work at |vocab|·L²
+    * regardless of corpus shape — with the cap, replica pair work is
+    * exactly 10× base. What survives joins on the token (equi key),
+    * aggregates per pair, and top-20s through a bounded heap. Integer
+    * tf products, so the ranking is hash-exact. */
   def textDocsim(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.spread(Tables.documents(s, d))
     val tf = docs
@@ -447,7 +454,7 @@ object Text {
     val dfTab = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n"))
     val keep = dfTab.crossJoin(broadcast(nDocs))
-      .filter(col("df") <= expr("n div 4"))
+      .filter(col("df") <= expr("least(n div 4, 500)"))
       .select(col("tok"))
     val v = tf.join(broadcast(keep), "tok")
     val a = v.select(col("tok"), col("doc_id").as("a_id"), col("tf").as("a_tf"))
@@ -1400,7 +1407,7 @@ object Text {
         |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
         |keep AS (
         |  SELECT tok FROM dft
-        |  WHERE df <= (SELECT count(*) FROM documents) // 4),
+        |  WHERE df <= least((SELECT count(*) FROM documents) // 4, 500)),
         |v AS (SELECT tf.doc_id, tf.tok, tf.tf FROM tf JOIN keep USING (tok))
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |       CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
