@@ -116,4 +116,24 @@ class TestdataInvariantsSpec extends SparkSpec {
     assert(pairCount <= 20 * n,
       s"blocked pair count $pairCount exceeds 20n — quadratic growth")
   }
+
+  test("l_quantity stays in (0, 1000]: Q2's unit-cost division never sees zero") {
+    // q_tpch_q2 computes round(l_extendedprice / l_quantity * 1000); a
+    // regenerated fixture with a zero quantity would make Spark produce
+    // Infinity (cast to Long.MaxValue) where DuckDB ERRORS on the cast —
+    // a silent-divergence-vs-loud-failure split. Pin the domain so a
+    // regeneration fails HERE with a clear message instead.
+    val bad = Tables.lineitem(spark, sf0001)
+      .filter(col("l_quantity") <= 0 || col("l_quantity") > 1000).count()
+    assert(bad == 0, s"$bad lineitem rows outside (0, 1000] quantity domain")
+  }
+
+  test("user_id is non-negative: the CMS probe's pmod and % agree") {
+    // The q_approx_cms oracle hashes with ((user_id % P) + P) % P and the
+    // Spark probe with pmod — equal for all inputs — but the sketch
+    // AGGREGATOR uses floorMod too; this pin documents the domain the
+    // cross-engine agreement was verified on.
+    val bad = Tables.events(spark, sf0001).filter(col("user_id") < 0).count()
+    assert(bad == 0, s"$bad events rows with negative user_id")
+  }
 }
