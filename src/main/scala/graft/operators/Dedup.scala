@@ -716,24 +716,44 @@ object Dedup {
 
   // ------------------------------------------------- hyperplane LSH (ANN)
 
-  private val NumPlanes = 8
+  private val BasePlanes = 8
+  private val MaxPlanes = 16
   private val Dim = 64
 
   /** Deterministic pseudo-random hyperplane weights (integer-derived, so
     * both engines build bit-identical planes). */
   def planeWeight(p: Int, j: Int): Double = ((p * 131 + j * 31) % 17 - 8).toDouble
 
-  /** Sign-bit bucket id for every vector: bit p = (w_p · e > 0). At scale
-    * this is the partition key that turns ANN into a per-bucket local
-    * search. */
+  /** ADAPTIVE bucket width in bits, clamped to [BasePlanes, MaxPlanes]:
+    * the smallest b with 2^b bucket slots ≥ n/8 vectors, i.e. expected
+    * bucket size ≤ 8 — so in-bucket pair work stays LINEAR in n instead
+    * of quadratic-at-fixed-bucket-count (the 10× replica measured ~7×
+    * time growth under the old fixed 8-bit width; bucket count must
+    * grow with the corpus). ceil(log2(m)) is computed as
+    * length(bin(m−1)) — pure integer string length, identical in both
+    * engines, immune to the last-ulp log2 boundary hazards a float
+    * formula would have. Below n = 2048·8 the clamp keeps b = 8, so
+    * every oracled scale factor's buckets (and results) are unchanged. */
+  private def widthSqlFrom(nExpr: String, idiv: String = "div"): String =
+    s"least($MaxPlanes, greatest($BasePlanes, length(bin(($nExpr + 7) $idiv 8 - 1))))"
+
+  /** Sign-bit bucket id for every vector: bit p = (w_p · e > 0), masked
+    * to the adaptive width (the corpus count rides along as a 1-row
+    * broadcast fold — no construction-time action). At scale this is
+    * the partition key that turns ANN into a per-bucket local search. */
   def annBuckets(emb: DataFrame): DataFrame = {
     graft.functions.VectorExprs.register(emb.sparkSession)
-    val bits = (0 until NumPlanes).map { p =>
+    val bits = (0 until MaxPlanes).map { p =>
       val w = (0 until Dim).map(j => s"${planeWeight(p, j)}D").mkString(", ")
       val dot = expr(s"vec_dot(embedding, array($w))")
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce[Column](_ + _)
-    emb.withColumn("bucket", bits)
+    val n = emb.agg(count(lit(1)).as("ann_n"))
+    emb.crossJoin(broadcast(n))
+      .withColumn("ann_sig", bits)
+      .withColumn("bucket", expr(
+        s"ann_sig & (shiftleft(CAST(1 AS BIGINT), ${widthSqlFrom("ann_n")}) - 1)"))
+      .drop("ann_sig", "ann_n")
   }
 
   def simAnnBuckets(s: SparkSession, d: String): DataFrame =
@@ -758,10 +778,15 @@ object Dedup {
     "q_sim_ann"        -> simAnnBuckets
   )
 
-  /** Full bucket-id expression in DuckDB SQL (sum of plane sign bits) —
-    * shared by every oracle that blocks on the hyperplane bucket. */
-  def bucketSql: String =
-    s"CAST(${(0 until NumPlanes).map(planeSql).mkString("\n + ")} AS BIGINT)"
+  /** Full bucket-id expression in DuckDB SQL (sum of plane sign bits,
+    * masked to the same adaptive width as the Spark plan — the corpus
+    * count arrives as a scalar subquery) — shared by every oracle that
+    * blocks on the hyperplane bucket. */
+  def bucketSql: String = {
+    val b = widthSqlFrom("(SELECT count(*) FROM embeddings)", "//")
+    s"(CAST(${(0 until MaxPlanes).map(planeSql).mkString("\n + ")} AS BIGINT)" +
+      s" & ((CAST(1 AS BIGINT) << $b) - 1))"
+  }
 
   /** DuckDB side of the hyperplane dot for plane p — generated from the
     * same planeWeight constants as the Spark plan. */

