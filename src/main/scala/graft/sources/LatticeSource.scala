@@ -158,13 +158,20 @@ class LatticeScanBuilder(n: Long, slices: Int) extends ScanBuilder
     if (agg.groupByExpressions.nonEmpty) Seq(None)
     else agg.aggregateExpressions.toSeq.map(token)
 
-  /** Closed-form answers are exact finals, never partials. */
-  override def supportCompletePushDown(agg: Aggregation): Boolean =
-    accepts(agg).forall(_.isDefined)
+  /** Closed-form answers are exact finals, never partials. An EMPTY
+    * aggregation list must be declined, not vacuously accepted: the
+    * optimizer prunes a pushed aggregate down to zero functions when an
+    * outer count(*) discards its columns (df.count() over the agg
+    * query), and claiming that push while building the plain row scan
+    * trips Spark's column-count assertion. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean = {
+    val parsed = accepts(agg)
+    parsed.nonEmpty && parsed.forall(_.isDefined)
+  }
 
   override def pushAggregation(agg: Aggregation): Boolean = {
     val parsed = accepts(agg)
-    if (parsed.exists(_.isEmpty)) return false
+    if (parsed.isEmpty || parsed.exists(_.isEmpty)) return false
     aggFuncs = parsed.flatten
     true
   }

@@ -134,6 +134,15 @@ class LatticeSourceSpec extends SparkSpec {
       s"narrowed lattice side not broadcast from reported stats:\n$plan")
   }
 
+  test("count() OVER the pushed-agg query works (optimizer prunes to an empty push)") {
+    // df.count() wraps the aggregate in an outer count(*), pruning the
+    // inner aggregate's outputs to zero functions — the connector must
+    // DECLINE that empty aggregation (not claim it and serve raw rows).
+    // This is exactly the bench driver's action on every declared query.
+    assert(operators.Relational.srcLatticeAgg(spark, sf0001).count() == 1L)
+    assert(operators.Relational.srcCatalog(spark, sf0001).count() == 1L)
+  }
+
   test("grouped or non-id aggregates stay Spark-side (rows flow, plan aggregates)") {
     val df = read(100).groupBy(col("tag")).agg(count(lit(1)).as("n"))
     val plan = df.queryExecution.executedPlan.toString
