@@ -169,6 +169,85 @@ object Text {
       .select(col("doc_id"), col("n_ws"), col("n_bpe"), col("pieces_per_word"))
       .orderBy(col("doc_id").asc)
 
+  /** BPE merge TRAINING (the learn step q_text_bpe's tokenizer audit
+    * presumes): R greedy merge rounds over the corpus, each round =
+    * count adjacent token pairs → pick the most frequent (count desc,
+    * pair asc tiebreak) → apply it corpus-wide. Three design points:
+    *
+    *  - The whole R-round loop is ONE LAZY PLAN: each round's winning
+    *    pair is a 1-row broadcast fold (crossJoin(broadcast(limit(1))))
+    *    feeding the next round's rewrite — no driver-side iteration, no
+    *    construction-time action, unlike the checkpoint-per-round
+    *    iterative family (pagerank/BFS), because R is a small fixed
+    *    hyperparameter and the per-round plan growth is linear.
+    *  - The merge apply is a BOUNDARY-SAFE sequential replace: the text
+    *    is space-doubled so every token is flanked by its own space
+    *    pair, making ' a  b ' matches non-overlapping and greedy
+    *    left-to-right in BOTH engines' replace() — "x x x" merges to
+    *    "x+x x", the standard BPE scan order — then collapsed back.
+    *  - '+' joins merged tokens (fixture text is lowercase words, no
+    *    '+'), so later rounds can learn merges OF merges.
+    *
+    * Output: (round, pair, merged_cnt) — the learned merge table. */
+  def textBpeTrain(s: SparkSession, d: String): DataFrame = {
+    val Rounds = 4
+    var docs = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val merges = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (r <- 1 to Rounds) {
+      val pairs = docs
+        .withColumn("tk", split(col("text"), " "))
+        .select(explode(expr(
+          """CASE WHEN size(tk) >= 2 THEN
+            |  transform(sequence(1, size(tk) - 1),
+            |    i -> element_at(tk, i) || ' ' || element_at(tk, i + 1))
+            |ELSE slice(tk, 1, 0) END""".stripMargin)).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("pair").asc).limit(1)
+        .select(col("pair").as(s"bp$r"), col("cnt").as(s"bc$r"))
+      merges += best.select(lit(r.toLong).as("round"),
+        col(s"bp$r").as("pair"), col(s"bc$r").as("merged_cnt"))
+      docs = docs.crossJoin(broadcast(best))
+        .withColumn("text", expr(
+          s"""btrim(replace(
+             |  replace(' ' || replace(text, ' ', '  ') || ' ',
+             |    ' ' || replace(bp$r, ' ', '  ') || ' ',
+             |    ' ' || replace(bp$r, ' ', '+') || ' '),
+             |  '  ', ' '))""".stripMargin))
+        .select(col("doc_id"), col("text"))
+    }
+    merges.reduce(_ unionByName _).orderBy(col("round").asc)
+  }
+
+  /** DuckDB twin of [[textBpeTrain]]: the same R rounds as chained CTEs
+    * (t0 → p1/b1 → t1 → …), byte-identical replace semantics. */
+  private def bpeTrainSql(rounds: Int): String = {
+    def pCte(r: Int) =
+      s"""p$r AS (
+         |  SELECT pr AS pair, count(*) AS cnt FROM (
+         |    SELECT unnest(list_transform(range(1, len(tk)),
+         |      i -> tk[i] || ' ' || tk[i + 1])) AS pr
+         |    FROM (SELECT string_split(text, ' ') AS tk FROM t${r - 1}))
+         |  GROUP BY pr),
+         |b$r AS (SELECT pair, cnt FROM p$r
+         |        ORDER BY cnt DESC, pair ASC LIMIT 1)""".stripMargin
+    def tCte(r: Int) =
+      s"""t$r AS (
+         |  SELECT doc_id, trim(replace(
+         |    replace(' ' || replace(text, ' ', '  ') || ' ',
+         |      ' ' || replace(b$r.pair, ' ', '  ') || ' ',
+         |      ' ' || replace(b$r.pair, ' ', '+') || ' '),
+         |    '  ', ' ')) AS text
+         |  FROM t${r - 1} CROSS JOIN b$r)""".stripMargin
+    val ctes = Seq("t0 AS (SELECT doc_id, text FROM documents)") ++
+      (1 to rounds).flatMap(r =>
+        Seq(pCte(r)) ++ (if (r < rounds) Seq(tCte(r)) else Nil))
+    val sel = (1 to rounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, pair, cnt AS merged_cnt FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"WITH ${ctes.mkString(",\n")}\n$sel\nORDER BY round ASC"
+  }
+
   private val shingle3 =
     """array_distinct(CASE WHEN size(toks) >= 3 THEN
       |  transform(sequence(1, size(toks) - 2),
@@ -1017,6 +1096,7 @@ object Text {
     "q_text_decontam"    -> textDecontam,
     "q_text_chunk"       -> textChunk,
     "q_text_bpe"         -> textBpe,
+    "q_text_bpe_train"   -> textBpeTrain,
     "q_text_tokens"      -> textTokens,
     "q_text_stats"       -> textStats,
     "q_dedup_exact"      -> dedupExact,
@@ -1604,6 +1684,7 @@ object Text {
         |         AS chunk_tokens
         |FROM ch
         |ORDER BY doc_id ASC, chunk_id ASC""".stripMargin,
+    "q_text_bpe_train" -> bpeTrainSql(4),
     "q_text_bpe" ->
       """SELECT doc_id,
         |       len(string_split(text, ' ')) AS n_ws,
