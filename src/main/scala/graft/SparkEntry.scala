@@ -28,6 +28,8 @@ object SparkEntry {
     (operators.Sim.queries,        operators.Sim.oracle),
     (operators.Dedup.queries,      operators.Dedup.oracle),
     (operators.Skew.queries,       operators.Skew.oracle),
+    (operators.Sketch.queries,     operators.Sketch.oracle),
+    (operators.Link.queries,       operators.Link.oracle),
     (operators.Graph.queries,      operators.Graph.oracle),
     (operators.SqlReport.queries,  operators.SqlReport.oracle),
     (operators.Analytics.queries,  operators.Analytics.oracle),

@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** KMV ("k minimum values") distinct-value sketches and theta-style set
+  * algebra over them — the sketch family that, unlike HyperLogLog,
+  * supports set INTERSECTION estimation, which is what contamination
+  * checks and audience-overlap questions actually need at 100 TB
+  * (|train ∩ eval| users, |corpus_a ∩ corpus_b| documents) when the
+  * exact pairwise join is too expensive.
+  *
+  * The sketch of a set is its k smallest distinct hash values. Estimator
+  * (Beyer et al., "On Synopses for Distinct-Value Estimation Under
+  * Multiset Operations", SIGMOD'07; the same bottom-k form underlies the
+  * public Apache DataSketches theta sketch): with U = kth smallest hash
+  * in a space of size 2^32, est = (k-1) * 2^32 / U. Union of sketches =
+  * min-k of the merged value sets (exact: bottom-k is mergeable);
+  * intersection via inclusion–exclusion est_a + est_b − est_union.
+  *
+  * Everything here is fully ORACLED, not declared approximate-no-oracle:
+  * the hash is the [[DetHash]] md5 fold both engines compute bit-equally,
+  * min-k is a deterministic rank, and the estimator is integer-only
+  * (64-bit multiply then truncating division, identical in Spark `div`
+  * and DuckDB `//`). The *estimate* is approximate with respect to the
+  * true cardinality — the `exact_cnt` audit column carries the truth —
+  * but the sketch VALUE is exact, so the correctness gate pins the whole
+  * construction, not just its row count.
+  *
+  * Scale shape: a KMV sketch is O(k) per group and mergeable, so the
+  * 100 TB form is a bounded min-k partial aggregate (the repo's TopK
+  * Aggregator shape: per-partition k-bounded heaps, map-side combine,
+  * k-sized merge at the reducer). The declarative tier below ranks with
+  * a per-group window INSTEAD — but only after collapsing the input to
+  * its distinct (group, hash) set, which is the sketch-input vocabulary,
+  * orders smaller than the fact stream; the same two-tier split
+  * (window for the oracled gate, bounded aggregator for raw scale) the
+  * ntile family documents.
+  */
+object Sketch {
+
+  /** Sketch size: bottom-64 hash values ⇒ ~1/sqrt(64-2) ≈ 13% relative
+    * standard error — small enough to be obviously informative on the
+    * ~1.4k-cardinality fixture groups, large enough that the estimator
+    * branch (not the exact small-set branch) is exercised. */
+  private val K = 64
+
+  /** 63 * 2^32: the estimator numerator (k-1) scaled by the hash-space
+    * size of an 8-hex-digit [[DetHash]] fold. */
+  private val Numer: Long = (K - 1).toLong * (1L << 32)
+
+  /** The distinct (status, hash) set the sketches summarize: one row per
+    * distinct (o_orderstatus, o_custkey), hashed by the cross-engine md5
+    * fold, then collapsed to distinct hash VALUES per group (KMV is
+    * defined on the hash set; a fold collision merges two keys in both
+    * engines identically). */
+  private def statusHashes(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderstatus").as("status"), col("o_custkey"))
+      .distinct()
+      .withColumn("hx", md5(col("o_custkey").cast("string")))
+      .withColumn("h", expr(DetHash.sparkHexInt("hx", 8)))
+      .select(col("status"), col("h"))
+      .distinct()
+
+  /** Bottom-K per group over the distinct-hash stream: keep the k
+    * smallest h, return n_kept, the kth value, and the KMV estimate
+    * (exact n_kept when the whole set fit inside the sketch). */
+  private def minK(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("h").asc)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth"))
+      .withColumn("est",
+        when(col("n_kept") < K, col("n_kept"))
+          .otherwise(expr(s"$Numer div greatest(kth, 1)")))
+  }
+
+  /** Declared surface: per-orderstatus distinct-customer KMV sketch next
+    * to its exact audit count. The estimator branch is live (each fixture
+    * status has ~1.4k distinct customers ≫ k=64). */
+  def approxKmv(s: SparkSession, d: String): DataFrame = {
+    val sk = minK(statusHashes(s, d), Seq("status"))
+    val ex = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(countDistinct(col("o_custkey")).as("exact_cnt"))
+    ex.join(sk, "status")
+      .select(col("status"), col("exact_cnt"), col("n_kept"), col("kth"),
+        col("est").as("est_distinct"))
+      .orderBy(col("status").asc)
+  }
+
+  /** Declared surface: pairwise status-audience overlap — exact
+    * intersection next to the theta-style estimate. The union sketch is
+    * a REAL min-k over the merged hash sets (not an estimate of one):
+    * pair membership is exploded to an equi-join key so the only
+    * non-equi join is the ≤C(3,2)-row broadcast pair generator, and the
+    * corpus-sized streams only ever join on equality. est_inter =
+    * max(0, est_a + est_b − est_union) — inclusion–exclusion, clamped
+    * because the three independent ±13% estimates can cross below zero
+    * on small true overlaps. */
+  def approxKmvJacc(s: SparkSession, d: String): DataFrame = {
+    val hs = statusHashes(s, d)
+    val st = hs.select(col("status")).distinct()
+    val pairs = st.select(col("status").as("sa"))
+      .join(broadcast(st.select(col("status").as("sb"))), col("sa") < col("sb"))
+    val members = pairs
+      .select(col("sa"), col("sb"), explode(array(col("sa"), col("sb"))).as("status"))
+    val unionSk = minK(
+      broadcast(members).join(hs, "status")
+        .select(col("sa"), col("sb"), col("h")).distinct(),
+      Seq("sa", "sb"))
+    val perSk = minK(hs, Seq("status"))
+    val sc = Tables.orders(s, d)
+      .select(col("o_orderstatus").as("status"), col("o_custkey"))
+      .distinct()
+    val exInter = sc.as("a")
+      .join(sc.as("b"),
+        col("a.o_custkey") === col("b.o_custkey") &&
+          col("a.status") < col("b.status"))
+      .groupBy(col("a.status").as("sa"), col("b.status").as("sb"))
+      .agg(count(lit(1)).as("exact_inter"))
+    unionSk.select(col("sa"), col("sb"), col("est").as("est_union"))
+      .join(perSk.select(col("status").as("sa"), col("est").as("est_a")), "sa")
+      .join(perSk.select(col("status").as("sb"), col("est").as("est_b")), "sb")
+      .join(exInter, Seq("sa", "sb"))
+      .withColumn("est_inter",
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+      .select(col("sa"), col("sb"), col("exact_inter"), col("est_a"),
+        col("est_b"), col("est_union"), col("est_inter"))
+      .orderBy(col("sa").asc, col("sb").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_kmv"      -> approxKmv,
+    "q_approx_kmv_jacc" -> approxKmvJacc
+  )
+
+  private val foldH = DetHash.duckHexInt("hx", 8)
+
+  val oracle: Map[String, String] = Map(
+    "q_approx_kmv" ->
+      s"""WITH pr AS (SELECT DISTINCT o_orderstatus AS status, o_custkey FROM orders),
+        |hx AS (SELECT status, md5(CAST(o_custkey AS VARCHAR)) AS hx FROM pr),
+        |hs AS (SELECT DISTINCT status, $foldH AS h FROM hx),
+        |rk AS (SELECT status, h,
+        |         row_number() OVER (PARTITION BY status ORDER BY h ASC) AS rn
+        |       FROM hs),
+        |sk AS (SELECT status, count(*) AS n_kept, max(h) AS kth
+        |       FROM rk WHERE rn <= $K GROUP BY status),
+        |ex AS (SELECT status, count(*) AS exact_cnt FROM pr GROUP BY status)
+        |SELECT e.status, CAST(e.exact_cnt AS BIGINT) AS exact_cnt,
+        |       CAST(s.n_kept AS BIGINT) AS n_kept, s.kth,
+        |       CAST(CASE WHEN s.n_kept < $K THEN s.n_kept
+        |            ELSE $Numer // greatest(s.kth, 1) END AS BIGINT) AS est_distinct
+        |FROM ex e JOIN sk s USING (status)
+        |ORDER BY status ASC""".stripMargin,
+    "q_approx_kmv_jacc" ->
+      s"""WITH pr AS (SELECT DISTINCT o_orderstatus AS status, o_custkey FROM orders),
+        |hx AS (SELECT status, md5(CAST(o_custkey AS VARCHAR)) AS hx FROM pr),
+        |hs AS (SELECT DISTINCT status, $foldH AS h FROM hx),
+        |st AS (SELECT DISTINCT status FROM hs),
+        |pairs AS (SELECT a.status AS sa, b.status AS sb
+        |          FROM st a JOIN st b ON a.status < b.status),
+        |uh AS (SELECT DISTINCT p.sa, p.sb, h.h
+        |       FROM pairs p JOIN hs h ON h.status = p.sa OR h.status = p.sb),
+        |urk AS (SELECT sa, sb, h,
+        |          row_number() OVER (PARTITION BY sa, sb ORDER BY h ASC) AS rn
+        |        FROM uh),
+        |usk AS (SELECT sa, sb, count(*) AS n_u, max(h) AS kth_u
+        |        FROM urk WHERE rn <= $K GROUP BY sa, sb),
+        |rk AS (SELECT status, h,
+        |         row_number() OVER (PARTITION BY status ORDER BY h ASC) AS rn
+        |       FROM hs),
+        |sk AS (SELECT status, count(*) AS n_kept, max(h) AS kth
+        |       FROM rk WHERE rn <= $K GROUP BY status),
+        |se AS (SELECT status, CASE WHEN n_kept < $K THEN n_kept
+        |         ELSE $Numer // greatest(kth, 1) END AS est FROM sk),
+        |ue AS (SELECT sa, sb, CASE WHEN n_u < $K THEN n_u
+        |         ELSE $Numer // greatest(kth_u, 1) END AS est_union FROM usk),
+        |xi AS (SELECT a.status AS sa, b.status AS sb, count(*) AS exact_inter
+        |       FROM pr a JOIN pr b
+        |         ON a.o_custkey = b.o_custkey AND a.status < b.status
+        |       GROUP BY 1, 2)
+        |SELECT u.sa, u.sb, CAST(x.exact_inter AS BIGINT) AS exact_inter,
+        |       CAST(ea.est AS BIGINT) AS est_a, CAST(eb.est AS BIGINT) AS est_b,
+        |       CAST(u.est_union AS BIGINT) AS est_union,
+        |       CAST(greatest(0, ea.est + eb.est - u.est_union) AS BIGINT) AS est_inter
+        |FROM ue u
+        |JOIN se ea ON ea.status = u.sa
+        |JOIN se eb ON eb.status = u.sb
+        |JOIN xi x ON x.sa = u.sa AND x.sb = u.sb
+        |ORDER BY u.sa ASC, u.sb ASC""".stripMargin
+  )
+}

@@ -1065,7 +1065,42 @@ object Text {
       .orderBy(col("decile").asc)
   }
 
+  /** Model-based quality scoring — the hashed-linear-classifier filter
+    * stage (the fasttext-style gate public pretraining pipelines run
+    * after heuristic filters): tokens hash into a 64-slot weight table,
+    * a document's score is the sum of its slots' weights, and the keep
+    * decision is a sign threshold. The weight table here is itself
+    * derived from the cross-engine md5 fold (weight(b) = fold4(md5('w'b))
+    * % 1001 − 500 ∈ [−500, 500]) so the entire inference pass — features,
+    * table lookup, scores, keep counts — is integer-exact and fully
+    * oracled; swapping in trained weights changes one literal expression
+    * and nothing about the plan.
+    *
+    * Scale shape: inference is a narrow map over token occurrences (the
+    * weight "lookup" is a pure expression, nothing is joined or
+    * broadcast), then two hash aggregates (doc, then source). This is
+    * the shape that matters at 100 TB: model scoring costs one scan,
+    * shuffles only doc-sized partials, and stays inside whole-stage
+    * codegen — no UDF, no vector runtime. */
+  def textClf(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"), explode(toks).as("tok"))
+      .withColumn("hx", md5(col("tok")))
+      .withColumn("bucket",
+        ((expr("instr('0123456789abcdef', substring(hx, 31, 1))") - 1).cast("long") * 16L +
+         (expr("instr('0123456789abcdef', substring(hx, 32, 1))") - 1).cast("long")) % 64L)
+      .withColumn("wx", md5(concat(lit("w"), col("bucket").cast("string"))))
+      .withColumn("w", expr(s"(${DetHash.sparkHexInt("wx", 4)} % 1001) - 500"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("w")).as("score"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("score") > 0, 1)).as("n_keep"),
+        sum(col("score")).as("score_sum"))
+      .orderBy(col("source").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_clf"     -> textClf,
     "q_text_novelty" -> textNovelty,
     "q_text_prefix_block" -> textPrefixBlock,
     "q_text_hashtrick" -> textHashtrick,
@@ -1146,6 +1181,28 @@ object Text {
         |FROM b
         |GROUP BY band
         |ORDER BY band ASC""".stripMargin,
+    "q_text_clf" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, source, md5(tok) AS hx FROM t),
+        |b AS (SELECT doc_id, source,
+        |        (CAST(strpos('0123456789abcdef', substr(hx, 31, 1)) - 1
+        |           AS BIGINT) * 16 +
+        |         CAST(strpos('0123456789abcdef', substr(hx, 32, 1)) - 1
+        |           AS BIGINT)) % 64 AS bucket
+        |      FROM h),
+        |w AS (SELECT doc_id, source,
+        |        md5('w' || CAST(bucket AS VARCHAR)) AS wx
+        |      FROM b),
+        |sc AS (SELECT doc_id, source,
+        |         CAST(sum((${DetHash.duckHexInt("wx", 4)} % 1001) - 500)
+        |           AS BIGINT) AS score
+        |       FROM w GROUP BY doc_id, source)
+        |SELECT source, count(*) AS n_docs,
+        |       count(CASE WHEN score > 0 THEN 1 END) AS n_keep,
+        |       CAST(sum(score) AS BIGINT) AS score_sum
+        |FROM sc GROUP BY source ORDER BY source ASC""".stripMargin,
     "q_text_hashtrick" ->
       """WITH t AS (
         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the KMV sketch family and the record-linkage
+  * pipeline: each against a from-scratch local replay (independent md5 +
+  * sort, not the query's own expressions), plus plan-shape guards.
+  */
+class SketchLinkSpec extends SparkSpec {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def fold(hex: String, digits: Int): Long =
+    hex.take(digits).foldLeft(0L)((a, c) =>
+      a * 16 + "0123456789abcdef".indexOf(c))
+
+  test("kmv: n_kept, kth and estimate equal a local bottom-k replay") {
+    val statusCust = Tables.orders(spark, sf0001)
+      .select(col("o_orderstatus"), col("o_custkey")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val local = statusCust.groupBy(_._1).map { case (st, g) =>
+      val hashes = g.map(x => fold(md5hex(x._2.toString), 8)).distinct.sorted
+      val kept = hashes.take(64)
+      val est =
+        if (kept.length < 64) kept.length.toLong
+        else 63L * (1L << 32) / math.max(kept.last, 1L)
+      st -> (g.map(_._2).distinct.length.toLong, kept.length.toLong,
+        kept.last, est)
+    }
+    val got = operators.Sketch.approxKmv(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == local)
+  }
+
+  test("kmv jacc: union sketch and inclusion-exclusion equal a local replay") {
+    val statusCust = Tables.orders(spark, sf0001)
+      .select(col("o_orderstatus"), col("o_custkey")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val sets = statusCust.groupBy(_._1)
+      .map { case (st, g) => st -> g.map(_._2).toSet }
+    def hset(ks: Set[Long]): Set[Long] =
+      ks.map(k => fold(md5hex(k.toString), 8))
+    def est(hs: Set[Long]): Long = {
+      val kept = hs.toSeq.sorted.take(64)
+      if (kept.length < 64) kept.length.toLong
+      else 63L * (1L << 32) / math.max(kept.last, 1L)
+    }
+    val local = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+    } yield {
+      val (ea, eb) = (est(hset(sets(a))), est(hset(sets(b))))
+      val eu = est(hset(sets(a)) ++ hset(sets(b)))
+      (a, b) -> ((sets(a) & sets(b)).size.toLong, ea, eb, eu,
+        math.max(0L, ea + eb - eu))
+    }).toMap
+    val got = operators.Sketch.approxKmvJacc(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got == local)
+  }
+
+  test("kmv: no cartesian product; the only BNL is the tiny pair generator") {
+    val p = operators.Sketch.approxKmvJacc(spark, sf0001)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct"), s"degenerated:\n$p")
+    assert(p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") <= 1, s"extra BNL:\n$p")
+  }
+
+  test("link er: every corrupted right resolves to its true customer") {
+    val rows = operators.Link.linkEr(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // fixture custkeys are dense [0, n): class sizes are a local replay
+    // of the same %7 rule over the distinct ordering customers
+    val keys = Tables.orders(spark, sf0001)
+      .select(col("o_custkey")).distinct().collect().map(_.getLong(0))
+    val nSub = keys.count(_ % 7 == 3).toLong
+    val nDrop = keys.count(_ % 7 == 5).toLong
+    val nClean = keys.length - nSub - nDrop
+    assert(rows("clean") == ((nClean, nClean, nClean, 0L)))
+    // one edit injected → matched at dist exactly 1, all correct
+    assert(rows("sub") == ((nSub, nSub, nSub, nSub)))
+    assert(rows("drop") == ((nDrop, nDrop, nDrop, nDrop)))
+  }
+
+  test("link blocks: candidate arithmetic equals a local count and never expands pairs") {
+    val df = operators.Link.linkBlocks(spark, sf0001)
+    val r = df.collect().head
+    val keys = Tables.orders(spark, sf0001)
+      .select(col("o_custkey")).distinct().collect().map(_.getLong(0))
+    val nCust = Tables.customer(spark, sf0001).count()
+    val rb = keys.groupBy(_ % 100).map { case (b, g) => b -> g.length.toLong }
+    val lb = Tables.customer(spark, sf0001)
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+      .groupBy(_ % 100).map { case (b, g) => b -> g.length.toLong }
+    val blocks = (rb.keySet ++ lb.keySet)
+    val cand = blocks.toSeq.map(b =>
+      lb.getOrElse(b, 0L) * rb.getOrElse(b, 0L)).sum
+    assert(r.getLong(0) == blocks.size.toLong)
+    assert(r.getLong(3) == cand)
+    assert(r.getLong(4) == nCust * keys.length)
+    // the audit itself must not join row-level pairs: no join wider than
+    // the block-count tables appears — pin via absence of levenshtein
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("levenshtein"), s"audit expanded pairs:\n$p")
+  }
+
+  test("text clf: scores equal a local hashed-linear replay") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val local = docs.map { case (_, src, text) =>
+      val score = text.split(" ", -1).map { tok =>
+        val b = fold(md5hex(tok).substring(30, 32), 2) % 64
+        (fold(md5hex("w" + b), 4) % 1001) - 500
+      }.sum
+      (src, score)
+    }.groupBy(_._1).map { case (src, g) =>
+      src -> (g.length.toLong, g.count(_._2 > 0).toLong, g.map(_._2).sum)
+    }
+    val got = operators.Text.textClf(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == local)
+  }
+}
