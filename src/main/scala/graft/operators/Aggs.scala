@@ -505,7 +505,36 @@ object Aggs {
       .orderBy(col("o_orderpriority").asc)
   }
 
+  /** Incremental aggregate maintenance — the partial-merge algebra every
+    * scheduled 100 TB rollup lives on: a persisted per-key STATE (orders
+    * before the split date, standing in for yesterday's materialized
+    * aggregate) is combined with a fresh DELTA partial (the new
+    * partition) by unioning the two partial tables and re-aggregating —
+    * count and sum merge by addition, avg is RE-DERIVED from the merged
+    * (sum, count) pair rather than averaged-of-averages (the classic
+    * incremental-avg bug, wrong whenever the sides are unequal sizes).
+    * The oracle is the plain full-table aggregate: the gate proves
+    * merge(state, delta) ≡ recompute exactly, which is the entire
+    * correctness obligation of an incremental pipeline. Integer cents
+    * end-to-end; avg as truncating div of merged sums. */
+  def aggIncr(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .withColumn("cents",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents"))
+    val state = partial(o.filter(expr("o_orderdate < TIMESTAMP '1995-01-01'")))
+    val delta = partial(o.filter(expr("o_orderdate >= TIMESTAMP '1995-01-01'")))
+    state.union(delta)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("cents")).as("sum_cents"))
+      .withColumn("avg_cents", expr("sum_cents div cnt"))
+      .orderBy(col("o_orderpriority").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_incr"           -> aggIncr,
     "q_agg_wmedian_native" -> aggWmedianNative,
     "q_udaf_wavg_native" -> udafWavgNative,
     "q_agg_groupingid" -> aggGroupingId,
@@ -532,6 +561,18 @@ object Aggs {
   )
 
   val oracle: Map[String, String] = Map(
+    // the plain full recompute: merge(state, delta) must equal it exactly
+    "q_agg_incr" ->
+      """SELECT o_orderpriority,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |         AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |         AS BIGINT)) AS BIGINT)
+        |         // count(*) AS avg_cents
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC""".stripMargin,
     "q_approx_hll_int" -> hllIntOracle,
     // Full replay of the count-min pipeline: bucket counts per (row,
     // slot) under the same Carter–Wegman constants as

@@ -93,6 +93,35 @@ object Sketch {
       .orderBy(col("status").asc)
   }
 
+  /** Declared surface: the SCALE TIER of [[approxKmv]] — the same sketch
+    * through the bounded-state [[graft.functions.TopK]] Aggregator
+    * instead of a per-group window. Feeding (−h, h) makes the top-k
+    * total order (−h desc, id asc) ≡ bottom-k by h, so only the
+    * 64-element buffer crosses the shuffle (map-side combine), where the
+    * window form shuffles every distinct hash of every group. Declared
+    * with the IDENTICAL oracle as q_approx_kmv: the gate itself proves
+    * buffered-aggregation KMV ≡ window-rank KMV value-for-value — the
+    * "window for the gate, bounded aggregator for scale" promise made
+    * executable instead of documented. */
+  def approxKmvAgg(s: SparkSession, d: String): DataFrame = {
+    val bot = udaf(new graft.functions.TopK(K))
+    val sk = statusHashes(s, d)
+      .groupBy(col("status"))
+      .agg(bot((-col("h")), col("h")).as("buf"))
+      .withColumn("n_kept", size(col("buf")).cast("long"))
+      .withColumn("kth", expr("element_at(buf, -1)._2"))
+      .withColumn("est",
+        when(col("n_kept") < K, col("n_kept"))
+          .otherwise(expr(s"$Numer div greatest(kth, 1)")))
+    val ex = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(countDistinct(col("o_custkey")).as("exact_cnt"))
+    ex.join(sk, "status")
+      .select(col("status"), col("exact_cnt"), col("n_kept"), col("kth"),
+        col("est").as("est_distinct"))
+      .orderBy(col("status").asc)
+  }
+
   /** Declared surface: pairwise status-audience overlap — exact
     * intersection next to the theta-style estimate. The union sketch is
     * a REAL min-k over the merged hash sets (not an estimate of one):
@@ -136,6 +165,7 @@ object Sketch {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_kmv"      -> approxKmv,
+    "q_approx_kmv_agg"  -> approxKmvAgg,
     "q_approx_kmv_jacc" -> approxKmvJacc
   )
 
@@ -143,6 +173,24 @@ object Sketch {
 
   val oracle: Map[String, String] = Map(
     "q_approx_kmv" ->
+      s"""WITH pr AS (SELECT DISTINCT o_orderstatus AS status, o_custkey FROM orders),
+        |hx AS (SELECT status, md5(CAST(o_custkey AS VARCHAR)) AS hx FROM pr),
+        |hs AS (SELECT DISTINCT status, $foldH AS h FROM hx),
+        |rk AS (SELECT status, h,
+        |         row_number() OVER (PARTITION BY status ORDER BY h ASC) AS rn
+        |       FROM hs),
+        |sk AS (SELECT status, count(*) AS n_kept, max(h) AS kth
+        |       FROM rk WHERE rn <= $K GROUP BY status),
+        |ex AS (SELECT status, count(*) AS exact_cnt FROM pr GROUP BY status)
+        |SELECT e.status, CAST(e.exact_cnt AS BIGINT) AS exact_cnt,
+        |       CAST(s.n_kept AS BIGINT) AS n_kept, s.kth,
+        |       CAST(CASE WHEN s.n_kept < $K THEN s.n_kept
+        |            ELSE $Numer // greatest(s.kth, 1) END AS BIGINT) AS est_distinct
+        |FROM ex e JOIN sk s USING (status)
+        |ORDER BY status ASC""".stripMargin,
+    // deliberately the SAME SQL as q_approx_kmv: the oracle gate proves
+    // the bounded-aggregator tier ≡ the window tier, value for value
+    "q_approx_kmv_agg" ->
       s"""WITH pr AS (SELECT DISTINCT o_orderstatus AS status, o_custkey FROM orders),
         |hx AS (SELECT status, md5(CAST(o_custkey AS VARCHAR)) AS hx FROM pr),
         |hs AS (SELECT DISTINCT status, $foldH AS h FROM hx),

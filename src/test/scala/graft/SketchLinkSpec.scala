@@ -71,6 +71,34 @@ class SketchLinkSpec extends SparkSpec {
       .count(_ == "BroadcastNestedLoopJoin") <= 1, s"extra BNL:\n$p")
   }
 
+  test("kmv agg tier: equals the window tier row-for-row without a window in the plan") {
+    val win = operators.Sketch.approxKmv(spark, sf0001).collect().toSeq
+    val agg = operators.Sketch.approxKmvAgg(spark, sf0001)
+    assert(agg.collect().toSeq == win)
+    val p = agg.queryExecution.executedPlan.toString()
+    assert(!p.contains("Window"), s"agg tier fell back to a window:\n$p")
+    // the bounded buffer is an object aggregate with a partial mode
+    // crossing the shuffle (map-side combine of 64-element buffers)
+    assert(p.contains("ObjectHashAggregate"), s"no object agg:\n$p")
+    assert(p.contains("partial_topk"), s"no map-side combine:\n$p")
+  }
+
+  test("agg incr: merged state+delta partials equal a full recompute") {
+    import org.apache.spark.sql.functions.{expr => e}
+    val full = Tables.orders(spark, sf0001)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(e("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("sum_cents"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(2) / r.getLong(1))).toMap
+    val got = operators.Aggs.aggIncr(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == full)
+  }
+
   test("link er: every corrupted right resolves to its true customer") {
     val rows = operators.Link.linkEr(spark, sf0001).collect()
       .map(r => r.getString(0) ->
