@@ -659,7 +659,58 @@ object Analytics {
     parts.reduce(_ union _).orderBy(col("tbl").asc)
   }
 
+  /** The quasi-identifier view behind the privacy audits: segment ×
+    * nation × account-balance band (integer cents, truncating div —
+    * identical in Spark `div` and DuckDB `//`, including toward-zero on
+    * the negative balances). */
+  private def custQi(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .withColumn("band",
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) div 100000"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+        col("band"))
+
+  /** k-anonymity audit — the governance gate a PII-bearing table must
+    * pass before release: group rows into quasi-identifier equivalence
+    * classes (segment, nation, balance band) and histogram the class
+    * sizes. Classes of size 1 are directly re-identifying; sizes below
+    * the k threshold (the 2–4 bucket here) fail k=5 anonymity. One
+    * glance tells you how much generalization (coarser bands, dropped
+    * columns) the release needs. Pure two-level hash-aggregate algebra —
+    * the audit costs one shuffle at any scale. */
+  def dqKanon(s: SparkSession, d: String): DataFrame =
+    custQi(s, d)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"), col("band"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("size_band",
+        when(col("cnt") === 1, lit("1"))
+          .when(col("cnt") < 5, lit("2-4"))
+          .when(col("cnt") < 10, lit("5-9"))
+          .otherwise(lit("10+")))
+      .groupBy(col("size_band"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("cnt")).as("n_rows"))
+      .orderBy(col("size_band").asc)
+
+  /** l-diversity audit — k-anonymity's complement: a class can be large
+    * yet still leak if everyone in it shares the SENSITIVE value
+    * (homogeneity attack). Sensitive attribute: the customer's order
+    * priorities (via the orders join); l = distinct sensitive values in
+    * the class. Output: classes and customers per l — the l=1 row is the
+    * homogeneous-class exposure. Join keyed on custkey, then the same
+    * two-level aggregate shape as the k-audit. */
+  def dqLdiv(s: SparkSession, d: String): DataFrame =
+    custQi(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"), col("band"))
+      .agg(countDistinct(col("c_custkey")).as("n_cust"),
+        countDistinct(col("o_orderpriority")).as("l"))
+      .groupBy(col("l"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("n_cust")).as("n_cust"))
+      .orderBy(col("l").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_kanon"        -> dqKanon,
+    "q_dq_ldiv"         -> dqLdiv,
     "q_dq_fingerprint"  -> dqFingerprint,
     "q_agg_bitmap"      -> aggBitmap,
     "q_tpch_q3"         -> tpchQ3,
@@ -968,6 +1019,41 @@ object Analytics {
         |  WHERE b.cents <= a.cents AND b.size >= a.size
         |    AND (b.cents < a.cents OR b.size > a.size))
         |ORDER BY cents ASC, p_partkey ASC""".stripMargin,
+    "q_dq_kanon" ->
+      """WITH qi AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           // 100000 AS band
+        |  FROM customer),
+        |cls AS (
+        |  SELECT c_mktsegment, c_nationkey, band, count(*) AS cnt
+        |  FROM qi GROUP BY 1, 2, 3)
+        |SELECT CASE WHEN cnt = 1 THEN '1'
+        |            WHEN cnt < 5 THEN '2-4'
+        |            WHEN cnt < 10 THEN '5-9'
+        |            ELSE '10+' END AS size_band,
+        |       count(*) AS n_classes,
+        |       CAST(sum(cnt) AS BIGINT) AS n_rows
+        |FROM cls
+        |GROUP BY size_band
+        |ORDER BY size_band ASC""".stripMargin,
+    "q_dq_ldiv" ->
+      """WITH qi AS (
+        |  SELECT c_custkey, c_mktsegment, c_nationkey,
+        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           // 100000 AS band
+        |  FROM customer),
+        |cls AS (
+        |  SELECT q.c_mktsegment, q.c_nationkey, q.band,
+        |         count(DISTINCT q.c_custkey) AS n_cust,
+        |         count(DISTINCT o.o_orderpriority) AS l
+        |  FROM qi q JOIN orders o ON q.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2, 3)
+        |SELECT l, count(*) AS n_classes,
+        |       CAST(sum(n_cust) AS BIGINT) AS n_cust
+        |FROM cls
+        |GROUP BY l
+        |ORDER BY l ASC""".stripMargin,
     "q_dq_audit" ->
       """WITH li AS (SELECT * FROM lineitem), o AS (SELECT * FROM orders)
         |SELECT rule, CAST(n_bad AS BIGINT) AS n_bad,

@@ -138,6 +138,22 @@ class SketchLinkSpec extends SparkSpec {
     assert(!p.contains("levenshtein"), s"audit expanded pairs:\n$p")
   }
 
+  test("privacy audits: kanon partitions every customer; ldiv l is bounded by the priority domain") {
+    val kanon = operators.Analytics.dqKanon(spark, sf0001).collect()
+    assert(kanon.map(_.getLong(2)).sum ==
+      Tables.customer(spark, sf0001).count())
+    val bands = kanon.map(_.getString(0)).toSet
+    assert(bands.subsetOf(Set("1", "2-4", "5-9", "10+")))
+    val ldiv = operators.Analytics.dqLdiv(spark, sf0001).collect()
+    val nPrio = Tables.orders(spark, sf0001)
+      .select(col("o_orderpriority")).distinct().count()
+    assert(ldiv.map(_.getLong(0)).forall(l => l >= 1 && l <= nPrio))
+    // every ordering customer lands in exactly one class
+    val nOrdering = Tables.orders(spark, sf0001)
+      .select(col("o_custkey")).distinct().count()
+    assert(ldiv.map(_.getLong(2)).sum == nOrdering)
+  }
+
   test("text clf: scores equal a local hashed-linear replay") {
     val docs = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("source"), col("text")).collect()
