@@ -437,6 +437,54 @@ object Dedup {
     clusterLabels(nearDupPairs(Tables.documents(s, d))
       .select(col("a_id"), col("b_id")))
 
+  /** Leakage-aware train/val/test split — the assignment step every
+    * pretraining corpus needs AFTER near-dup clustering: hashing each
+    * DOC into a split leaks near-duplicates of training docs into eval
+    * (the contamination that inflates benchmarks); hashing each
+    * CLUSTER keeps every near-dup family on one side by construction.
+    * Both schemes are computed here side by side from the SAME shared
+    * checkpointed label leaf ([[labelMemo]]), with singleton docs
+    * falling back to their own id (coalesce — labels only exist for
+    * docs with at least one near-dup edge). The output pins the
+    * argument numerically: n_leaky_naive counts clusters the doc-hash
+    * split straddles; n_leaky_grp is 0 by construction, and the gate
+    * proves it. Split hash = md5 fold mod 10 (8/1/1), cross-engine
+    * exact, stable under corpus growth — adding documents never moves
+    * an existing cluster's assignment. */
+  def dedupSplit(s: SparkSession, d: String): DataFrame = {
+    val cl = labelMemo.computeIfAbsent(labelKey(s, d), _ => buildLabels(s, d))
+      .select(col("id").as("doc_id"), col("lbl").as("canon_id"))
+    val g = Tables.documents(s, d).select(col("doc_id"))
+      .join(cl, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("canon_id"), col("doc_id")))
+      .withColumn("hxd", md5(concat(lit("s"), col("doc_id").cast("string"))))
+      .withColumn("hxg", md5(concat(lit("s"), col("grp").cast("string"))))
+      .withColumn("vd", expr(s"${DetHash.sparkHexInt("hxd", 4)} % 10"))
+      .withColumn("vg", expr(s"${DetHash.sparkHexInt("hxg", 4)} % 10"))
+      .withColumn("sn", when(col("vd") < 8, lit("train"))
+        .when(col("vd") === 8, lit("val")).otherwise(lit("test")))
+      .withColumn("sg", when(col("vg") < 8, lit("train"))
+        .when(col("vg") === 8, lit("val")).otherwise(lit("test")))
+    val totals = g.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("grp")).as("n_groups"),
+      sum(when(col("sn") === "train", 1L).otherwise(0L)).as("naive_train"),
+      sum(when(col("sn") === "val", 1L).otherwise(0L)).as("naive_val"),
+      sum(when(col("sn") === "test", 1L).otherwise(0L)).as("naive_test"),
+      sum(when(col("sg") === "train", 1L).otherwise(0L)).as("grp_train"),
+      sum(when(col("sg") === "val", 1L).otherwise(0L)).as("grp_val"),
+      sum(when(col("sg") === "test", 1L).otherwise(0L)).as("grp_test"))
+    val leak = g.groupBy(col("grp"))
+      .agg(countDistinct(col("sn")).as("kd"), countDistinct(col("sg")).as("kg"))
+      .agg(sum(when(col("kd") > 1, 1L).otherwise(0L)).as("n_leaky_naive"),
+        sum(when(col("kg") > 1, 1L).otherwise(0L)).as("n_leaky_grp"))
+    totals.crossJoin(broadcast(leak))
+      .select(col("n_docs"), col("n_groups"),
+        col("naive_train"), col("naive_val"), col("naive_test"),
+        col("grp_train"), col("grp_val"), col("grp_test"),
+        col("n_leaky_naive"), col("n_leaky_grp"))
+  }
+
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     val labels = buildLabels(s, d)
     labelMemo.put(labelKey(s, d), labels)
@@ -772,6 +820,7 @@ object Dedup {
     "q_dedup_neardup"  -> dedupNeardup,
     "q_dedup_incr"     -> dedupIncr,
     "q_dedup_clusters" -> dedupClusters,
+    "q_dedup_split"    -> dedupSplit,
     "q_dedup_repr"     -> dedupRepr,
     "q_dedup_simhash"  -> dedupSimhash,
     "q_dedup_hamming"  -> dedupHamming,
@@ -1023,6 +1072,62 @@ object Dedup {
         |FROM reach
         |GROUP BY id
         |ORDER BY doc_id ASC""".stripMargin,
+    // Same transitive-closure base as q_dedup_clusters, then both split
+    // schemes (doc-hash vs cluster-hash) re-derived from the labels with
+    // the cross-engine md5 fold; singletons coalesce to their own id.
+    "q_dedup_split" ->
+      (s"""WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(tk)),
+        |           i -> tk[i] || ' ' || tk[i + 1])) AS tset
+        |  FROM toks),
+        |e AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM t a JOIN t b ON a.doc_id <> b.doc_id
+        |  WHERE len(a.tset) + len(b.tset) - len(list_intersect(a.tset, b.tset)) > 0
+        |    AND CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+        |        / (len(a.tset) + len(b.tset)
+        |           - len(list_intersect(a.tset, b.tset))) >= 0.7),
+        |reach(id, lbl) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.id),
+        |cl AS (
+        |  SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS canon_id
+        |  FROM reach GROUP BY id),
+        |g AS (
+        |  SELECT d.doc_id, coalesce(cl.canon_id, d.doc_id) AS grp
+        |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+        |h AS (
+        |  SELECT doc_id, grp,
+        |         md5('s' || CAST(doc_id AS VARCHAR)) AS hxd,
+        |         md5('s' || CAST(grp AS VARCHAR)) AS hxg
+        |  FROM g),
+        |sp AS (
+        |  SELECT doc_id, grp,
+        |         CASE WHEN ${DetHash.duckHexInt("hxd", 4)} % 10 < 8 THEN 'train'
+        |              WHEN ${DetHash.duckHexInt("hxd", 4)} % 10 = 8 THEN 'val'
+        |              ELSE 'test' END AS sn,
+        |         CASE WHEN ${DetHash.duckHexInt("hxg", 4)} % 10 < 8 THEN 'train'
+        |              WHEN ${DetHash.duckHexInt("hxg", 4)} % 10 = 8 THEN 'val'
+        |              ELSE 'test' END AS sg
+        |  FROM h),
+        |leak AS (
+        |  SELECT grp, count(DISTINCT sn) AS kd, count(DISTINCT sg) AS kg
+        |  FROM sp GROUP BY grp)
+        |SELECT CAST((SELECT count(*) FROM sp) AS BIGINT) AS n_docs,
+        |       CAST((SELECT count(DISTINCT grp) FROM sp) AS BIGINT) AS n_groups,
+        |       CAST((SELECT sum(CASE WHEN sn = 'train' THEN 1 ELSE 0 END) FROM sp) AS BIGINT) AS naive_train,
+        |       CAST((SELECT sum(CASE WHEN sn = 'val' THEN 1 ELSE 0 END) FROM sp) AS BIGINT) AS naive_val,
+        |       CAST((SELECT sum(CASE WHEN sn = 'test' THEN 1 ELSE 0 END) FROM sp) AS BIGINT) AS naive_test,
+        |       CAST((SELECT sum(CASE WHEN sg = 'train' THEN 1 ELSE 0 END) FROM sp) AS BIGINT) AS grp_train,
+        |       CAST((SELECT sum(CASE WHEN sg = 'val' THEN 1 ELSE 0 END) FROM sp) AS BIGINT) AS grp_val,
+        |       CAST((SELECT sum(CASE WHEN sg = 'test' THEN 1 ELSE 0 END) FROM sp) AS BIGINT) AS grp_test,
+        |       CAST((SELECT sum(CASE WHEN kd > 1 THEN 1 ELSE 0 END) FROM leak) AS BIGINT) AS n_leaky_naive,
+        |       CAST((SELECT sum(CASE WHEN kg > 1 THEN 1 ELSE 0 END) FROM leak) AS BIGINT) AS n_leaky_grp""").stripMargin,
     // Same transitive-closure base as q_dedup_clusters, extended with the
     // representative window: per cluster keep the longest doc (doc_id
     // tiebreak), everyone else points at it.

@@ -163,10 +163,66 @@ object Sketch {
       .orderBy(col("sa").asc, col("sb").asc)
   }
 
+  /** Bloom bits / hashes per key: 4096-bit filter, 3 probes — sized so
+    * the fixture build set (~300 keys) fills ~20% of the bits and the
+    * ~1.2k non-member probes yield a visible, deterministic handful of
+    * false positives (fill³ ≈ 0.8%). */
+  private val BloomM = 4096
+  private val BloomK = 3
+
+  /** (key, pos) probe positions: pos_i = fold8(md5(key # i)) mod m —
+    * the [[DetHash]] fold again, so the BITMAP ITSELF is cross-engine
+    * exact, not just its size. */
+  private def bloomPositions(df: DataFrame): DataFrame =
+    df.select(col("key"), explode(expr(s"sequence(0, ${BloomK - 1})")).as("i"))
+      .withColumn("hx",
+        md5(concat(col("key").cast("string"), lit("#"), col("i").cast("string"))))
+      .withColumn("pos", expr(s"${DetHash.sparkHexInt("hx", 8)} % $BloomM"))
+
+  /** Declared surface: Bloom-filter build + probe with a measured
+    * false-positive audit — the data-artifact membership sketch
+    * (decontamination lists, seen-URL sets, join pre-filters) as
+    * opposed to Spark's internal runtime bloom (q_join_bloom). Build:
+    * the distinct set-bit positions of one segment's customers. Probe:
+    * every ordering customer, claimed member iff all 3 of its positions
+    * are set (count of matched probe rows against the broadcast ≤4096-row
+    * bit set). The exact membership join rides alongside, so the output
+    * pins the sketch's one-sided guarantee numerically: n_members ≤
+    * n_claimed (no false negatives, asserted in the spec) and
+    * n_false_pos is the measured overshoot. Scale: the bit set is O(m)
+    * and broadcast; probes are a narrow map + one broadcast join —
+    * nothing pairwise anywhere. */
+  def approxBloom(s: SparkSession, d: String): DataFrame = {
+    val build = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("key")).distinct()
+    val bits = bloomPositions(build).select(col("pos")).distinct()
+    val probe = Tables.orders(s, d)
+      .select(col("o_custkey").as("key")).distinct()
+    val flags = bloomPositions(probe)
+      .join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left")
+      .groupBy(col("key"))
+      .agg(count(col("hit")).as("n_hit"))
+      .withColumn("claimed", col("n_hit") === BloomK)
+      .join(build.withColumn("member", lit(1)), Seq("key"), "left")
+    val agg = flags.agg(
+      count(lit(1)).as("n_probe"),
+      sum(when(col("claimed"), 1L).otherwise(0L)).as("n_claimed"),
+      sum(when(col("member") === 1, 1L).otherwise(0L)).as("n_members"),
+      sum(when(col("claimed") && col("member").isNull, 1L).otherwise(0L))
+        .as("n_false_pos"))
+    agg
+      .crossJoin(broadcast(build.agg(count(lit(1)).as("n_build"))))
+      .crossJoin(broadcast(bits.agg(count(lit(1)).as("n_bits_set"))))
+      .select(col("n_build"), col("n_bits_set"), col("n_probe"),
+        col("n_claimed"), col("n_members"), col("n_false_pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_kmv"      -> approxKmv,
     "q_approx_kmv_agg"  -> approxKmvAgg,
-    "q_approx_kmv_jacc" -> approxKmvJacc
+    "q_approx_kmv_jacc" -> approxKmvJacc,
+    "q_approx_bloom"    -> approxBloom
   )
 
   private val foldH = DetHash.duckHexInt("hx", 8)
@@ -206,6 +262,42 @@ object Sketch {
         |            ELSE $Numer // greatest(s.kth, 1) END AS BIGINT) AS est_distinct
         |FROM ex e JOIN sk s USING (status)
         |ORDER BY status ASC""".stripMargin,
+    "q_approx_bloom" ->
+      s"""WITH build AS (
+        |  SELECT DISTINCT c_custkey AS key FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'),
+        |bh AS (
+        |  SELECT md5(CAST(key AS VARCHAR) || '#' || CAST(i AS VARCHAR)) AS hx
+        |  FROM build CROSS JOIN (VALUES (0), (1), (2)) t(i)),
+        |bpos AS (SELECT DISTINCT ($foldH % $BloomM) AS pos FROM bh),
+        |probe AS (SELECT DISTINCT o_custkey AS key FROM orders),
+        |ph AS (
+        |  SELECT key,
+        |         md5(CAST(key AS VARCHAR) || '#' || CAST(i AS VARCHAR)) AS hx
+        |  FROM probe CROSS JOIN (VALUES (0), (1), (2)) t(i)),
+        |ppos AS (SELECT key, ($foldH % $BloomM) AS pos FROM ph),
+        |hits AS (
+        |  SELECT p.key, count(b.pos) AS n_hit
+        |  FROM ppos p LEFT JOIN bpos b ON p.pos = b.pos
+        |  GROUP BY p.key),
+        |flags AS (
+        |  SELECT h.key, h.n_hit = $BloomK AS claimed,
+        |         (m.key IS NOT NULL) AS member
+        |  FROM hits h LEFT JOIN build m ON h.key = m.key),
+        |agg AS (
+        |  SELECT count(*) AS n_probe,
+        |         sum(CASE WHEN claimed THEN 1 ELSE 0 END) AS n_claimed,
+        |         sum(CASE WHEN member THEN 1 ELSE 0 END) AS n_members,
+        |         sum(CASE WHEN claimed AND NOT member THEN 1 ELSE 0 END)
+        |           AS n_false_pos
+        |  FROM flags)
+        |SELECT CAST((SELECT count(*) FROM build) AS BIGINT) AS n_build,
+        |       CAST((SELECT count(*) FROM bpos) AS BIGINT) AS n_bits_set,
+        |       CAST(n_probe AS BIGINT) AS n_probe,
+        |       CAST(n_claimed AS BIGINT) AS n_claimed,
+        |       CAST(n_members AS BIGINT) AS n_members,
+        |       CAST(n_false_pos AS BIGINT) AS n_false_pos
+        |FROM agg""".stripMargin,
     "q_approx_kmv_jacc" ->
       s"""WITH pr AS (SELECT DISTINCT o_orderstatus AS status, o_custkey FROM orders),
         |hx AS (SELECT status, md5(CAST(o_custkey AS VARCHAR)) AS hx FROM pr),

@@ -167,7 +167,37 @@ object SqlReport {
             |ORDER BY cohort ASC""".stripMargin)
   }
 
+  /** NOT IN vs NOT EXISTS under NULLs — the three-valued-logic trap
+    * that silently empties production anti-joins: one masked subquery
+    * element (every 97th order's custkey CASEd to NULL) makes `x NOT IN
+    * (list)` UNKNOWN for every x, so the NOT IN count is 0 BY THE SQL
+    * STANDARD, while the NOT EXISTS form (equality skips the NULL
+    * elements) returns the real complement. Declared as a query so the
+    * gate pins that this engine implements the standard's null-aware
+    * anti-join semantics, not the intuitive-but-wrong set difference —
+    * and because Catalyst plans NOT IN as NullAwareAntiJoin, the costly
+    * operator users should see demoted to NOT EXISTS when NULLs are
+    * impossible. */
+  def sqlNotinNull(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql("""SELECT
+            |  (SELECT count(*) FROM customer_v
+            |   WHERE c_custkey NOT IN
+            |     (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+            |             ELSE o_custkey END
+            |      FROM orders_v WHERE o_totalprice > 250000)) AS n_not_in,
+            |  (SELECT count(*) FROM customer_v c
+            |   WHERE NOT EXISTS
+            |     (SELECT 1 FROM orders_v o
+            |      WHERE o.o_totalprice > 250000
+            |        AND (CASE WHEN o.o_orderkey % 97 = 0 THEN NULL
+            |             ELSE o.o_custkey END) = c.c_custkey))
+            |    AS n_not_exists""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_notin_null" -> sqlNotinNull,
     "q_sql_filter"       -> sqlFilterClause,
     "q_sql_pivot" -> sqlPivot,
     "q_sql_lateral"       -> sqlLateral,
@@ -181,6 +211,20 @@ object SqlReport {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_notin_null" ->
+      """SELECT
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_custkey NOT IN
+        |     (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |             ELSE o_custkey END
+        |      FROM orders WHERE o_totalprice > 250000)) AS n_not_in,
+        |  (SELECT count(*) FROM customer c
+        |   WHERE NOT EXISTS
+        |     (SELECT 1 FROM orders o
+        |      WHERE o.o_totalprice > 250000
+        |        AND (CASE WHEN o.o_orderkey % 97 = 0 THEN NULL
+        |             ELSE o.o_custkey END) = c.c_custkey))
+        |    AS n_not_exists""".stripMargin,
     "q_sql_filter" ->
       """SELECT user_id % 10 AS cohort,
         |       count(*) AS n_events,

@@ -138,6 +138,40 @@ class SketchLinkSpec extends SparkSpec {
     assert(!p.contains("levenshtein"), s"audit expanded pairs:\n$p")
   }
 
+  test("bloom: one-sided guarantee — every member claimed, fp audit consistent") {
+    val r = operators.Sketch.approxBloom(spark, sf0001).collect().head
+    val (nBuild, nBits, nProbe, nClaimed, nMembers, nFp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))
+    // no false negatives: claimed = members + false positives exactly
+    assert(nClaimed == nMembers + nFp)
+    assert(nBits <= math.min(4096L, 3L * nBuild))
+    assert(nBits > 0 && nProbe >= nMembers)
+    // truth column really is the exact membership
+    val exact = Tables.customer(spark, sf0001)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+      .join(Tables.orders(spark, sf0001)
+        .select(col("o_custkey").as("c_custkey")).distinct(), "c_custkey")
+      .count()
+    assert(nMembers == exact)
+  }
+
+  test("notin null: NOT IN with a nulled element is empty; NOT EXISTS returns the complement") {
+    val r = operators.SqlReport.sqlNotinNull(spark, sf0001).collect().head
+    assert(r.getLong(0) == 0L, "NOT IN over a NULL-bearing list must be empty")
+    assert(r.getLong(1) > 0L, "NOT EXISTS twin should find real non-buyers")
+  }
+
+  test("split: cluster-hash split never straddles a near-dup cluster; doc-hash split does") {
+    val r = operators.Dedup.dedupSplit(spark, sf0001).collect().head
+    val nDocs = r.getLong(0)
+    assert(r.getLong(2) + r.getLong(3) + r.getLong(4) == nDocs)
+    assert(r.getLong(5) + r.getLong(6) + r.getLong(7) == nDocs)
+    assert(r.getLong(9) == 0L, "cluster-keyed split leaked a cluster")
+    assert(r.getLong(8) >= r.getLong(9))
+  }
+
   test("privacy audits: kanon partitions every customer; ldiv l is bounded by the priority domain") {
     val kanon = operators.Analytics.dqKanon(spark, sf0001).collect()
     assert(kanon.map(_.getLong(2)).sum ==
