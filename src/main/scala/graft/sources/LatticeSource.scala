@@ -61,7 +61,8 @@ class LatticeSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new LatticeTable(properties.getOrDefault("n", "1000").toLong,
-      properties.getOrDefault("slices", "8").toInt)
+      properties.getOrDefault("slices", "8").toInt,
+      properties.getOrDefault("batchRows", "100").toLong)
 }
 
 object LatticeTable {
@@ -77,16 +78,18 @@ object LatticeTable {
   def lon(id: Long): Double = ((id * 73) % 36000) / 100.0 - 180 + 0.005
 }
 
-class LatticeTable(n: Long, slices: Int) extends Table with SupportsRead {
+class LatticeTable(n: Long, slices: Int, batchRows: Long = 100)
+    extends Table with SupportsRead {
   override def name(): String = s"lattice($n)"
   override def schema(): StructType = LatticeTable.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LatticeScanBuilder(n, slices)
+    new LatticeScanBuilder(n, slices, batchRows)
 }
 
-class LatticeScanBuilder(n: Long, slices: Int) extends ScanBuilder
+class LatticeScanBuilder(n: Long, slices: Int, batchRows: Long = 100)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
@@ -204,7 +207,7 @@ class LatticeScanBuilder(n: Long, slices: Int) extends ScanBuilder
       // a pushed LIMIT/TopN must serve from ONE partition in key order;
       // the unlimited scan keeps its parallel slices
       new LatticeScan(lo, math.max(lo, hi), if (limited) 1 else slices,
-        required, pushed, descending, limited)
+        required, pushed, descending, limited, batchRows)
 }
 
 /** Aggregate-pushdown scan: one partition, one row, values computed from
@@ -249,11 +252,25 @@ class LatticeAggReaderFactory(funcs: Seq[String]) extends PartitionReaderFactory
 
 class LatticeScan(lo: Long, hi: Long, slices: Int, schema: StructType,
     pushed: Array[Filter], descending: Boolean = false,
-    limited: Boolean = false) extends Scan with Batch
+    limited: Boolean = false, batchRows: Long = 100) extends Scan with Batch
     with SupportsReportStatistics {
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+
+  /** The MICRO_BATCH_READ tier: the same (pushdown-narrowed, pruned)
+    * generated range served as an append stream — `batchRows` ids become
+    * available per trigger, the offset IS the next unserved id, and the
+    * checkpointed offset round-trips through [[LatticeOffset]] json, so
+    * a restarted query resumes mid-range without replay (pinned in
+    * LatticeSourceSpec). This closes the DSv2 contract demonstrated by
+    * the connector: batch read with five pushdown surfaces, catalog
+    * routing, transactional write, and now incremental streaming read
+    * from the identical table. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new LatticeMicroBatchStream(lo, math.max(lo, hi),
+      math.max(1L, batchRows), schema)
 
   /** Exact stats for the post-pushdown range: generated data has no
     * estimation error, so the planner's broadcast decision is driven by
@@ -289,6 +306,64 @@ class LatticeScan(lo: Long, hi: Long, slices: Int, schema: StructType,
 }
 
 case class LatticePartition(start: Long, end: Long) extends InputPartition
+
+/** Stream offset = the next unserved lattice id; json is the bare long. */
+case class LatticeOffset(v: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
+}
+
+/** Micro-batch view of the [lo, hi) range, STATELESS by design: the
+  * stream implements [[SupportsAdmissionControl]] so every availability
+  * decision is the pure function `min(hi, start + batchRows)` of the
+  * engine-supplied start offset — there is no cursor to desynchronize
+  * from the checkpoint, which makes restart-without-replay correct by
+  * construction (the first cut of this class kept a mutable cursor and
+  * the restart spec caught it re-serving a committed batch; the
+  * admission-control form is also how Spark's own rate source paces).
+  * Each planned batch is ONE partition (the slice between consecutive
+  * offsets); parallelism within a batch is the usual repartition
+  * downstream. */
+class LatticeMicroBatchStream(lo: Long, hi: Long, batchRows: Long,
+    schema: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxRows}
+
+  override def initialOffset(): Offset = LatticeOffset(lo)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchRows)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[LatticeOffset].v
+    val step = limit match {
+      case m: ReadMaxRows => m.maxRows()
+      case _              => batchRows
+    }
+    LatticeOffset(math.min(hi, s + math.max(1L, step)))
+  }
+
+  /** Deprecated non-admission path; the engine prefers the two-arg form
+    * when SupportsAdmissionControl is present. */
+  override def latestOffset(): Offset = LatticeOffset(hi)
+
+  override def reportLatestOffset(): Offset = LatticeOffset(hi)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LatticeOffset].v
+    val e = end.asInstanceOf[LatticeOffset].v
+    if (s >= e) Array.empty else Array(LatticePartition(s, e))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LatticeReaderFactory(schema)
+
+  override def deserializeOffset(json: String): Offset =
+    LatticeOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 class LatticeReaderFactory(schema: StructType, descending: Boolean = false)
     extends PartitionReaderFactory {

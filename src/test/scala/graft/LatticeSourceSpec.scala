@@ -183,4 +183,47 @@ class LatticeSourceSpec extends SparkSpec {
     assert((r.getDouble(0), r.getDouble(1)) ==
       ((viaTable.getDouble(0), viaTable.getDouble(1))))
   }
+
+  test("micro-batch stream drains the range in batchRows-sized offsets") {
+    val ckpt = java.nio.file.Files.createTempDirectory("lattice-mb").toString
+    val q = spark.readStream.format("lattice")
+      .option("n", "500").option("batchRows", "200").load()
+      .writeStream.format("memory").queryName("lattice_mb")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("lattice_mb").select(col("id")).collect()
+        .map(_.getLong(0)).sorted
+      assert(rows.toSeq == (0L until 500L))
+      // 200-id admission per poll → at least 3 non-empty batches
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        q.recentProgress.map(_.numInputRows).mkString(","))
+      // values served by the stream match the shared derivation
+      val r7 = spark.table("lattice_mb").filter(col("id") === 7).collect().head
+      assert(r7.getDouble(r7.fieldIndex("lat")) == sources.LatticeTable.lat(7L))
+    } finally q.stop()
+  }
+
+  test("micro-batch restart resumes from the checkpointed offset without replay") {
+    val ckpt = java.nio.file.Files.createTempDirectory("lattice-mb2").toString
+    val out = java.nio.file.Files.createTempDirectory("lattice-mb2-out").toString
+    def run(n: Int): Unit = {
+      val q = spark.readStream.format("lattice")
+        .option("n", n.toString).option("batchRows", "100").load()
+        .select(col("id"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(200)
+    assert(spark.read.parquet(out).count() == 200)
+    // same checkpoint, wider range: only the unseen tail may be served —
+    // the file sink's exactly-once log would expose any replay as
+    // duplicate ids
+    run(350)
+    val ids = spark.read.parquet(out).select(col("id")).collect()
+      .map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until 350L),
+      s"replayed or skipped ids: n=${ids.length}")
+  }
 }
