@@ -477,7 +477,62 @@ object Sim {
       .orderBy(col("q_id").asc)
   }
 
+  /** Integer dot product over two quantized BIGINT array columns. */
+  private def qdot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+
+  /** MMR — maximal marginal relevance diversified top-k (Carbonell &
+    * Goldstein, SIGIR'98): greedily pick the candidate maximizing
+    * λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s), the standard
+    * redundancy-free retrieval step for RAG context packing and
+    * training-example selection. Three greedy rounds at λ=0.7 as ONE
+    * lazy declarative chain (the q_text_bpe_train pattern): each round's
+    * winner is a 1-row broadcast fold, the max-sim-to-selected join is
+    * candidates × (≤k picked rows), and nothing is collected.
+    *
+    * Exactness: vectors are int8-quantized FIRST (the fixed ×64 scheme
+    * of q_emb_stats), so every rel/sim is an integer dot and the MMR
+    * score is integer algebra ((7·rel − 3·maxsim) div 10) — bit-equal in
+    * DuckDB, where the same three rounds unroll as chained CTEs. The
+    * deterministic-at-scale lesson is the same as the centroid path:
+    * quantize first, then every comparison is shuffle-order-free. */
+  def simMmr(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d)
+      .withColumn("qv", expr(
+        "transform(embedding, x -> CAST(least(127, greatest(-128, " +
+          "floor(CAST(x AS DOUBLE) * 64.0D + 0.5D))) AS BIGINT))"))
+      .select(col("vec_id"), col("qv"))
+    val qry = q.filter(col("vec_id") === 0).select(col("qv").as("query_v"))
+    val rel = q.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qry))
+      .withColumn("rel", expr(qdot("qv", "query_v")))
+      .select(col("vec_id"), col("qv"), col("rel"))
+    var selected: DataFrame = null
+    var candidates = rel
+    for (r <- 1 to 3) {
+      val scored =
+        if (selected == null) candidates.withColumn("maxsim", lit(0L))
+        else candidates
+          .crossJoin(broadcast(selected.select(col("qv").as("sel_v"))))
+          .withColumn("simv", expr(qdot("qv", "sel_v")))
+          .groupBy(col("vec_id"))
+          .agg(first(col("qv")).as("qv"), max(col("rel")).as("rel"),
+            max(col("simv")).as("maxsim"))
+      val pick = scored
+        .withColumn("mmr", expr("(7 * rel - 3 * maxsim) div 10"))
+        .orderBy(col("mmr").desc, col("vec_id").asc).limit(1)
+        .withColumn("rank", lit(r.toLong))
+      selected = if (selected == null) pick else selected.unionByName(pick)
+      candidates = candidates
+        .join(pick.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    }
+    selected
+      .select(col("rank"), col("vec_id"), col("rel"), col("maxsim"), col("mmr"))
+      .orderBy(col("rank").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_mmr"  -> simMmr,
     "q_sim_recall"     -> simRecall,
     "q_emb_pq"         -> embPq,
     "q_sim_kmeans"     -> simKmeans,
@@ -585,7 +640,61 @@ object Sim {
       |             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),
       |           (a, x) -> a + x) / (q.nrm * c.nrm)""".stripMargin
 
+  /** DuckDB twin of [[qdot]] for quantized BIGINT lists. */
+  private def duckIdot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(list_zip($a, $b), z -> z[1] * z[2])),
+       |           (acc, x) -> acc + x)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // Three greedy MMR rounds unrolled as chained CTEs over the same
+    // quantized integer dots; each p_i is the argmax under the identical
+    // (mmr desc, vec_id asc) total order.
+    "q_sim_mmr" ->
+      s"""WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(least(127, greatest(-128,
+        |           floor(CAST(x AS DOUBLE) * 64.0 + 0.5))) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |qr AS (SELECT qv FROM q WHERE vec_id = 0),
+        |rl AS (
+        |  SELECT c.vec_id, c.qv,
+        |         ${duckIdot("c.qv", "r.qv")} AS rel
+        |  FROM q c, qr r WHERE c.vec_id <> 0),
+        |p1 AS (
+        |  SELECT vec_id, qv, rel, CAST(0 AS BIGINT) AS maxsim,
+        |         CAST((7 * rel) // 10 AS BIGINT) AS mmr
+        |  FROM rl ORDER BY (7 * rel) // 10 DESC, vec_id ASC LIMIT 1),
+        |s2 AS (
+        |  SELECT c.vec_id, c.qv, c.rel,
+        |         max(${duckIdot("c.qv", "s.qv")}) AS maxsim
+        |  FROM rl c CROSS JOIN (SELECT qv FROM p1) s
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM p1)
+        |  GROUP BY c.vec_id, c.qv, c.rel),
+        |p2 AS (
+        |  SELECT vec_id, qv, rel, maxsim,
+        |         CAST((7 * rel - 3 * maxsim) // 10 AS BIGINT) AS mmr
+        |  FROM s2 ORDER BY (7 * rel - 3 * maxsim) // 10 DESC, vec_id ASC
+        |  LIMIT 1),
+        |s3 AS (
+        |  SELECT c.vec_id, c.qv, c.rel,
+        |         max(${duckIdot("c.qv", "s.qv")}) AS maxsim
+        |  FROM rl c CROSS JOIN
+        |    (SELECT qv FROM p1 UNION ALL SELECT qv FROM p2) s
+        |  WHERE c.vec_id NOT IN
+        |    (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2)
+        |  GROUP BY c.vec_id, c.qv, c.rel),
+        |p3 AS (
+        |  SELECT vec_id, qv, rel, maxsim,
+        |         CAST((7 * rel - 3 * maxsim) // 10 AS BIGINT) AS mmr
+        |  FROM s3 ORDER BY (7 * rel - 3 * maxsim) // 10 DESC, vec_id ASC
+        |  LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel, maxsim, mmr FROM p1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), vec_id, rel, maxsim, mmr FROM p2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), vec_id, rel, maxsim, mmr FROM p3
+        |ORDER BY rank ASC""".stripMargin,
     // Sign-pack rebuilt with the same 32-bit split; Hamming via
     // xor+bit_count; cosine ranking reuses the fold-parity dot.
     "q_emb_binquant" ->

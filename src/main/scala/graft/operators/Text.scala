@@ -1082,7 +1082,10 @@ object Text {
     * the shape that matters at 100 TB: model scoring costs one scan,
     * shuffles only doc-sized partials, and stays inside whole-stage
     * codegen — no UDF, no vector runtime. */
-  def textClf(s: SparkSession, d: String): DataFrame =
+  /** Per-doc hashed-linear scores — the shared inference stage behind
+    * [[textClf]] (keep/drop counting) and [[textBudget]] (selection
+    * under a token budget): (doc_id, source, score, n_toks). */
+  private def clfDocScores(s: SparkSession, d: String): DataFrame =
     Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"), col("source"), explode(toks).as("tok"))
       .withColumn("hx", md5(col("tok")))
@@ -1092,15 +1095,50 @@ object Text {
       .withColumn("wx", md5(concat(lit("w"), col("bucket").cast("string"))))
       .withColumn("w", expr(s"(${DetHash.sparkHexInt("wx", 4)} % 1001) - 500"))
       .groupBy(col("doc_id"), col("source"))
-      .agg(sum(col("w")).as("score"))
+      .agg(sum(col("w")).as("score"), count(lit(1)).as("n_toks"))
+
+  def textClf(s: SparkSession, d: String): DataFrame =
+    clfDocScores(s, d)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         count(when(col("score") > 0, 1)).as("n_keep"),
         sum(col("score")).as("score_sum"))
       .orderBy(col("source").asc)
 
+  /** Data selection under a token budget — the knapsack step after
+    * quality scoring: rank positive-scoring documents by integer value
+    * DENSITY (score per kilotoken) and take the greedy prefix whose
+    * cumulative token count fits the budget. Greedy-by-density is the
+    * canonical knapsack relaxation; the integer permille density and the
+    * unique (density desc, doc_id) total order make the cut
+    * deterministic in both engines. Declared output is the per-source
+    * composition of the selected set — the number a mixture planner
+    * actually consumes.
+    *
+    * Scale note: the running-token cumsum is a GLOBAL ordered window
+    * over the positive-scoring survivors (already a small fraction of
+    * the corpus). At 100 TB the same two-pass trick as
+    * q_win_ntile_exact2 applies: repartitionByRange on (density, id),
+    * per-partition partial token sums, broadcast the per-partition
+    * offsets, cut locally. */
+  def textBudget(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("density").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clfDocScores(s, d)
+      .filter(col("score") > 0)
+      .withColumn("density", expr("score * 1000 div n_toks"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .filter(col("cum") <= 5000)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sel"), sum(col("n_toks")).as("toks_sel"),
+        sum(col("score")).as("score_sel"))
+      .orderBy(col("source").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_clf"     -> textClf,
+    "q_text_budget"  -> textBudget,
     "q_text_novelty" -> textNovelty,
     "q_text_prefix_block" -> textPrefixBlock,
     "q_text_hashtrick" -> textHashtrick,
@@ -1181,6 +1219,36 @@ object Text {
         |FROM b
         |GROUP BY band
         |ORDER BY band ASC""".stripMargin,
+    "q_text_budget" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, source, md5(tok) AS hx FROM t),
+        |b AS (SELECT doc_id, source,
+        |        (CAST(strpos('0123456789abcdef', substr(hx, 31, 1)) - 1
+        |           AS BIGINT) * 16 +
+        |         CAST(strpos('0123456789abcdef', substr(hx, 32, 1)) - 1
+        |           AS BIGINT)) % 64 AS bucket
+        |      FROM h),
+        |w AS (SELECT doc_id, source,
+        |        md5('w' || CAST(bucket AS VARCHAR)) AS wx
+        |      FROM b),
+        |sc AS (SELECT doc_id, source, count(*) AS n_toks,
+        |         CAST(sum((${DetHash.duckHexInt("wx", 4)} % 1001) - 500)
+        |           AS BIGINT) AS score
+        |       FROM w GROUP BY doc_id, source),
+        |d AS (SELECT doc_id, source, n_toks, score,
+        |        (score * 1000) // n_toks AS density
+        |      FROM sc WHERE score > 0),
+        |c AS (SELECT doc_id, source, n_toks, score,
+        |        sum(n_toks) OVER (ORDER BY density DESC, doc_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM d)
+        |SELECT source, count(*) AS n_sel,
+        |       CAST(sum(n_toks) AS BIGINT) AS toks_sel,
+        |       CAST(sum(score) AS BIGINT) AS score_sel
+        |FROM c WHERE cum <= 5000
+        |GROUP BY source ORDER BY source ASC""".stripMargin,
     "q_text_clf" ->
       s"""WITH t AS (
         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok

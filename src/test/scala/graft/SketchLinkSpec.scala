@@ -188,6 +188,61 @@ class SketchLinkSpec extends SparkSpec {
     assert(ldiv.map(_.getLong(2)).sum == nOrdering)
   }
 
+  test("mmr: three greedy rounds equal a local integer replay") {
+    val vecs = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x =>
+          math.min(127L, math.max(-128L,
+            math.floor(x.toDouble * 64.0 + 0.5).toLong))).toArray)
+      .toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val qv = vecs(0L)
+    val rel = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, v, dot(qv, v)) }
+    var sel = Vector.empty[(Long, Long, Long, Long)] // id, rel, maxsim, mmr
+    var cand = rel
+    for (_ <- 1 to 3) {
+      val scored = cand.map { case (id, v, r) =>
+        val ms = if (sel.isEmpty) 0L
+          else sel.map(s => dot(v, vecs(s._1))).max
+        (id, r, ms, (7 * r - 3 * ms) / 10)
+      }
+      val best = scored.minBy(t => (-t._4, t._1))
+      sel :+= best
+      cand = cand.filter(_._1 != best._1)
+    }
+    val got = operators.Sim.simMmr(spark, sf0001).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toVector == sel)
+  }
+
+  test("budget: greedy density prefix equals a local knapsack replay") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val perDoc = docs.map { case (id, src, text) =>
+      val toks = text.split(" ", -1)
+      val score = toks.map { tok =>
+        val b = fold(md5hex(tok).substring(30, 32), 2) % 64
+        (fold(md5hex("w" + b), 4) % 1001) - 500
+      }.sum
+      (id, src, toks.length.toLong, score)
+    }.filter(_._4 > 0)
+      .map(t => (t._1, t._2, t._3, t._4, t._4 * 1000 / t._3))
+      .sortBy(t => (-t._5, t._1))
+    var cum = 0L
+    val kept = perDoc.takeWhile { t => cum += t._3; cum <= 5000 }
+    val local = kept.groupBy(_._2).map { case (src, g) =>
+      src -> (g.length.toLong, g.map(_._3).sum, g.map(_._4).sum)
+    }
+    val got = operators.Text.textBudget(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == local)
+  }
+
   test("text clf: scores equal a local hashed-linear replay") {
     val docs = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("source"), col("text")).collect()
