@@ -101,8 +101,15 @@ object Headroom {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
     val all = sys.env.get("SPARK_GRAFT_HEADROOM_ALL").contains("1")
+    // SPARK_GRAFT_HEADROOM_ONLY=a,b,c measures just that subset (new-query
+    // spot checks without the full-surface sweep's cost)
+    val only = sys.env.get("SPARK_GRAFT_HEADROOM_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // sorted order keeps memo producers before consumers (clusters < repr)
-    val names = if (all) SparkEntry.queries.keys.toSeq.sorted else SlowQueries
+    val names = only match {
+      case Some(sel) => SparkEntry.queries.keys.toSeq.sorted.filter(sel)
+      case None      => if (all) SparkEntry.queries.keys.toSeq.sorted else SlowQueries
+    }
     // warm-up: JIT + codegen on the small fixture
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
