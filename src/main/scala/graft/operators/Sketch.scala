@@ -93,26 +93,33 @@ object Sketch {
       .orderBy(col("status").asc)
   }
 
-  /** Declared surface: the SCALE TIER of [[approxKmv]] — the same sketch
-    * through the bounded-state [[graft.functions.TopK]] Aggregator
-    * instead of a per-group window. Feeding (−h, h) makes the top-k
-    * total order (−h desc, id asc) ≡ bottom-k by h, so only the
-    * 64-element buffer crosses the shuffle (map-side combine), where the
-    * window form shuffles every distinct hash of every group. Declared
-    * with the IDENTICAL oracle as q_approx_kmv: the gate itself proves
-    * buffered-aggregation KMV ≡ window-rank KMV value-for-value — the
-    * "window for the gate, bounded aggregator for scale" promise made
-    * executable instead of documented. */
-  def approxKmvAgg(s: SparkSession, d: String): DataFrame = {
+  /** Bottom-K per group through the bounded-state
+    * [[graft.functions.TopK]] Aggregator: feeding (−h, h) makes the
+    * top-k total order (−h desc, id asc) ≡ bottom-k by h, so only the
+    * 64-element buffer crosses the shuffle (map-side combine), where
+    * the window form shuffles every distinct hash of every group. Same
+    * output contract as [[minK]] — the measured difference at 10× data
+    * is 0.98× (flat) vs the window tier's 3.36× (BASELINE.md). */
+  private def minKAgg(df: DataFrame, keys: Seq[String]): DataFrame = {
     val bot = udaf(new graft.functions.TopK(K))
-    val sk = statusHashes(s, d)
-      .groupBy(col("status"))
+    df.groupBy(keys.map(col): _*)
       .agg(bot((-col("h")), col("h")).as("buf"))
       .withColumn("n_kept", size(col("buf")).cast("long"))
       .withColumn("kth", expr("element_at(buf, -1)._2"))
       .withColumn("est",
         when(col("n_kept") < K, col("n_kept"))
           .otherwise(expr(s"$Numer div greatest(kth, 1)")))
+      .drop("buf")
+  }
+
+  /** Declared surface: the SCALE TIER of [[approxKmv]] — the same
+    * sketch through [[minKAgg]], declared with the IDENTICAL oracle as
+    * q_approx_kmv: the gate itself proves buffered-aggregation KMV ≡
+    * window-rank KMV value-for-value — the "window for the gate,
+    * bounded aggregator for scale" promise made executable instead of
+    * documented. */
+  def approxKmvAgg(s: SparkSession, d: String): DataFrame = {
+    val sk = minKAgg(statusHashes(s, d), Seq("status"))
     val ex = Tables.orders(s, d)
       .groupBy(col("o_orderstatus").as("status"))
       .agg(countDistinct(col("o_custkey")).as("exact_cnt"))
@@ -130,7 +137,12 @@ object Sketch {
     * corpus-sized streams only ever join on equality. est_inter =
     * max(0, est_a + est_b − est_union) — inclusion–exclusion, clamped
     * because the three independent ±13% estimates can cross below zero
-    * on small true overlaps. */
+    * on small true overlaps.
+    *
+    * Both min-k stages run the [[minKAgg]] bounded-aggregator tier (the
+    * window form measured 4.04× at 10× data, the buffer form flat),
+    * while the ORACLE stays the window-rank SQL — the gate proves the
+    * tiers equal here exactly as it does for q_approx_kmv_agg. */
   def approxKmvJacc(s: SparkSession, d: String): DataFrame = {
     val hs = statusHashes(s, d)
     val st = hs.select(col("status")).distinct()
@@ -138,11 +150,11 @@ object Sketch {
       .join(broadcast(st.select(col("status").as("sb"))), col("sa") < col("sb"))
     val members = pairs
       .select(col("sa"), col("sb"), explode(array(col("sa"), col("sb"))).as("status"))
-    val unionSk = minK(
+    val unionSk = minKAgg(
       broadcast(members).join(hs, "status")
         .select(col("sa"), col("sb"), col("h")).distinct(),
       Seq("sa", "sb"))
-    val perSk = minK(hs, Seq("status"))
+    val perSk = minKAgg(hs, Seq("status"))
     val sc = Tables.orders(s, d)
       .select(col("o_orderstatus").as("status"), col("o_custkey"))
       .distinct()
