@@ -1136,9 +1136,54 @@ object Text {
       .orderBy(col("source").asc)
   }
 
+  /** Octave band of a raw frequency — floor(log2 f) as a generated CASE,
+    * valid verbatim in BOTH engines (the zipfBandCase trick applied to
+    * frequencies instead of ranks: no libm log2, no rounding drift at
+    * exact powers of two). */
+  private def freqBandCase: String =
+    (0 until 21).map(k => s"WHEN freq < ${1L << (k + 1)} THEN $k")
+      .mkString("CASE ", " ", " ELSE 21 END")
+
+  /** N-gram surprisal scoring — the integer-exact stand-in for the
+    * perplexity filter every pretraining pipeline runs: "train" a bigram
+    * LM on the corpus itself (bigram occurrence counts), score each
+    * document by the mean SURPRISAL of its bigrams, where surprisal =
+    * (corpus max octave band − the bigram's band) ≈ −log2 relative
+    * frequency in whole bits. Gibberish and rare-template docs score
+    * high, boilerplate scores near zero — the same separation the float
+    * perplexity gives, but in integer milli-bits that hash-match DuckDB
+    * exactly (CASE bands, integer div, no libm anywhere).
+    *
+    * Scale shape: one bigram explode, one frequency hash-agg (the model
+    * "training"), a bigram-keyed rejoin to score (shuffle on the natural
+    * key), a 1-row broadcast for the corpus max band, then doc- and
+    * source-level hash aggs. No window, no pairs, nothing collected. */
+  def textSurprise(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.spread(Tables.documents(s, d))
+      .withColumn("tk", toks)
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> concat_ws(' ', slice(tk, i, 2)))")).as("g"))
+    val freq = big.groupBy(col("g")).agg(count(lit(1)).as("freq"))
+      .withColumn("fband", expr(freqBandCase).cast("long"))
+    val mx = freq.agg(max(col("fband")).as("mxb"))
+    big.join(freq, "g")
+      .crossJoin(broadcast(mx))
+      .withColumn("surp", col("mxb") - col("fband"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_bi"), sum(col("surp")).as("ssum"))
+      .withColumn("milli", expr("ssum * 1000 div n_bi"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("milli")).as("sum_milli"),
+        min(col("milli")).as("min_milli"), max(col("milli")).as("max_milli"))
+      .orderBy(col("source").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_text_clf"     -> textClf,
-    "q_text_budget"  -> textBudget,
+    "q_text_clf"      -> textClf,
+    "q_text_budget"   -> textBudget,
+    "q_text_surprise" -> textSurprise,
     "q_text_novelty" -> textNovelty,
     "q_text_prefix_block" -> textPrefixBlock,
     "q_text_hashtrick" -> textHashtrick,
@@ -1219,6 +1264,28 @@ object Text {
         |FROM b
         |GROUP BY band
         |ORDER BY band ASC""".stripMargin,
+    "q_text_surprise" ->
+      s"""WITH b AS (
+        |  SELECT doc_id, source,
+        |         unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |           i -> string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i + 1])) AS g
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |f AS (SELECT g, count(*) AS freq FROM b GROUP BY g),
+        |fb AS (SELECT g, CAST($freqBandCase AS BIGINT) AS fband FROM f),
+        |sc AS (
+        |  SELECT b.doc_id, b.source, count(*) AS n_bi,
+        |         CAST(sum((SELECT max(fband) FROM fb) - fb.fband)
+        |           AS BIGINT) AS ssum
+        |  FROM b JOIN fb ON b.g = fb.g
+        |  GROUP BY b.doc_id, b.source),
+        |m AS (SELECT doc_id, source, (ssum * 1000) // n_bi AS milli FROM sc)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(milli) AS BIGINT) AS sum_milli,
+        |       CAST(min(milli) AS BIGINT) AS min_milli,
+        |       CAST(max(milli) AS BIGINT) AS max_milli
+        |FROM m GROUP BY source ORDER BY source ASC""".stripMargin,
     "q_text_budget" ->
       s"""WITH t AS (
         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok

@@ -243,6 +243,32 @@ class SketchLinkSpec extends SparkSpec {
     assert(got == local)
   }
 
+  test("surprise: bigram surprisal bands equal a local replay") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bigrams = docs.flatMap { case (id, src, text) =>
+      val t = text.split(" ", -1)
+      if (t.length < 2) Nil
+      else t.sliding(2).map(p => (id, src, p.mkString(" "))).toSeq
+    }
+    val freq = bigrams.groupBy(_._3).map { case (g, v) => g -> v.length }
+    def band(f: Int): Long = (63 - java.lang.Long.numberOfLeadingZeros(f))
+      .toLong.min(21L)
+    val mxb = freq.values.map(band).max
+    val local = bigrams.map { case (id, src, g) => (id, src, mxb - band(freq(g))) }
+      .groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((_, src), v) =>
+        (src, v.map(_._3).sum * 1000 / v.length) }
+      .groupBy(_._1)
+      .map { case (src, g) =>
+        src -> (g.size.toLong, g.map(_._2).sum, g.map(_._2).min, g.map(_._2).max) }
+    val got = operators.Text.textSurprise(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == local)
+  }
+
   test("text clf: scores equal a local hashed-linear replay") {
     val docs = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("source"), col("text")).collect()
