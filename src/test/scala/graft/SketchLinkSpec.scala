@@ -269,6 +269,21 @@ class SketchLinkSpec extends SparkSpec {
     assert(got == local)
   }
 
+  test("layout runs: sorted-by-key runs equal the key's distinct count") {
+    val r = operators.Analytics.layoutRuns(spark, sf0001).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    val li = Tables.lineitem(spark, sf0001)
+    // contiguous sort on the measured column ⇒ runs = distinct values
+    assert(r(("partkey", "l_partkey")) ==
+      li.select(col("l_partkey")).distinct().count())
+    // any order covers every row: runs are within [distinct, n]
+    val n = li.count()
+    r.foreach { case ((_, _), v) => assert(v >= 1 && v <= n) }
+    // the advisor must show the collapse: partkey-sorted partkey runs
+    // far below the unsorted-key orders
+    assert(r(("partkey", "l_partkey")) * 5 < r(("orderkey", "l_partkey")))
+  }
+
   test("text clf: scores equal a local hashed-linear replay") {
     val docs = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("source"), col("text")).collect()
