@@ -217,15 +217,23 @@ object Graph {
     * fingerprint read before running anything iterative on an implicit
     * similarity graph: a heavy top band means hub parts that will hot-key
     * any per-neighbor shuffle. Pair generation is per-order (order sizes
-    * are bounded, so C(size,2) stays linear); degree = distinct partners
-    * per part; bands are ⌊log2⌋ octaves via the same shared CASE both
-    * engines compile. All-integer. */
+    * are bounded, so C(size,2) stays linear) and happens INSIDE the
+    * order row — groupBy(order) → sorted distinct part set → i<j pairs
+    * from array positions — the same in-row rewrite that bought the
+    * basket family ~30%: one groupBy shuffle of the fact instead of a
+    * fact⋈fact self-join pushing the rows through two exchange sides
+    * plus a probe. Degree = distinct partners per part; bands are
+    * ⌊log2⌋ octaves via the same shared CASE both engines compile.
+    * All-integer. */
   def graphDegree(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-    val e0 = li.alias("a").join(li.alias("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+    val e0 = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), " +
+          "y -> struct(x AS pa, y AS pb))))")).as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .distinct()
     // Both endpoints of each undirected edge in ONE pass over the pair
     // join (explode of a 2-element array) — a union of two projections
