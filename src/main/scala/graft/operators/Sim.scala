@@ -531,8 +531,50 @@ object Sim {
       .orderBy(col("rank").asc)
   }
 
+  /** Integer squared euclidean distance over quantized BIGINT arrays. */
+  private def qdist2(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+
+  /** Greedy k-center coreset (farthest-point traversal, the 2-approx of
+    * Gonzalez '85): seed with vec 0, then repeatedly take the point
+    * FARTHEST from the selected set (max of min-distance). Where MMR
+    * selects for relevance-with-diversity, k-center selects for
+    * COVERAGE — the standard shape for training-subset selection and
+    * for seeding kmeans/IVF better than random. Three rounds as the
+    * same lazy 1-row-broadcast chain as q_sim_mmr; distances are
+    * integer squared euclidean over the ×64 int8 quantization, so every
+    * min/argmax is exact integer algebra and the DuckDB chained-CTE
+    * unroll matches bit for bit. mind2 at pick time IS the k-center
+    * cover radius bound — the declared output doubles as the quality
+    * certificate. */
+  def simCoreset(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d)
+      .withColumn("qv", expr(
+        "transform(embedding, x -> CAST(least(127, greatest(-128, " +
+          "floor(CAST(x AS DOUBLE) * 64.0D + 0.5D))) AS BIGINT))"))
+      .select(col("vec_id"), col("qv"))
+    var selected = q.filter(col("vec_id") === 0)
+      .select(lit(1L).as("rank"), col("vec_id"), lit(0L).as("mind2"), col("qv"))
+    var candidates = q.filter(col("vec_id") =!= 0)
+    for (r <- 2 to 4) {
+      val pick = candidates
+        .crossJoin(broadcast(selected.select(col("qv").as("sel_v"))))
+        .withColumn("d2", expr(qdist2("qv", "sel_v")))
+        .groupBy(col("vec_id"))
+        .agg(first(col("qv")).as("qv"), min(col("d2")).as("mind2"))
+        .orderBy(col("mind2").desc, col("vec_id").asc).limit(1)
+        .select(lit(r.toLong).as("rank"), col("vec_id"), col("mind2"), col("qv"))
+      selected = selected.unionByName(pick)
+      candidates = candidates
+        .join(pick.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    }
+    selected.select(col("rank"), col("vec_id"), col("mind2"))
+      .orderBy(col("rank").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_sim_mmr"  -> simMmr,
+    "q_sim_mmr"     -> simMmr,
+    "q_emb_coreset" -> simCoreset,
     "q_sim_recall"     -> simRecall,
     "q_emb_pq"         -> embPq,
     "q_sim_kmeans"     -> simKmeans,
@@ -646,7 +688,57 @@ object Sim {
        |           list_transform(list_zip($a, $b), z -> z[1] * z[2])),
        |           (acc, x) -> acc + x)""".stripMargin
 
+  /** DuckDB twin of [[qdist2]]. */
+  private def duckIdist2(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(list_zip($a, $b),
+       |             z -> (z[1] - z[2]) * (z[1] - z[2]))),
+       |           (acc, x) -> acc + x)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // Farthest-point rounds unrolled exactly like the MMR chain: each
+    // p_i is the max-of-min-distance argmax under (mind2 desc, id asc).
+    "q_emb_coreset" ->
+      s"""WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(least(127, greatest(-128,
+        |           floor(CAST(x AS DOUBLE) * 64.0 + 0.5))) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |p1 AS (SELECT CAST(1 AS BIGINT) AS rank, vec_id,
+        |              CAST(0 AS BIGINT) AS mind2, qv
+        |       FROM q WHERE vec_id = 0),
+        |s2 AS (
+        |  SELECT c.vec_id, c.qv, min(${duckIdist2("c.qv", "s.qv")}) AS mind2
+        |  FROM q c CROSS JOIN (SELECT qv FROM p1) s
+        |  WHERE c.vec_id <> 0
+        |  GROUP BY c.vec_id, c.qv),
+        |p2 AS (SELECT CAST(2 AS BIGINT) AS rank, vec_id, mind2, qv
+        |       FROM s2 ORDER BY mind2 DESC, vec_id ASC LIMIT 1),
+        |s3 AS (
+        |  SELECT c.vec_id, c.qv, min(${duckIdist2("c.qv", "s.qv")}) AS mind2
+        |  FROM q c CROSS JOIN
+        |    (SELECT qv FROM p1 UNION ALL SELECT qv FROM p2) s
+        |  WHERE c.vec_id <> 0
+        |    AND c.vec_id NOT IN (SELECT vec_id FROM p2)
+        |  GROUP BY c.vec_id, c.qv),
+        |p3 AS (SELECT CAST(3 AS BIGINT) AS rank, vec_id, mind2, qv
+        |       FROM s3 ORDER BY mind2 DESC, vec_id ASC LIMIT 1),
+        |s4 AS (
+        |  SELECT c.vec_id, c.qv, min(${duckIdist2("c.qv", "s.qv")}) AS mind2
+        |  FROM q c CROSS JOIN
+        |    (SELECT qv FROM p1 UNION ALL SELECT qv FROM p2
+        |     UNION ALL SELECT qv FROM p3) s
+        |  WHERE c.vec_id <> 0
+        |    AND c.vec_id NOT IN
+        |      (SELECT vec_id FROM p2 UNION ALL SELECT vec_id FROM p3)
+        |  GROUP BY c.vec_id, c.qv),
+        |p4 AS (SELECT CAST(4 AS BIGINT) AS rank, vec_id, mind2, qv
+        |       FROM s4 ORDER BY mind2 DESC, vec_id ASC LIMIT 1)
+        |SELECT rank, vec_id, mind2 FROM p1
+        |UNION ALL SELECT rank, vec_id, mind2 FROM p2
+        |UNION ALL SELECT rank, vec_id, mind2 FROM p3
+        |UNION ALL SELECT rank, vec_id, mind2 FROM p4
+        |ORDER BY rank ASC""".stripMargin,
     // Three greedy MMR rounds unrolled as chained CTEs over the same
     // quantized integer dots; each p_i is the argmax under the identical
     // (mmr desc, vec_id asc) total order.

@@ -218,6 +218,33 @@ class SketchLinkSpec extends SparkSpec {
     assert(got.toVector == sel)
   }
 
+  test("coreset: farthest-point traversal equals a local replay; cover radius shrinks") {
+    val vecs = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x =>
+          math.min(127L, math.max(-128L,
+            math.floor(x.toDouble * 64.0 + 0.5).toLong))).toArray)
+      .toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var sel = Vector(0L)
+    var expect = Vector((1L, 0L, 0L))
+    for (r <- 2 to 4) {
+      val best = vecs.keys.filter(!sel.contains(_)).toSeq
+        .map(id => (id, sel.map(s => d2(vecs(id), vecs(s))).min))
+        .minBy(t => (-t._2, t._1))
+      sel :+= best._1
+      expect :+= ((r.toLong, best._1, best._2))
+    }
+    val got = operators.Sim.simCoreset(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toVector
+    assert(got == expect)
+    // farthest-point invariant: pick-time cover radius is non-increasing
+    val radii = got.drop(1).map(_._3)
+    assert(radii == radii.sortBy(-_))
+  }
+
   test("budget: greedy density prefix equals a local knapsack replay") {
     val docs = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("source"), col("text")).collect()
