@@ -708,20 +708,38 @@ object Analytics {
       .agg(count(lit(1)).as("n_classes"), sum(col("n_cust")).as("n_cust"))
       .orderBy(col("l").asc)
 
-  /** Candidate physical sort keys and the columns whose run-lengths they
-    * shape — shared between the Spark plan and the generated oracle so
-    * the two can never drift. */
+  /** Candidate physical sort keys, the columns whose run-lengths they
+    * shape, and a value-derived BUCKET that is monotone in the leading
+    * sort column — shared between the Spark plan and the generated
+    * oracle so the two can never drift. Monotonicity is what makes the
+    * bucketed two-pass legal: bucket order ⊆ global order, so global
+    * runs = Σ per-bucket runs − seams where adjacent buckets meet on
+    * the same value. */
   private val layoutSortKeys = Seq(
-    "orderkey" -> Seq("l_orderkey", "l_linenumber"),
-    "partkey"  -> Seq("l_partkey", "l_orderkey", "l_linenumber"),
-    "shipdate" -> Seq("l_shipdate", "l_orderkey", "l_linenumber"))
+    // tiebreak chains run to (orderkey, linenumber, partkey, suppkey) —
+    // the fixture's MINIMAL unique key ((orderkey, linenumber) alone has
+    // 14k duplicate pairs, discovered when the bucketed rewrite's seam
+    // math exposed the tie-order dependence the global form got lucky on)
+    ("orderkey",
+      Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      "l_orderkey div 1000"),
+    ("partkey",
+      Seq("l_partkey", "l_orderkey", "l_linenumber", "l_suppkey"),
+      "l_partkey div 100"),
+    ("shipdate",
+      Seq("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      "year(l_shipdate) * 12 + month(l_shipdate)"))
   private val layoutRunCols = Seq("l_linestatus", "l_partkey", "l_returnflag")
 
   /** Physical-layout advisor: RLE run counts per (candidate sort key,
     * column) — the number that decides a table's sort order at 100 TB,
     * because parquet's RLE/dictionary encodings compress as 1/runs and
-    * min-max pruning sharpens as runs lengthen. One global-ordered lag
-    * window per candidate key (value-change boundaries = runs), then a
+    * min-max pruning sharpens as runs lengthen. Counted EXACTLY without
+    * a global sort: per-bucket lag windows (buckets derived monotonically
+    * from the leading sort column, so bucket order refines global order)
+    * plus a bucket-count-sized seam correction — the ntile_exact2
+    * two-pass trick applied to run counting; the ORACLE keeps the naive
+    * global-lag form, so the gate proves the decomposition exact. Then a
     * stack() unpivot to tidy (sort_key, col, n_runs) rows. The verdict
     * is read directly off the output — on this fixture, sorting by
     * partkey collapses l_partkey from ~60k runs to its 2k distinct
@@ -740,16 +758,38 @@ object Analytics {
   def layoutRuns(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(s, d)
-    val parts = layoutSortKeys.map { case (kname, kcols) =>
-      val w = Window.orderBy(kcols.map(col(_).asc): _*)
-      val lagged = layoutRunCols.foldLeft(li)((df, c) =>
-        df.withColumn(s"p_$c", lag(col(c), 1).over(w)))
-      val aggs = layoutRunCols.map(c =>
-        sum(when(col(s"p_$c").isNull || col(s"p_$c") =!= col(c), 1L)
-          .otherwise(0L)).as(s"r_$c"))
-      lagged.agg(aggs.head, aggs.tail: _*)
+    val parts = layoutSortKeys.map { case (kname, kcols, bucketExpr) =>
+      // pass 1: runs WITHIN each value-derived bucket — the lag window
+      // partitions by bucket, so no task ever sees more than one
+      // bucket's rows (the two-pass trick that keeps this exact AND
+      // scale-safe: bucket order ⊆ global order by monotonicity)
+      val wb = Window.partitionBy(col("bkt"))
+        .orderBy(kcols.map(col(_).asc): _*)
+      val sortStruct = struct(kcols.map(col): _*)
+      val lagged = layoutRunCols.foldLeft(
+        li.withColumn("bkt", expr(bucketExpr)))((df, c) =>
+        df.withColumn(s"p_$c", lag(col(c), 1).over(wb)))
+      val aggExprs =
+        layoutRunCols.map(c =>
+          sum(when(col(s"p_$c").isNull || col(s"p_$c") =!= col(c), 1L)
+            .otherwise(0L)).as(s"r_$c")) ++
+        layoutRunCols.map(c => min_by(col(c), sortStruct).as(s"f_$c")) ++
+        layoutRunCols.map(c => max_by(col(c), sortStruct).as(s"l_$c"))
+      val perBucket = lagged.groupBy(col("bkt"))
+        .agg(aggExprs.head, aggExprs.tail: _*)
+      // pass 2: seam correction over the BUCKET-COUNT-sized frame (the
+      // "broadcast offsets" analog): where the previous bucket ends on
+      // the value the next one starts with, two counted runs are one
+      val wseam = Window.orderBy(col("bkt").asc)
+      val seamed = layoutRunCols.foldLeft(perBucket)((df, c) =>
+        df.withColumn(s"pl_$c", lag(col(s"l_$c"), 1).over(wseam)))
+      val totals = layoutRunCols.map(c =>
+        (sum(col(s"r_$c")) -
+          sum(when(col(s"pl_$c") === col(s"f_$c"), 1L).otherwise(0L)))
+          .as(s"n_$c"))
+      seamed.agg(totals.head, totals.tail: _*)
         .select(expr(s"stack(${layoutRunCols.size}, " +
-          layoutRunCols.map(c => s"'$c', r_$c").mkString(", ") +
+          layoutRunCols.map(c => s"'$c', n_$c").mkString(", ") +
           ") as (col, n_runs)"))
         .withColumn("sort_key", lit(kname))
     }
@@ -1072,7 +1112,7 @@ object Analytics {
         |ORDER BY cents ASC, p_partkey ASC""".stripMargin,
     // generated from the same layoutSortKeys/layoutRunCols lists as the
     // Spark plan — one source of truth for keys, columns, and tiebreaks
-    "q_layout_runs" -> (layoutSortKeys.flatMap { case (kname, kcols) =>
+    "q_layout_runs" -> (layoutSortKeys.flatMap { case (kname, kcols, _) =>
       layoutRunCols.map { c =>
         s"""SELECT '$kname' AS sort_key, '$c' AS col,
            |       CAST(sum(CASE WHEN p IS NULL OR p <> v THEN 1 ELSE 0 END)
