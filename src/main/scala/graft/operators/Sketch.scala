@@ -230,11 +230,56 @@ object Sketch {
         col("n_claimed"), col("n_members"), col("n_false_pos"))
   }
 
+  /** Declared surface: hierarchical sketch ROLLUP — region-level
+    * distinct-customer sketches built by MERGING the nation-level
+    * sketches (explode the kept 64 values, bottom-k again), never by
+    * re-reading the fact rows. This is how sketches live at 100 TB:
+    * per-partition/per-day sketches are stored once and every coarser
+    * granularity rolls up from them. The ORACLE computes the region
+    * sketch DIRECTLY from the raw distinct hashes, so the gate proves
+    * the mergeability law (bottom-k of union ≡ bottom-k of merged
+    * bottom-ks — the property SketchPropertySpec checks randomly, here
+    * certified on real data against an independent engine). Nation→
+    * region mapping rides the 25-row broadcast dimension. */
+  def approxKmvRollup(s: SparkSession, d: String): DataFrame = {
+    val bot = udaf(new graft.functions.TopK(K))
+    val nat = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_regionkey")))
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .withColumn("hx", md5(col("c_custkey").cast("string")))
+      .withColumn("h", expr(DetHash.sparkHexInt("hx", 8)))
+    val nationSk = base
+      .select(col("n_regionkey"), col("n_nationkey"), col("h")).distinct()
+      .groupBy(col("n_regionkey"), col("n_nationkey"))
+      .agg(bot((-col("h")), col("h")).as("buf"))
+    val regionSk = nationSk
+      .select(col("n_regionkey"), explode(col("buf")).as("e"))
+      .select(col("n_regionkey"), col("e._2").as("h")).distinct()
+      .groupBy(col("n_regionkey"))
+      .agg(bot((-col("h")), col("h")).as("buf"))
+      .withColumn("n_kept", size(col("buf")).cast("long"))
+      .withColumn("kth", expr("element_at(buf, -1)._2"))
+      .withColumn("est",
+        when(col("n_kept") < K, col("n_kept"))
+          .otherwise(expr(s"$Numer div greatest(kth, 1)")))
+    val exact = base.groupBy(col("n_regionkey"))
+      .agg(countDistinct(col("c_custkey")).as("exact_cnt"),
+        countDistinct(col("n_nationkey")).as("n_nations"))
+    exact.join(regionSk, "n_regionkey")
+      .select(col("n_regionkey").cast("long").as("regionkey"),
+        col("n_nations"), col("exact_cnt"), col("n_kept"), col("kth"),
+        col("est").as("est_distinct"))
+      .orderBy(col("regionkey").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_approx_kmv"      -> approxKmv,
-    "q_approx_kmv_agg"  -> approxKmvAgg,
-    "q_approx_kmv_jacc" -> approxKmvJacc,
-    "q_approx_bloom"    -> approxBloom
+    "q_approx_kmv"        -> approxKmv,
+    "q_approx_kmv_agg"    -> approxKmvAgg,
+    "q_approx_kmv_jacc"   -> approxKmvJacc,
+    "q_approx_kmv_rollup" -> approxKmvRollup,
+    "q_approx_bloom"      -> approxBloom
   )
 
   private val foldH = DetHash.duckHexInt("hx", 8)
@@ -274,6 +319,33 @@ object Sketch {
         |            ELSE $Numer // greatest(s.kth, 1) END AS BIGINT) AS est_distinct
         |FROM ex e JOIN sk s USING (status)
         |ORDER BY status ASC""".stripMargin,
+    // the oracle builds the region sketch DIRECTLY from raw distinct
+    // hashes; the engine rolls nation sketches up — equality IS the
+    // mergeability law, certified cross-engine
+    "q_approx_kmv_rollup" ->
+      s"""WITH base AS (
+        |  SELECT n.n_regionkey AS rk, n.n_nationkey AS nk,
+        |         c.c_custkey AS key,
+        |         md5(CAST(c.c_custkey AS VARCHAR)) AS hx
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |hs AS (SELECT DISTINCT rk, $foldH AS h FROM base),
+        |rkk AS (SELECT rk, h,
+        |          row_number() OVER (PARTITION BY rk ORDER BY h ASC) AS rn
+        |        FROM hs),
+        |sk AS (SELECT rk, count(*) AS n_kept, max(h) AS kth
+        |       FROM rkk WHERE rn <= $K GROUP BY rk),
+        |ex AS (SELECT rk, count(DISTINCT key) AS exact_cnt,
+        |              count(DISTINCT nk) AS n_nations
+        |       FROM base GROUP BY rk)
+        |SELECT CAST(e.rk AS BIGINT) AS regionkey,
+        |       CAST(e.n_nations AS BIGINT) AS n_nations,
+        |       CAST(e.exact_cnt AS BIGINT) AS exact_cnt,
+        |       CAST(s.n_kept AS BIGINT) AS n_kept, s.kth,
+        |       CAST(CASE WHEN s.n_kept < $K THEN s.n_kept
+        |            ELSE $Numer // greatest(s.kth, 1) END AS BIGINT)
+        |         AS est_distinct
+        |FROM ex e JOIN sk s ON e.rk = s.rk
+        |ORDER BY regionkey ASC""".stripMargin,
     "q_approx_bloom" ->
       s"""WITH build AS (
         |  SELECT DISTINCT c_custkey AS key FROM customer

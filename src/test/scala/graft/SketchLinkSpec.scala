@@ -71,6 +71,22 @@ class SketchLinkSpec extends SparkSpec {
       .count(_ == "BroadcastNestedLoopJoin") <= 1, s"extra BNL:\n$p")
   }
 
+  test("kmv rollup: merged nation sketches equal a direct local region sketch") {
+    val rows = Tables.customer(spark, sf0001)
+      .join(Tables.nation(spark, sf0001),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_regionkey"), col("c_custkey")).collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1)))
+    val local = rows.groupBy(_._1).map { case (rk, g) =>
+      val hs = g.map(x => fold(md5hex(x._2.toString), 8)).distinct.sorted
+      val kept = hs.take(64)
+      rk -> (kept.length.toLong, kept.last)
+    }
+    val got = operators.Sketch.approxKmvRollup(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(got == local)
+  }
+
   test("kmv agg tier: equals the window tier row-for-row without a window in the plan") {
     val win = operators.Sketch.approxKmv(spark, sf0001).collect().toSeq
     val agg = operators.Sketch.approxKmvAgg(spark, sf0001)
