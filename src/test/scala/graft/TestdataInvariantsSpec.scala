@@ -128,6 +128,30 @@ class TestdataInvariantsSpec extends SparkSpec {
     assert(bad == 0, s"$bad lineitem rows outside (0, 1000] quantity domain")
   }
 
+  test("part-3 query preconditions survive a fixture regeneration") {
+    // q_sim_mmr / q_emb_coreset seed from vec_id 0 — a regenerated
+    // embeddings table without it would fail with an empty broadcast
+    assert(Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") === 0).count() == 1, "vec_id 0 missing")
+    // q_approx_kmv_jacc needs >= 2 statuses for its pair generator
+    assert(Tables.orders(spark, sf0001)
+      .select(col("o_orderstatus")).distinct().count() >= 2,
+      "fewer than 2 order statuses")
+    // q_approx_bloom builds from the BUILDING segment
+    assert(Tables.customer(spark, sf0001)
+      .filter(col("c_mktsegment") === "BUILDING").count() > 0,
+      "BUILDING segment empty")
+    // q_text_surprise needs multi-token documents
+    assert(Tables.documents(spark, sf0001)
+      .filter(size(split(col("text"), " ")) >= 2).count() > 0,
+      "no multi-token documents")
+    // q_link_er reconstructs names as Customer#%09d — the linkage is
+    // meaningless if the dimension's own format drifts
+    val badName = Tables.customer(spark, sf0001)
+      .filter(!col("c_name").rlike("^Customer#[0-9]{9}$")).count()
+    assert(badName == 0, s"$badName customer names off the #%09d format")
+  }
+
   test("user_id is non-negative: the CMS probe's pmod and % agree") {
     // The q_approx_cms oracle hashes with ((user_id % P) + P) % P and the
     // Spark probe with pmod — equal for all inputs — but the sketch
