@@ -465,4 +465,39 @@ class StreamingSpec extends SparkSpec {
     assert(a.nonEmpty && a == b,
       s"streaming registers diverge from batch: ${(a diff b).take(3)} / ${(b diff a).take(3)}")
   }
+
+  test("streaming KMV buffers equal the batch sketch (bounded mergeable state)") {
+    // The bottom-k sketch's streaming form: the TopK typed Aggregator's
+    // 64-element buffer IS the state row per segment — each micro-batch
+    // folds new rows into the buffer exactly like a map-side combine,
+    // the mergeability law as incremental maintenance. Customer keys are
+    // unique per row, so no stream-distinct stage is needed and the
+    // batch twin is the identical expression over the same file.
+    import org.apache.spark.sql.functions.udaf
+    val bot = udaf(new functions.TopK(64))
+    def sketch(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("hx", md5(col("c_custkey").cast("string")))
+      .withColumn("h", expr(operators.DetHash.sparkHexInt("hx", 8)))
+      .groupBy(col("c_mktsegment"))
+      .agg(bot((-col("h")), col("h")).as("buf"))
+      .select(col("c_mktsegment"), size(col("buf")).as("n_kept"),
+        expr("element_at(buf, -1)._2").as("kth"))
+    val schema = Tables.customer(spark, sf0001).schema
+    // the file stream source wants a directory: stage the single file
+    val dir = java.nio.file.Files.createTempDirectory("kmv-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/customer.parquet"),
+      dir.resolve("customer.parquet"))
+    val q = sketch(spark.readStream.schema(schema).parquet(dir.toString))
+      .writeStream.format("memory").queryName("kmv_stream_test")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val a = spark.table("kmv_stream_test").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val b = sketch(Tables.customer(spark, sf0001)).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a.nonEmpty && a == b,
+      s"streaming KMV diverges from batch: ${(a diff b).take(3)} / ${(b diff a).take(3)}")
+  }
 }
