@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -798,7 +798,47 @@ object Analytics {
       .orderBy(col("sort_key").asc, col("col").asc)
   }
 
+  /** Snapshot diff / CDC derivation — given two table snapshots and a
+    * key, classify every row as inserted / deleted / updated / unchanged
+    * — the changed-data feed a lakehouse derives when the upstream only
+    * ships full dumps. The "tomorrow" snapshot is synthesized in-query
+    * with deterministic mutations (every 97th key deleted, every 89th
+    * price bumped one cent, every 101st re-keyed into a fresh id range
+    * as an insert), so the expected class counts are a pure function of
+    * the fixture and fully oracled. Change detection hashes the FULL row
+    * (md5 over a canonical column rendering) so any column drift
+    * surfaces, and the classifier is one full-outer join on the key —
+    * the only shape that scales: no row ever compares against anything
+    * but its key partner. */
+  def dqSnapdiff(s: SparkSession, d: String): DataFrame = {
+    val cents = expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    def render(centsCol: Column): Column =
+      md5(concat_ws("|", col("o_custkey"), col("o_orderstatus"),
+        centsCol.cast("string"), col("o_orderpriority")))
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), render(cents).as("ha"))
+    val snap = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("cents2",
+        when(col("o_orderkey") % 89 === 0, cents + 1).otherwise(cents))
+      .select(col("o_orderkey").as("k"), render(col("cents2")).as("hb"))
+      .unionByName(Tables.orders(s, d)
+        .filter(col("o_orderkey") % 101 === 0)
+        .select((col("o_orderkey") + 10000000L).as("k"),
+          render(cents).as("hb")))
+    base.join(snap, Seq("k"), "full_outer")
+      .withColumn("class",
+        when(col("ha").isNull, lit("insert"))
+          .when(col("hb").isNull, lit("delete"))
+          .when(col("ha") =!= col("hb"), lit("update"))
+          .otherwise(lit("unchanged")))
+      .groupBy(col("class"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("class").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_snapdiff"     -> dqSnapdiff,
     "q_layout_runs"     -> layoutRuns,
     "q_dq_kanon"        -> dqKanon,
     "q_dq_ldiv"         -> dqLdiv,
@@ -1110,6 +1150,41 @@ object Analytics {
         |  WHERE b.cents <= a.cents AND b.size >= a.size
         |    AND (b.cents < a.cents OR b.size > a.size))
         |ORDER BY cents ASC, p_partkey ASC""".stripMargin,
+    "q_dq_snapdiff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         md5(concat_ws('|', CAST(o_custkey AS VARCHAR),
+        |           o_orderstatus,
+        |           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |             AS BIGINT) AS VARCHAR),
+        |           o_orderpriority)) AS ha
+        |  FROM orders),
+        |snap AS (
+        |  SELECT o_orderkey AS k,
+        |         md5(concat_ws('|', CAST(o_custkey AS VARCHAR),
+        |           o_orderstatus,
+        |           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |             AS BIGINT)
+        |             + CASE WHEN o_orderkey % 89 = 0 THEN 1 ELSE 0 END
+        |             AS VARCHAR),
+        |           o_orderpriority)) AS hb
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS k,
+        |         md5(concat_ws('|', CAST(o_custkey AS VARCHAR),
+        |           o_orderstatus,
+        |           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |             AS BIGINT) AS VARCHAR),
+        |           o_orderpriority)) AS hb
+        |  FROM orders WHERE o_orderkey % 101 = 0)
+        |SELECT CASE WHEN b.ha IS NULL THEN 'insert'
+        |            WHEN s.hb IS NULL THEN 'delete'
+        |            WHEN b.ha <> s.hb THEN 'update'
+        |            ELSE 'unchanged' END AS class,
+        |       count(*) AS n_rows
+        |FROM base b FULL OUTER JOIN snap s ON b.k = s.k
+        |GROUP BY class
+        |ORDER BY class ASC""".stripMargin,
     // generated from the same layoutSortKeys/layoutRunCols lists as the
     // Spark plan — one source of truth for keys, columns, and tiebreaks
     "q_layout_runs" -> (layoutSortKeys.flatMap { case (kname, kcols, _) =>

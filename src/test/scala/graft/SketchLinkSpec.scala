@@ -341,6 +341,19 @@ class SketchLinkSpec extends SparkSpec {
     assert(got == local)
   }
 
+  test("snapdiff: CDC classes equal the modular-arithmetic replay") {
+    val keys = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val nDel = keys.count(_ % 97 == 0).toLong
+    val nIns = keys.count(_ % 101 == 0).toLong
+    val nUpd = keys.count(k => k % 97 != 0 && k % 89 == 0).toLong
+    val nSame = keys.length - nDel - nUpd
+    val got = operators.Analytics.dqSnapdiff(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("delete" -> nDel, "insert" -> nIns,
+      "update" -> nUpd, "unchanged" -> nSame))
+  }
+
   test("layout runs: sorted-by-key runs equal the key's distinct count") {
     val r = operators.Analytics.layoutRuns(spark, sf0001).collect()
       .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
