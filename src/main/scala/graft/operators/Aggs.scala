@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -533,7 +533,43 @@ object Aggs {
       .orderBy(col("o_orderpriority").asc)
   }
 
+  /** Incremental view maintenance WITH RETRACTION — the harder half of
+    * q_agg_incr: when the delta carries deletes and updates (not just
+    * appends), the maintained aggregate applies SIGNED partials — each
+    * change class emits (group, Δcount, Δsum) with its sign and one
+    * union-and-sum folds them into the standing state. Deletes subtract
+    * their full contribution, updates contribute only (new − old), and
+    * inserts add — never a recompute of the unchanged mass. The change
+    * feed here is the same deterministic modular mutation set
+    * q_dq_snapdiff classifies (97-deletes, 89-cent-bumps, 101-inserts),
+    * and the ORACLE aggregates the mutated snapshot directly, so the
+    * gate proves maintain(state, changes) ≡ recompute(snapshot) exactly
+    * — the invariant a materialized view's correctness rests on.
+    * Integer cents throughout; avg re-derived from merged sums. */
+  def aggIvm(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .withColumn("cents",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    def part(df: DataFrame, dcnt: Column, dcents: Column): DataFrame =
+      df.groupBy(col("o_orderpriority"))
+        .agg(sum(dcnt).as("dcnt"), sum(dcents).as("dcents"))
+    val state = part(o, lit(1L), col("cents"))
+    val del = part(o.filter(col("o_orderkey") % 97 === 0),
+      lit(-1L), -col("cents"))
+    val upd = part(o.filter(col("o_orderkey") % 97 =!= 0 &&
+        col("o_orderkey") % 89 === 0),
+      lit(0L), lit(1L)) // new − old = +1 cent, count unchanged
+    val ins = part(o.filter(col("o_orderkey") % 101 === 0),
+      lit(1L), col("cents"))
+    state.unionByName(del).unionByName(upd).unionByName(ins)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("dcnt")).as("cnt"), sum(col("dcents")).as("sum_cents"))
+      .withColumn("avg_cents", expr("sum_cents div cnt"))
+      .orderBy(col("o_orderpriority").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_ivm"            -> aggIvm,
     "q_agg_incr"           -> aggIncr,
     "q_agg_wmedian_native" -> aggWmedianNative,
     "q_udaf_wavg_native" -> udafWavgNative,
@@ -561,6 +597,25 @@ object Aggs {
   )
 
   val oracle: Map[String, String] = Map(
+    // direct aggregate over the MUTATED snapshot: signed-partial
+    // maintenance must reproduce it exactly
+    "q_agg_ivm" ->
+      """WITH snap AS (
+        |  SELECT o_orderpriority,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           + CASE WHEN o_orderkey % 89 = 0 THEN 1 ELSE 0 END
+        |           AS cents
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderpriority,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 101 = 0)
+        |SELECT o_orderpriority, count(*) AS cnt,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       CAST(sum(cents) AS BIGINT) // count(*) AS avg_cents
+        |FROM snap
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC""".stripMargin,
     // the plain full recompute: merge(state, delta) must equal it exactly
     "q_agg_incr" ->
       """SELECT o_orderpriority,

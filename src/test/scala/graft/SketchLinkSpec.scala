@@ -99,6 +99,25 @@ class SketchLinkSpec extends SparkSpec {
     assert(p.contains("partial_topk"), s"no map-side combine:\n$p")
   }
 
+  test("agg ivm: signed-partial maintenance equals a snapshot recompute") {
+    val rows = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // replay the mutated snapshot directly
+    val snap = rows.filter(_._1 % 97 != 0)
+      .map { case (k, p, c) => (p, if (k % 89 == 0) c + 1 else c) } ++
+      rows.filter(_._1 % 101 == 0).map { case (_, p, c) => (p, c) }
+    val local = snap.groupBy(_._1).map { case (p, g) =>
+      val s = g.map(_._2).sum
+      p -> (g.length.toLong, s, s / g.length)
+    }
+    val got = operators.Aggs.aggIvm(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == local)
+  }
+
   test("agg incr: merged state+delta partials equal a full recompute") {
     import org.apache.spark.sql.functions.{expr => e}
     val full = Tables.orders(spark, sf0001)
