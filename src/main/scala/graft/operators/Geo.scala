@@ -199,7 +199,49 @@ object Geo {
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
+  /** Grid-density spatial clustering — the DBSCAN shape that survives
+    * 100 TB: instead of point-to-point epsilon queries (quadratic),
+    * points aggregate into grid cells, cells with ≥ minPts become CORE,
+    * and core cells merge through 8-neighborhood adjacency into
+    * clusters via the SAME convergence-guarded min-label propagation
+    * the near-dup pipeline uses ([[Dedup.clusterLabels]] — one shared
+    * iterative operator, two domains). The stencil join is an EQUI join
+    * (cell id vs 9 exploded neighbor offsets), never a distance
+    * predicate; per-cluster output carries cell and point counts with
+    * singleton core cells coalescing to their own id. The oracle walks
+    * the identical adjacency with a recursive CTE. */
+  def geoDbscan(s: SparkSession, d: String): DataFrame = {
+    val cells = withCoords(Tables.customer(s, d))
+      .withColumn("cx", expr("CAST(floor(lat / 5.0) AS BIGINT)"))
+      .withColumn("cy", expr("CAST(floor(lon / 5.0) AS BIGINT)"))
+      .groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).as("n_pts"))
+      .filter(col("n_pts") >= 3)
+      .withColumn("cell", (col("cx") + 18) * 72 + (col("cy") + 36))
+    val offsets = Seq(-1L, 0L, 1L)
+      .flatMap(dx => Seq(-1L, 0L, 1L).map(dy => (dx, dy)))
+      .filterNot(o => o._1 == 0 && o._2 == 0)
+    val probe = cells.select(col("cx"), col("cy"), col("cell").as("a_id"))
+      .withColumn("o", explode(typedLit(offsets)))
+      .select(col("a_id"), (col("cx") + col("o._1")).as("nx"),
+        (col("cy") + col("o._2")).as("ny"))
+    val edges = probe.join(
+        cells.select(col("cx").as("nx"), col("cy").as("ny"),
+          col("cell").as("b_id")),
+        Seq("nx", "ny"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    val labels = Dedup.clusterLabels(edges)
+      .select(col("id").as("cell"), col("lbl"))
+    cells.join(labels, Seq("cell"), "left")
+      .withColumn("cluster", coalesce(col("lbl"), col("cell")))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n_pts")).as("n_points"))
+      .orderBy(col("cluster").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geo_dbscan"     -> geoDbscan,
     "q_join_spatial"    -> joinSpatial,
     "q_geo_dist_native" -> geoDistNative,
     "q_geo_nearest"     -> geoNearest,
@@ -224,6 +266,37 @@ object Geo {
       |LIMIT 50""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // identical cell derivation; adjacency walked by a recursive CTE,
+    // min reachable label ≡ the engine's propagation fixed point
+    "q_geo_dbscan" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT (c_custkey % 180 - 90) + 0.5 AS lat,
+        |         ((c_custkey * 7) % 360 - 180) + 0.5 AS lon
+        |  FROM customer),
+        |cells AS (
+        |  SELECT CAST(floor(lat / 5.0) AS BIGINT) AS cx,
+        |         CAST(floor(lon / 5.0) AS BIGINT) AS cy,
+        |         count(*) AS n_pts
+        |  FROM pts GROUP BY 1, 2 HAVING count(*) >= 3),
+        |cc AS (SELECT cx, cy, n_pts,
+        |              (cx + 18) * 72 + (cy + 36) AS cell FROM cells),
+        |e AS (
+        |  SELECT a.cell AS src, b.cell AS dst
+        |  FROM cc a JOIN cc b
+        |    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+        |   AND a.cell <> b.cell),
+        |reach(id, lbl) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.id),
+        |lab AS (SELECT id AS cell, CAST(min(lbl) AS BIGINT) AS lbl
+        |        FROM reach GROUP BY id)
+        |SELECT coalesce(l.lbl, c.cell) AS cluster,
+        |       count(*) AS n_cells,
+        |       CAST(sum(c.n_pts) AS BIGINT) AS n_points
+        |FROM cc c LEFT JOIN lab l ON c.cell = l.cell
+        |GROUP BY cluster
+        |ORDER BY cluster ASC""".stripMargin,
     // All-pairs oracle; the engine's stencil-join output equals it because
     // the 3×3 stencil provably covers the 100 km radius on |lat| ≤ 60.
     "q_join_spatial" ->

@@ -360,6 +360,36 @@ class SketchLinkSpec extends SparkSpec {
     assert(got == local)
   }
 
+  test("geo dbscan: clusters equal a local grid union-find replay") {
+    val keys = Tables.customer(spark, sf0001)
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    val cellOf = keys.map { k =>
+      val lat = (k % 180 - 90).toDouble + 0.5
+      val lon = ((k * 7) % 360 - 180).toDouble + 0.5
+      (math.floor(lat / 5.0).toLong, math.floor(lon / 5.0).toLong)
+    }
+    val counts = cellOf.groupBy(identity).map { case (c, g) => c -> g.length }
+    val core = counts.filter(_._2 >= 3).keys.toSeq
+    def id(c: (Long, Long)): Long = (c._1 + 18) * 72 + (c._2 + 36)
+    // union-find over 8-neighborhood adjacency
+    val parent = scala.collection.mutable.Map(core.map(c => id(c) -> id(c)): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (a <- core; b <- core
+         if id(a) < id(b) &&
+           math.abs(a._1 - b._1) <= 1 && math.abs(a._2 - b._2) <= 1) {
+      val (ra, rb) = (find(id(a)), find(id(b)))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val local = core.groupBy(c => find(id(c))).map { case (root, cells) =>
+      // engine labels by MIN member id, which equals the UF min root
+      root -> (cells.length.toLong, cells.map(counts(_).toLong).sum)
+    }
+    val got = operators.Geo.geoDbscan(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == local)
+  }
+
   test("snapdiff: CDC classes equal the modular-arithmetic replay") {
     val keys = Tables.orders(spark, sf0001)
       .select(col("o_orderkey")).collect().map(_.getLong(0))
