@@ -55,6 +55,37 @@ object Relational {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Class-BALANCED downsample — the oversampled-class cap every
+    * classifier-training set applies: each label keeps exactly
+    * min-class-size rows, chosen as the lowest md5-hash ranks (a
+    * deterministic uniform without-replacement draw — hash order is a
+    * random permutation per label, reproducible across engines, unlike
+    * rand()). The cap rides a 1-row broadcast fold; selection happens
+    * in a per-label window. The declared output pins the exact CHOSEN
+    * SET, not just its size (sum of kept ids per label), so the gate
+    * certifies which rows were drawn. At 100 TB swap the window for the
+    * bounded TopK buffer exactly as the KMV family does — same
+    * bottom-k-by-hash shape. */
+  def sampleBalanced(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      .withColumn("hx", md5(concat(lit("b"), col("vec_id").cast("string"))))
+    val cap = e.groupBy(col("label")).agg(count(lit(1)).as("c"))
+      .agg(min(col("c")).as("cap"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("hx").asc, col("vec_id").asc)
+    e.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(cap))
+      .filter(col("rk") <= col("cap"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_kept"), min(col("vec_id")).as("first_id"),
+        sum(col("vec_id")).as("sum_ids"))
+      .join(e.groupBy(col("label")).agg(count(lit(1)).as("n_total")), "label")
+      .select(col("label").cast("long").as("label"), col("n_total"),
+        col("n_kept"), col("first_id"), col("sum_ids"))
+      .orderBy(col("label").asc)
+  }
+
   /** Compound predicate; everything here folds to parquet-pushable
     * conjuncts (no float equality — ranges only, per SURVEY §7.5). */
   def filterPred(s: SparkSession, d: String): DataFrame =
@@ -246,6 +277,7 @@ object Relational {
     "q_scan_project"      -> scanProject,
     "q_sample_systematic" -> sampleSystematic,
     "q_sample_stratified" -> sampleStratified,
+    "q_sample_balanced"   -> sampleBalanced,
     "q_filter_pred"       -> filterPred,
     "q_case_expr"         -> caseExpr,
     "q_sort_limit"        -> sortLimit,
@@ -319,6 +351,27 @@ object Relational {
         |FROM lineitem
         |ORDER BY l_orderkey ASC, l_linenumber ASC, l_partkey ASC, l_suppkey ASC
         |LIMIT 100""".stripMargin,
+    "q_sample_balanced" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         md5('b' || CAST(vec_id AS VARCHAR)) AS hx
+        |  FROM embeddings),
+        |cap AS (SELECT min(c) AS cap FROM
+        |          (SELECT count(*) AS c FROM e GROUP BY label)),
+        |r AS (SELECT vec_id, label,
+        |        row_number() OVER (PARTITION BY label
+        |          ORDER BY hx ASC, vec_id ASC) AS rk
+        |      FROM e),
+        |k AS (SELECT label, count(*) AS n_kept, min(vec_id) AS first_id,
+        |             CAST(sum(vec_id) AS BIGINT) AS sum_ids
+        |      FROM r, cap WHERE rk <= cap GROUP BY label),
+        |t AS (SELECT label, count(*) AS n_total FROM e GROUP BY label)
+        |SELECT CAST(t.label AS BIGINT) AS label,
+        |       CAST(t.n_total AS BIGINT) AS n_total,
+        |       CAST(k.n_kept AS BIGINT) AS n_kept,
+        |       k.first_id, k.sum_ids
+        |FROM t JOIN k ON t.label = k.label
+        |ORDER BY label ASC""".stripMargin,
     "q_sample_stratified" ->
       """SELECT doc_id, lang, source, rk
         |FROM (

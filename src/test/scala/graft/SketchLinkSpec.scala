@@ -360,6 +360,24 @@ class SketchLinkSpec extends SparkSpec {
     assert(got == local)
   }
 
+  test("balanced sample: every class capped at the min class size, selection replayed") {
+    val rows = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong))
+    val byLabel = rows.groupBy(_._2)
+    val cap = byLabel.values.map(_.length).min
+    val local = byLabel.map { case (l, g) =>
+      val kept = g.map(_._1)
+        .sortBy(id => (md5hex("b" + id), id)).take(cap)
+      l -> (g.length.toLong, kept.length.toLong, kept.min, kept.sum)
+    }
+    val got = operators.Relational.sampleBalanced(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == local)
+    assert(got.values.map(_._2).toSet.size == 1, "classes not equal-sized")
+  }
+
   test("geo dbscan: clusters equal a local grid union-find replay") {
     val keys = Tables.customer(spark, sf0001)
       .select(col("c_custkey")).collect().map(_.getLong(0))
