@@ -107,18 +107,53 @@ case class DotProduct(left: Expression, right: Expression)
   * shingle-less docs upstream, where the row still carries WHY (size = 0),
   * rather than downstream where a sentinel collides all of them into the
   * same LSH buckets. */
+/** Affine-permutation parameters shared by BOTH MinHash families (the
+  * xxhash64 fast path and the md5 oracled path) and by the oracle-SQL
+  * generators that paste these values as literals.
+  *
+  * a_i/b_i are derived per index through splitmix64 finalization (the
+  * public Steele–Lea–Flood mixing constants), NOT the earlier linear
+  * ladder a_i = A·(i+1), b_i = B·(i+1). That ladder is degenerate:
+  * a_i·h + b_i = (i+1)·(A·h + B) mod p, i.e. every "permutation" is a
+  * scalar multiple of ONE value, so for small multipliers the token
+  * with the globally smallest A·h+B stays the argmin of EVERY
+  * permutation and the whole signature collapses to roughly one
+  * effective bit — membership of that single token. Measured on the
+  * fixture corpus: token-set pairs at true J = 0.9 agreed on 1 of 32
+  * components (expected ≈ 29), which silently destroyed banding
+  * recall. Independent mixed parameters restore P[m_i(A)=m_i(B)] ≈ J
+  * per component and the (1−J^r)^b banding arithmetic the LSH
+  * machinery's recall arguments rest on. */
+object MinHashParams {
+  val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+
+  private def mix(x: Long): Long = {
+    var z = x * 0x9e3779b97f4a7c15L + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Multiplier in [1, p−1] (never 0 mod p) — keeps a_i·h + b_i < 2^62,
+    * overflow-free under ANSI arithmetic on both engines. */
+  def a(i: Int): Long = java.lang.Math.floorMod(mix(2L * i), P - 1) + 1
+
+  /** Offset in [0, p). */
+  def b(i: Int): Long = java.lang.Math.floorMod(mix(2L * i + 1), P)
+}
+
 case class MinHashSigs(child: Expression, numPerms: Int)
     extends UnaryExpression {
 
-  private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+  private val P = MinHashParams.P
   // lazy vals, not defs: deterministic in numPerms, and the interpreted
   // nullSafeEval path would otherwise re-tabulate both permutation arrays
   // on every row (lazy rather than strict so (de)serialized copies on
   // executors rebuild on first use instead of shipping state).
   @transient private lazy val aArr: Array[Long] =
-    Array.tabulate(numPerms)(i => 1103515245L * (i + 1) % P)
+    Array.tabulate(numPerms)(MinHashParams.a)
   @transient private lazy val bArr: Array[Long] =
-    Array.tabulate(numPerms)(i => 12345L * (i + 1))
+    Array.tabulate(numPerms)(MinHashParams.b)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -194,11 +229,11 @@ case class MinHashSigs(child: Expression, numPerms: Int)
 case class Md5MinHashSigs(child: Expression, numPerms: Int)
     extends UnaryExpression {
 
-  private val P = 2147483647L
+  private val P = MinHashParams.P
   @transient private lazy val aArr: Array[Long] =
-    Array.tabulate(numPerms)(i => 1103515245L * (i + 1) % P)
+    Array.tabulate(numPerms)(MinHashParams.a)
   @transient private lazy val bArr: Array[Long] =
-    Array.tabulate(numPerms)(i => 12345L * (i + 1))
+    Array.tabulate(numPerms)(MinHashParams.b)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

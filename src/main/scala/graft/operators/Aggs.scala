@@ -564,6 +564,9 @@ object Aggs {
     state.unionByName(del).unionByName(upd).unionByName(ins)
       .groupBy(col("o_orderpriority"))
       .agg(sum(col("dcnt")).as("cnt"), sum(col("dcents")).as("sum_cents"))
+      // a fully-retracted group (cnt == 0) has left the view — the
+      // recompute oracle omits it, so the maintained state must too
+      .filter(col("cnt") > 0)
       .withColumn("avg_cents", expr("sum_cents div cnt"))
       .orderBy(col("o_orderpriority").asc)
   }

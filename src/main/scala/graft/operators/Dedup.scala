@@ -79,6 +79,126 @@ object Dedup {
       .limit(100)
   }
 
+  // ------------------------------------------- LSH-fed scale-safe twins
+
+  /** Banded-MinHash candidate pairs with the BLOCK columns folded into
+    * the bucket key — the candidate generator behind the scale-safe
+    * twins of the block-quadratic audits ([[dedupJaccardLsh]],
+    * [[dedupContainLsh]]). Identical streamed-self-join discipline as
+    * [[minhashCandidates]] (bucket-keyed shuffle, spill-safe, no
+    * collected id lists), but the bucket hash additionally digests the
+    * block columns, so candidates never cross blocks: on a corpus with
+    * a constant duplicate RATE the per-bucket collision count — and so
+    * the candidate stream — grows linearly with the corpus, where the
+    * all-pairs block join grows with Σ C(block, 2). Exact block
+    * equality is ALSO enforced on the join (the 2^-64 xxhash64
+    * cross-block collision would otherwise admit a pair the all-pairs
+    * oracle excludes). estMin = 0 disables the signature prefilter —
+    * required when downstream scores an asymmetric measure
+    * (containment) whose true pairs can sit at low symmetric Jaccard. */
+  def blockedLshCandidates(docs: DataFrame, blockCols: Seq[String],
+      nGram: Int, numPerms: Int, bandRows: Int,
+      estMin: Double): DataFrame = {
+    val sigs = minhashSignatures(docs, nGram, numPerms, keep = blockCols)
+    val bands = (0 until numPerms / bandRows).map { b =>
+      val cols = (b * bandRows until (b + 1) * bandRows).map(i => col(s"m$i"))
+      struct(lit(b).cast("long").as("band_id"),
+        xxhash64((blockCols.map(col) ++ cols): _*).as("bucket"))
+    }
+    // The full signature rides the banded stream ONLY when the prefilter
+    // is on: with estMin = 0 the zip_with estimate is a dead filter, and
+    // shipping numPerms longs per banded row through both join legs was
+    // most of this operator's shuffle volume (measured 8.2 s → 2.6 s at
+    // sf0.1 for the 64-perm containment-twin configuration).
+    val carrySig = estMin > 0.0
+    val baseCols = blockCols.map(col) :+ col("doc_id")
+    val sigCol =
+      if (carrySig) Seq(array((0 until numPerms).map(i => col(s"m$i")): _*).as("sig"))
+      else Nil
+    val bkt = sigs.select((baseCols ++ sigCol :+
+        explode(array(bands: _*)).as("bb")): _*)
+      .select((baseCols ++ sigCol.map(_ => col("sig")) :+
+        col("bb.band_id") :+ col("bb.bucket")): _*)
+    val blockEq = blockCols.map(c => col(s"l.$c") === col(s"r.$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val joined = bkt.alias("l").join(bkt.alias("r"),
+        col("l.band_id") === col("r.band_id") &&
+        col("l.bucket") === col("r.bucket") && blockEq &&
+        col("l.doc_id") < col("r.doc_id"))
+    val filtered =
+      if (carrySig)
+        joined.withColumn("est", expr(
+          "aggregate(zip_with(l.sig, r.sig, (p, q) -> IF(p = q, 1, 0)), 0, (acc, v) -> acc + v)"))
+          .filter(col("est").cast("double") >= lit(estMin) * numPerms)
+      else joined
+    filtered
+      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("a_id"), col("b_id"))
+      .distinct()
+  }
+
+  /** Scale-safe twin of [[dedupJaccard]]: the SAME top-100 token-set
+    * Jaccard audit, fed by blocked 1-gram MinHash candidates instead of
+    * the all-pairs block join — and gated by the SAME all-pairs oracle,
+    * which is what licenses the swap. Recall argument: the fixture's
+    * rank-100 cutoff sits at J = 0.9 (measured; ≥110 blocked pairs at
+    * J ≥ 0.9), and at 32 perms × (16 bands of 2 rows) a J ≥ 0.9 pair
+    * escapes banding with probability (1 − 0.81)^16 ≈ 6e-12 and the
+    * est ≥ 0.5·perms prefilter with P[Binom(32, 0.9) < 16] ≈ 1e-10 —
+    * so candidates ⊇ the true top-100 and the sorted prefix is
+    * identical. 1-gram shingles because the SCORED measure is token-set
+    * Jaccard: banding must hash the similarity space the scorer ranks
+    * (the bigram banding of q_dedup_neardup measures J ≈ 0.01–0.06 on
+    * exactly these token-top pairs — wrong space, recall ≈ 0). */
+  def dedupJaccardLsh(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cand = blockedLshCandidates(docs, Seq("lang", "source"),
+      nGram = 1, numPerms = 32, bandRows = 2, estMin = 0.5)
+    val t = Tables.spread(docs).withColumn("tset", toks)
+    val a = t.select(col("doc_id").as("a_id"), col("tset").as("ta"))
+    val b = t.select(col("doc_id").as("b_id"), col("tset").as("tb"))
+    cand.join(a, "a_id").join(b, "b_id")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("uni", (size(col("ta")) + size(col("tb"))).cast("long") - col("inter"))
+      .withColumn("jac", col("inter").cast("double") / col("uni"))
+      .select(col("a_id"), col("b_id"), col("inter"), col("uni"), col("jac"))
+      .orderBy(col("jac").desc, col("a_id").asc, col("b_id").asc)
+      .limit(100)
+  }
+
+  /** Scale-safe twin of [[dedupContain]]: the directed token-set
+    * containment screen fed by blocked 1-gram MinHash candidates, gated
+    * by the all-pairs oracle. Containment is asymmetric, so the banding
+    * must reach DOWN to the lowest symmetric Jaccard a top-100 pair can
+    * have: a full-containment pair A ⊆ B has J = |A|/|B| ≥ 6/31 ≈ 0.19
+    * on this corpus (token-set sizes span [6, 31]), and the fixture's
+    * top-100 bottoms out at J = 0.207 (measured). Banding is therefore
+    * 64 perms × 64 single-row bands — P[miss | J] = (1 − J)^64, i.e.
+    * ≈ 1e-6 at J = 0.19 (≈ 3e-4 expected misses over the fixture's 292
+    * full-containment pairs) — and the est prefilter is OFF (estMin 0):
+    * a signature-agreement estimate tracks symmetric J, and at J ≈ 0.2
+    * any usable cutoff would reject true containment pairs with
+    * percent-level probability. Candidates come back directed by
+    * unioning both orientations of the undirected pair stream. */
+  def dedupContainLsh(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val und = blockedLshCandidates(docs, Seq("lang", "source"),
+      nGram = 1, numPerms = 64, bandRows = 1, estMin = 0.0)
+    val cand = und.union(
+      und.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    val t = Tables.spread(docs).withColumn("tset", toks)
+    val a = t.select(col("doc_id").as("a_id"), col("tset").as("ta"))
+    val b = t.select(col("doc_id").as("b_id"), col("tset").as("tb"))
+    cand.join(a, "a_id").join(b, "b_id")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("na", size(col("ta")).cast("long"))
+      .withColumn("cont_pm", expr("inter * 1000 div na"))
+      .select(col("a_id"), col("b_id"), col("inter"), col("na"), col("cont_pm"))
+      .orderBy(col("cont_pm").desc, col("a_id").asc, col("b_id").asc)
+      .limit(100)
+  }
+
   // ---------------------------------------------------------------- minhash
 
   private val NumPerms = 16
@@ -121,14 +241,14 @@ object Dedup {
     * otherwise their sentinel signatures would LSH-collide every empty
     * doc into every band bucket. */
   def minhashSignatures(docs: DataFrame, nGram: Int = 2,
-      numPerms: Int = NumPerms): DataFrame = {
+      numPerms: Int = NumPerms, keep: Seq[String] = Nil): DataFrame = {
     graft.functions.VectorExprs.register(docs.sparkSession)
     val withSh = withToks(Tables.spread(docs))
       .withColumn("sh", expr(shingles(nGram)))
       .filter(size(col("sh")) > 0)
       .withColumn("mh", expr(s"minhash_sigs(sh, $numPerms)"))
     val permCols = (0 until numPerms).map(i => col("mh").getItem(i).as(s"m$i"))
-    withSh.select((col("doc_id") +: permCols): _*)
+    withSh.select((keep.map(col) ++ (col("doc_id") +: permCols)): _*)
   }
 
   /** (doc_id, sig, band_id, bucket): LSH banding — docs sharing a bucket
@@ -551,8 +671,11 @@ object Dedup {
 
   private val MdPerms = 8
   private val MdP = 2147483647L // 2^31 - 1
-  private def mdA(i: Int): Long = 1103515245L * (i + 1) % MdP
-  private def mdB(i: Int): Long = 12345L * (i + 1)
+  // Shared splitmix64-derived family (graft.functions.MinHashParams):
+  // the oracle CTEs below interpolate these VALUES as SQL literals, so
+  // both engines move together by construction.
+  private def mdA(i: Int): Long = graft.functions.MinHashParams.a(i)
+  private def mdB(i: Int): Long = graft.functions.MinHashParams.b(i)
 
   /** Fully-ORACLED MinHash signatures: the xxhash64 family
     * ([[minhashSignatures]]) is the production path (fast, well-mixed)
@@ -816,6 +939,8 @@ object Dedup {
     "q_dedup_lsh_sweep" -> dedupLshSweep,
     "q_dedup_jaccard"  -> dedupJaccard,
     "q_dedup_contain"  -> dedupContain,
+    "q_dedup_jaccard_lsh" -> dedupJaccardLsh,
+    "q_dedup_contain_lsh" -> dedupContainLsh,
     "q_dedup_minhash"  -> dedupMinhash,
     "q_dedup_neardup"  -> dedupNeardup,
     "q_dedup_incr"     -> dedupIncr,
@@ -956,6 +1081,44 @@ object Dedup {
         |FROM q
         |GROUP BY 1
         |ORDER BY band ASC""".stripMargin),
+    // The LSH twins are oracled by the SAME all-pairs SQL as their
+    // block-quadratic originals: the banding recall arguments (scaladoc
+    // at dedupJaccardLsh/dedupContainLsh) make candidates ⊇ the true
+    // top-100, and verification is exact, so outputs are identical.
+    "q_dedup_jaccard_lsh" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |         list_distinct(string_split(text, ' ')) AS tset
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         len(list_intersect(a.tset, b.tset)) AS inter,
+        |         len(a.tset) + len(b.tset)
+        |           - len(list_intersect(a.tset, b.tset)) AS uni
+        |  FROM t a JOIN t b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, inter, uni,
+        |       CAST(inter AS DOUBLE) / uni AS jac
+        |FROM p
+        |ORDER BY jac DESC, a_id ASC, b_id ASC
+        |LIMIT 100""".stripMargin,
+    "q_dedup_contain_lsh" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |         list_distinct(string_split(text, ' ')) AS tset
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         CAST(len(list_intersect(a.tset, b.tset)) AS BIGINT) AS inter,
+        |         CAST(len(a.tset) AS BIGINT) AS na
+        |  FROM t a JOIN t b
+        |    ON a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id <> b.doc_id)
+        |SELECT a_id, b_id, inter, na,
+        |       CAST(inter * 1000 // na AS BIGINT) AS cont_pm
+        |FROM p
+        |ORDER BY cont_pm DESC, a_id ASC, b_id ASC
+        |LIMIT 100""".stripMargin,
     "q_dedup_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id, lang, source,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -452,6 +452,83 @@ object Sim {
       .orderBy(col("label").asc)
   }
 
+  private val KgBands = 8
+  private val KgRows = 4 // planes per band
+
+  /** Per-vector banded hyperplane values: KgBands bands of KgRows sign
+    * bits each, planes from the shared deterministic
+    * [[Dedup.planeWeight]] family (plane index = band·rows + row). */
+  private def kgBandCols: Seq[Column] = (0 until KgBands).map { k =>
+    val bits = (0 until KgRows).map { j =>
+      val p = KgRows * k + j
+      val w = (0 until 64).map(jj => s"${Dedup.planeWeight(p, jj)}D").mkString(", ")
+      when(expr(s"vec_dot(embedding, array($w))") > 0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce[Column](_ + _)
+    struct(lit(k.toLong).as("band_id"), bits.as("bval"))
+  }
+
+  /** Scale-path twin of [[simKnnGraph]]: the SAME 3-NN-edge + mutuality
+    * audit, built over banded random-hyperplane candidates instead of
+    * the per-label all-pairs join. The exact graph's contract cannot be
+    * kept sublinearly on this corpus — its true top-3 edges sit at
+    * cosine 0.10–0.30 (measured), i.e. in a diffuse cloud where NO LSH
+    * geometry reaches recall 1 — so the scale path changes the
+    * CONTRACT, not just the plan: it audits the approximate graph the
+    * scalable pipeline actually builds. That is only honest because the
+    * candidate generation is fully deterministic (shared planeWeight
+    * family, 8 bands × 4 sign bits), so the ORACLE replays candidates
+    * + scoring exactly in DuckDB and the gate stays a hard rows+hash
+    * compare — approximation licensed by determinism, not hand-waving.
+    * Engine shape: band values are a narrow map; the candidate join
+    * shuffles on (label, band, value) — per-bucket work, never
+    * all-pairs; dedup of the multi-band pair stream is the same
+    * repartition-then-distinct discipline as [[Dedup.minhashCandidates]].
+    * The mutuality rate measured here is the eval that tells you
+    * whether the ANN graph is still navigable enough for graph-based
+    * clustering — the question a 100 TB corpus has to answer BEFORE
+    * spending the cluster time. */
+  def simKnnGraphAnn(s: SparkSession, d: String): DataFrame = {
+    val e = vectors(s, d)
+    val banded = e.select(col("label"), col("vec_id"),
+        explode(array(kgBandCols: _*)).as("bb"))
+      .select(col("label"), col("vec_id"), col("bb.band_id"), col("bb.bval"))
+    val cand = banded.alias("l").hint("shuffle_hash")
+      .join(banded.alias("r"),
+        col("l.label") === col("r.label") &&
+        col("l.band_id") === col("r.band_id") &&
+        col("l.bval") === col("r.bval") &&
+        col("l.vec_id") =!= col("r.vec_id"))
+      .select(col("l.label").as("label"), col("l.vec_id").as("q_id"),
+        col("r.vec_id").as("c_id"))
+      .repartition(s.sessionState.conf.numShufflePartitions,
+        col("q_id"), col("c_id"))
+      .distinct()
+    val q = e.select(col("vec_id").as("q_id"), col("embedding").as("qa"),
+      col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ca"),
+      col("nrm").as("cn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    val edges = cand.join(q, "q_id").join(c, "c_id")
+      .withColumn("cos", expr("vec_dot(qa, ca)") / (col("qn") * col("cn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("label"), col("q_id"), col("c_id"))
+    val rev = edges.select(col("q_id").as("rq"), col("c_id").as("rc"))
+    edges.join(rev, col("q_id") === col("rc") && col("c_id") === col("rq"),
+        "left_semi")
+      .groupBy(col("label")).agg(count(lit(1)).as("n_mutual"))
+      .join(edges.groupBy(col("label"))
+        .agg(countDistinct(col("q_id")).as("n_nodes"),
+          count(lit(1)).as("n_edges")), Seq("label"), "right")
+      .withColumn("n_mutual", coalesce(col("n_mutual"), lit(0L)))
+      .withColumn("recip_pm", expr("n_mutual * 1000 div n_edges"))
+      .select(col("label").cast("long").as("label"), col("n_nodes"),
+        col("n_edges"), col("n_mutual"), col("recip_pm"))
+      .orderBy(col("label").asc)
+  }
+
   /** ANN quality evaluation — recall@5 of the IVF probe-1 search against
     * the UNBLOCKED brute-force truth (the label-blocked q_sim_topk is a
     * bounded variant, not ground truth): per query, how many of the true
@@ -584,6 +661,7 @@ object Sim {
     "q_knn_label"      -> knnLabel,
     "q_sim_pq_search"  -> simPqSearch,
     "q_sim_knn_graph"  -> simKnnGraph,
+    "q_sim_knn_graph_ann" -> simKnnGraphAnn,
     "q_emb_matryoshka" -> embMatryoshka,
     "q_emb_binquant"   -> embBinquant,
     "q_dedup_embcos"   -> dedupEmbcos,
@@ -681,6 +759,21 @@ object Sim {
       |           list_transform(list_zip(q.embedding, c.embedding),
       |             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),
       |           (a, x) -> a + x) / (q.nrm * c.nrm)""".stripMargin
+
+  /** DuckDB twin of one [[kgBandCols]] band value: KgRows sign bits from
+    * the shared planeWeight family, band-local bit positions. */
+  private def kgBandSql(k: Int): String = {
+    val bits = (0 until KgRows).map { j =>
+      val p = KgRows * k + j
+      val lits = (0 until 64).map(jj => Dedup.planeWeight(p, jj).toString)
+        .mkString(", ")
+      s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(list_zip(embedding, [$lits]),
+         |    z -> CAST(z[1] AS DOUBLE) * z[2])),
+         |  (a, x) -> a + x) > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
+    }.mkString("\n + ")
+    s"CAST($bits AS BIGINT)"
+  }
 
   /** DuckDB twin of [[qdot]] for quantized BIGINT lists. */
   private def duckIdot(a: String, b: String): String =
@@ -928,6 +1021,46 @@ object Sim {
         |  SELECT q.label, q.vec_id AS q_id, c.vec_id AS c_id,
         |         """ + dotSql + """ AS cos
         |  FROM e q JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id),
+        |r AS (
+        |  SELECT label, q_id, c_id,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY cos DESC, c_id ASC) AS rn
+        |  FROM p),
+        |ed AS (SELECT label, q_id, c_id FROM r WHERE rn <= 3),
+        |mu AS (
+        |  SELECT a.label, count(*) AS n_mutual
+        |  FROM ed a JOIN ed b ON a.q_id = b.c_id AND a.c_id = b.q_id
+        |  GROUP BY a.label),
+        |st AS (
+        |  SELECT label, count(DISTINCT q_id) AS n_nodes, count(*) AS n_edges
+        |  FROM ed GROUP BY label)
+        |SELECT CAST(st.label AS BIGINT) AS label, st.n_nodes, st.n_edges,
+        |       COALESCE(mu.n_mutual, 0) AS n_mutual,
+        |       CAST(COALESCE(mu.n_mutual, 0) * 1000 // st.n_edges AS BIGINT)
+        |         AS recip_pm
+        |FROM st LEFT JOIN mu ON st.label = mu.label
+        |ORDER BY label ASC""").stripMargin,
+    // Deterministic replay of the banded-hyperplane candidate graph:
+    // same planes, same bands, same scoring — the gate stays a hard
+    // hash compare even though the graph is approximate by design.
+    "q_sim_knn_graph_ann" ->
+      (eCte + s""",
+        |bnd AS (
+        |  ${(0 until KgBands).map(k =>
+             s"SELECT vec_id, label, CAST($k AS BIGINT) AS band_id,\n" +
+             s"         ${kgBandSql(k)} AS bval FROM e")
+             .mkString("\n  UNION ALL\n  ")}),
+        |cand AS (
+        |  SELECT DISTINCT a.label, a.vec_id AS q_id, b.vec_id AS c_id
+        |  FROM bnd a JOIN bnd b
+        |    ON a.label = b.label AND a.band_id = b.band_id
+        |   AND a.bval = b.bval AND a.vec_id <> b.vec_id),
+        |p AS (
+        |  SELECT cand.label, cand.q_id, cand.c_id,
+        |         """ + dotSql + """ AS cos
+        |  FROM cand
+        |  JOIN e q ON q.vec_id = cand.q_id
+        |  JOIN e c ON c.vec_id = cand.c_id),
         |r AS (
         |  SELECT label, q_id, c_id,
         |         row_number() OVER (PARTITION BY q_id

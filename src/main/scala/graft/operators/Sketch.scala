@@ -137,7 +137,10 @@ object Sketch {
     * corpus-sized streams only ever join on equality. est_inter =
     * max(0, est_a + est_b − est_union) — inclusion–exclusion, clamped
     * because the three independent ±13% estimates can cross below zero
-    * on small true overlaps.
+    * on small true overlaps. The exact-intersection side joins LEFT
+    * with coalesce-to-0 so disjoint audiences still emit a row: a
+    * contamination audit's informative case is precisely est_inter > 0
+    * against exact 0, which an inner join would silently drop.
     *
     * Both min-k stages run the [[minKAgg]] bounded-aggregator tier (the
     * window form measured 4.04× at 10× data, the buffer form flat),
@@ -167,7 +170,8 @@ object Sketch {
     unionSk.select(col("sa"), col("sb"), col("est").as("est_union"))
       .join(perSk.select(col("status").as("sa"), col("est").as("est_a")), "sa")
       .join(perSk.select(col("status").as("sb"), col("est").as("est_b")), "sb")
-      .join(exInter, Seq("sa", "sb"))
+      .join(exInter, Seq("sa", "sb"), "left")
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
       .withColumn("est_inter",
         greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
       .select(col("sa"), col("sb"), col("exact_inter"), col("est_a"),
@@ -409,14 +413,15 @@ object Sketch {
         |       FROM pr a JOIN pr b
         |         ON a.o_custkey = b.o_custkey AND a.status < b.status
         |       GROUP BY 1, 2)
-        |SELECT u.sa, u.sb, CAST(x.exact_inter AS BIGINT) AS exact_inter,
+        |SELECT u.sa, u.sb,
+        |       CAST(COALESCE(x.exact_inter, 0) AS BIGINT) AS exact_inter,
         |       CAST(ea.est AS BIGINT) AS est_a, CAST(eb.est AS BIGINT) AS est_b,
         |       CAST(u.est_union AS BIGINT) AS est_union,
         |       CAST(greatest(0, ea.est + eb.est - u.est_union) AS BIGINT) AS est_inter
         |FROM ue u
         |JOIN se ea ON ea.status = u.sa
         |JOIN se eb ON eb.status = u.sb
-        |JOIN xi x ON x.sa = u.sa AND x.sb = u.sb
+        |LEFT JOIN xi x ON x.sa = u.sa AND x.sb = u.sb
         |ORDER BY u.sa ASC, u.sb ASC""".stripMargin
   )
 }

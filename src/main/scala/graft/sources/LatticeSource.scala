@@ -328,19 +328,31 @@ class LatticeMicroBatchStream(lo: Long, hi: Long, batchRows: Long,
     schema: StructType)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
-  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxRows}
+  import org.apache.spark.sql.connector.read.streaming.{
+    CompositeReadLimit, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows}
 
   override def initialOffset(): Offset = LatticeOffset(lo)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchRows)
 
+  /** Rows this limit admits beyond `start`, honoring every ReadLimit
+    * shape the engine can hand us: a bare maxRows, allAvailable (the
+    * whole remaining range), and CompositeReadLimit (future trigger
+    * modes combine maxRows with other admission settings — we extract
+    * the tightest maxRows component rather than silently falling back
+    * to the source's own batchRows). */
+  private def admit(limit: ReadLimit): Long = limit match {
+    case m: ReadMaxRows      => m.maxRows()
+    case _: ReadAllAvailable => hi - lo // whole range; min(hi, ..) caps it
+    case c: CompositeReadLimit =>
+      val maxes = c.getReadLimits.collect { case m: ReadMaxRows => m.maxRows() }
+      if (maxes.nonEmpty) maxes.min else batchRows
+    case _ => batchRows
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[LatticeOffset].v
-    val step = limit match {
-      case m: ReadMaxRows => m.maxRows()
-      case _              => batchRows
-    }
-    LatticeOffset(math.min(hi, s + math.max(1L, step)))
+    LatticeOffset(math.min(hi, s + math.max(1L, admit(limit))))
   }
 
   /** Deprecated non-admission path; the engine prefers the two-arg form

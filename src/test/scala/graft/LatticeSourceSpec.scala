@@ -195,8 +195,13 @@ class LatticeSourceSpec extends SparkSpec {
       val rows = spark.table("lattice_mb").select(col("id")).collect()
         .map(_.getLong(0)).sorted
       assert(rows.toSeq == (0L until 500L))
-      // 200-id admission per poll → at least 3 non-empty batches
-      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      // 200-id admission per poll → exactly ceil(500/200)=3 non-empty
+      // batches of sizes 200,200,100 — pins that the batchRows option
+      // actually reaches LatticeMicroBatchStream (a silently-ignored
+      // option would fall back to the default 100 and give 5 batches
+      // with max 100)
+      val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(sizes.length == 3 && sizes.max == 200,
         q.recentProgress.map(_.numInputRows).mkString(","))
       // values served by the stream match the shared derivation
       val r7 = spark.table("lattice_mb").filter(col("id") === 7).collect().head

@@ -36,8 +36,8 @@ class MinhashParitySpec extends SparkSpec {
           "ELSE slice(toks, 1, 0) END)"))
       .filter(size(col("sh")) > 0)
     val sqlSig = (0 until nPerms).map { i =>
-      val a = 1103515245L * (i + 1) % p
-      val b = 12345L * (i + 1)
+      val a = functions.MinHashParams.a(i)
+      val b = functions.MinHashParams.b(i)
       s"array_min(transform(hs, h -> (h * ${a}L + ${b}L) % ${p}L))"
     }.mkString("array(", ", ", ")")
     val both = docs

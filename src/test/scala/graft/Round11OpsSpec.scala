@@ -58,8 +58,8 @@ class Round11OpsSpec extends SparkSpec {
     // set order must not matter: each perm takes a min over ALL shingles
     val hp = sh.toSeq.map(x => md5Int(x) % MdP)
     (0 until 8).map { i =>
-      val a = 1103515245L * (i + 1) % MdP
-      val b = 12345L * (i + 1)
+      val a = functions.MinHashParams.a(i)
+      val b = functions.MinHashParams.b(i)
       hp.map(v => (a * v + b) % MdP).min
     }
   }

@@ -81,8 +81,8 @@ class Round13OpsSpec extends SparkSpec {
     val sigs = docs.map { case (_, sh) =>
       val hp = sh.map(x => md5Int(x) % P)
       (0 until 8).map { i =>
-        val a = 1103515245L * (i + 1) % P
-        val b = 12345L * (i + 1)
+        val a = functions.MinHashParams.a(i)
+        val b = functions.MinHashParams.b(i)
         hp.map(v => (a * v + b) % P).min
       }
     }
