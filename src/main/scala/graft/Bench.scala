@@ -96,10 +96,31 @@ object Bench {
       val w = new java.io.PrintWriter("target/bench_full.json")
       w.println(full); w.close()
     } catch { case _: Throwable => () }
+    // Family-subtotal insurance line: the greedy per-query tail carries
+    // only the slowest ~75 entries, so a regression confined to fast
+    // queries of one family would be invisible in the graded artifact.
+    // One compact second line with per-family sums (family = the token
+    // after "q_") closes that blind spot; smallest families fold into
+    // other_sum/other_n so the line stays inside its byte budget and the
+    // combined two-line output still fits the driver's 2000-byte tail.
+    val famTotals = best.toSeq.filter(_._2 >= 0)
+      .groupBy { case (k, _) => k.split("_").lift(1).getOrElse("misc") }
+      .map { case (f, xs) => f -> xs.map(_._2).sum }
+      .toSeq.sortBy { case (_, v) => -v }
+    val famFmt = (shown: Seq[(String, Double)], rest: Seq[(String, Double)]) =>
+      s"""{"metric":"families","totals":{""" +
+        shown.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString(",") +
+        s"""},"other_sum":${f3(rest.map(_._2).sum)},"other_n":${rest.size}}"""
+    var fcut = famTotals.size
+    while (fcut > 0 &&
+        famFmt(famTotals.take(fcut), famTotals.drop(fcut)).length > 300)
+      fcut -= 1
+    val famLine = famFmt(famTotals.take(fcut), famTotals.drop(fcut))
     // Silence Spark before stop so shutdown logs can't land after the JSON
     // line and push it out of the driver's 2000-byte tail window.
     spark.sparkContext.setLogLevel("OFF")
     try spark.stop() catch { case _: Throwable => () }
+    println(famLine)
     println(line)
   }
 }

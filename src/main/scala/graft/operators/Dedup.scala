@@ -473,7 +473,7 @@ object Dedup {
     // count acts on `p` ITSELF: a lazy leaf first touched through a
     // self-union would race both branches into computing the expensive
     // candidate DAG before the cache fills.
-    val p = pairs.localCheckpoint(false)
+    val p = Hints.checkpoint(pairs, eager = false)
     // Measured bound on label-state rows: every member appears in ≥1 pair,
     // so |members| ≤ 2·|pairs|. One cheap count over the checkpointed leaf
     // decides broadcast-vs-shuffle for EVERY round's state join — under
@@ -501,7 +501,7 @@ object Dedup {
     // the checkpoint is safe at any scale): the convergence check below
     // and the caller's final action would otherwise each re-execute the
     // whole propagation chain.
-    labels = labels.localCheckpoint(true)
+    labels = Hints.checkpoint(labels, eager = true)
     // Convergence guard: `rounds` fixed rounds suffice only for components
     // with diameter ≤ rounds; a longer chain would silently emit labels
     // that diverge from the oracle's transitive closure. One cheap
@@ -519,7 +519,7 @@ object Dedup {
     var r = rounds
     var dirty = unconverged(labels)
     while (dirty && r < maxRounds) {
-      labels = step(labels).localCheckpoint(true)
+      labels = Hints.checkpoint(step(labels), eager = true)
       r += 1
       dirty = unconverged(labels)
     }
@@ -888,7 +888,7 @@ object Dedup {
   // ------------------------------------------------- hyperplane LSH (ANN)
 
   private val BasePlanes = 8
-  private val MaxPlanes = 16
+  private val MaxPlanes = 32
   private val Dim = 64
 
   /** Deterministic pseudo-random hyperplane weights (integer-derived, so
@@ -904,27 +904,40 @@ object Dedup {
     * length(bin(m−1)) — pure integer string length, identical in both
     * engines, immune to the last-ulp log2 boundary hazards a float
     * formula would have. Below n = 2048·8 the clamp keeps b = 8, so
-    * every oracled scale factor's buckets (and results) are unchanged. */
+    * every oracled scale factor's buckets (and results) are unchanged.
+    *
+    * The MaxPlanes ceiling is 32 — an ARITHMETIC bound (2^32 buckets ≈
+    * 34 billion vectors at the ≤8 target bucket size), not a scaling
+    * knob: the earlier 16-bit ceiling saturated at n ≈ 0.5M, i.e.
+    * already inside a 1000× replica of the sf0.1 fixture. */
   private def widthSqlFrom(nExpr: String, idiv: String = "div"): String =
     s"least($MaxPlanes, greatest($BasePlanes, length(bin(($nExpr + 7) $idiv 8 - 1))))"
 
-  /** Sign-bit bucket id for every vector: bit p = (w_p · e > 0), masked
-    * to the adaptive width (the corpus count rides along as a 1-row
-    * broadcast fold — no construction-time action). At scale this is
-    * the partition key that turns ANN into a per-bucket local search. */
+  /** Scala twin of [[widthSqlFrom]] for the driver-side count. */
+  def annWidth(n: Long): Int = {
+    val m = (n + 7) / 8 - 1
+    val bitlen = if (m <= 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(m)
+    math.min(MaxPlanes, math.max(BasePlanes, bitlen.toInt))
+  }
+
+  /** Sign-bit bucket id for every vector: bit p = (w_p · e > 0) over the
+    * first `width` planes. The width comes from one driver-side count()
+    * — metadata-cheap on parquet at any scale — so the plan computes
+    * ONLY the needed plane dots per row (8 at every oracled fixture,
+    * halving the old build-all-32-then-mask cost) while the ORACLE keeps
+    * the equivalent mask form: summing the first b sign-bit terms and
+    * masking a 32-term sum to b bits are the same value by construction.
+    * At scale this bucket is the partition key that turns ANN into a
+    * per-bucket local search. */
   def annBuckets(emb: DataFrame): DataFrame = {
     graft.functions.VectorExprs.register(emb.sparkSession)
-    val bits = (0 until MaxPlanes).map { p =>
+    val width = annWidth(emb.count())
+    val bits = (0 until width).map { p =>
       val w = (0 until Dim).map(j => s"${planeWeight(p, j)}D").mkString(", ")
       val dot = expr(s"vec_dot(embedding, array($w))")
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce[Column](_ + _)
-    val n = emb.agg(count(lit(1)).as("ann_n"))
-    emb.crossJoin(broadcast(n))
-      .withColumn("ann_sig", bits)
-      .withColumn("bucket", expr(
-        s"ann_sig & (shiftleft(CAST(1 AS BIGINT), ${widthSqlFrom("ann_n")}) - 1)"))
-      .drop("ann_sig", "ann_n")
+    emb.withColumn("bucket", bits)
   }
 
   def simAnnBuckets(s: SparkSession, d: String): DataFrame =

@@ -16,7 +16,9 @@ import graft.Tables
   * the same on both engines by construction.
   *
   * Scale shape: the edge list is derived once (fact⋈fact join, distinct)
-  * and eagerly localCheckpoint'd — each of the 2 power-iteration rounds is
+  * and eagerly checkpointed ([[Hints.checkpoint]] — executor-local by
+  * default, reliable against a configured dir for cluster fault
+  * tolerance) — each of the 2 power-iteration rounds is
   * then one equi-join (edges ⋈ rank state on src, a shuffle partitioned by
   * node id) plus one grouped sum — the standard distributed PageRank
   * round. Rounds are FIXED (2) so the declared output is a deterministic
@@ -32,13 +34,14 @@ object Graph {
     // Checkpoint the DIRECTED edge list, then symmetrize: a checkpoint of
     // the union would execute the fact⋈fact join + distinct twice (once
     // per union branch); over the cached leaf the swap projection is free.
-    val e0 = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-      .distinct()
-      .localCheckpoint(true)
+    val e0 = Hints.checkpoint(
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct(),
+      eager = true)
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     // deg is referenced once per power-iteration round plus the final
     // readout; node-sized, so one checkpoint beats re-running its grouped
@@ -47,9 +50,10 @@ object Graph {
     // itself, so one job materializes the leaf AND measures it (the
     // union branches above read the already-eager e0 cache, no
     // double-compute race).
-    val deg = edges.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg"))
-      .localCheckpoint(false)
+    val deg = Hints.checkpoint(
+      edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg")),
+      eager = false)
     // Node state is node-count-sized and the checkpointed leaves carry no
     // size statistics; the measured node count (the job that also
     // materializes deg) decides broadcast-vs-shuffle for every round's
@@ -135,17 +139,18 @@ object Graph {
     * (the oracle unrolls the same 3 levels). */
   def graphBfs(s: SparkSession, d: String, maxHop: Int = 3): DataFrame = {
     import s.implicits._
-    val e0 = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-      .distinct()
+    val e0 = Hints.checkpoint(
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct(),
       // LAZY checkpoint folded into the node-bound count below — the
       // count is the first action on e0 ITSELF (not through the union),
       // so one job materializes the truncated leaf and measures it; the
       // union branches then read the cache.
-      .localCheckpoint(false)
+      eager = false)
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     // Frontier/visited are node-count-sized; node count ≤ 2·|edges|, so one
     // cheap count over the checkpointed directed edge leaf bounds them for
@@ -166,14 +171,15 @@ object Graph {
     var visited = Seq("c1").toDF("node").withColumn("hop", lit(0L))
     var frontier = visited.select(col("node"))
     for (h <- 1 to maxHop) {
-      val next = edges
-        .join(hint(frontier.select(col("node").as("fn"))),
-          edges("src") === col("fn"))
-        .select(col("dst").as("node")).distinct()
-        .join(hint(visited.select(col("node").as("vn"))),
-          col("node") === col("vn"), "left_anti")
-        .withColumn("hop", lit(h.toLong))
-        .localCheckpoint(true)
+      val next = Hints.checkpoint(
+        edges
+          .join(hint(frontier.select(col("node").as("fn"))),
+            edges("src") === col("fn"))
+          .select(col("dst").as("node")).distinct()
+          .join(hint(visited.select(col("node").as("vn"))),
+            col("node") === col("vn"), "left_anti")
+          .withColumn("hop", lit(h.toLong)),
+        eager = true)
       visited = visited.union(next)
       frontier = next.select(col("node"))
     }

@@ -28,6 +28,31 @@ object Hints {
   /** Max state rows that still get a broadcast hint. */
   val MaxBroadcastRows: Long = 2L * 1000 * 1000
 
+  /** Lineage-truncation point for the iterative family (PageRank/BFS
+    * edge leaves, label-propagation state): `localCheckpoint` by
+    * default — fastest, and correct at local[*] — but local checkpoint
+    * blocks live on EXECUTORS, so on a real cluster an executor loss
+    * makes the truncated lineage unrecoverable mid-job. Setting
+    * `spark.graft.checkpointDir` (session conf) or `SPARK_GRAFT_CKPT_DIR`
+    * (environment) switches every site to a RELIABLE `checkpoint()`
+    * against that directory — the fault-tolerant mode a 100 TB run
+    * wants — with identical results (CkptModeSpec pins equality in both
+    * modes). The conf is consulted per call, so one session can compare
+    * modes; the checkpoint dir is set lazily on first use. */
+  def checkpoint(df: DataFrame, eager: Boolean): DataFrame = {
+    val s = df.sparkSession
+    val dir = Option(s.conf.get("spark.graft.checkpointDir", null))
+      .filter(_.nonEmpty)
+      .orElse(sys.env.get("SPARK_GRAFT_CKPT_DIR").filter(_.nonEmpty))
+    dir match {
+      case Some(p) =>
+        if (s.sparkContext.getCheckpointDir.isEmpty)
+          s.sparkContext.setCheckpointDir(p)
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
+    }
+  }
+
   /** `broadcast(df)` iff the measured `rows` bound is within `maxRows`;
     * otherwise `df` unchanged (planner picks the shuffle join). Pass a
     * cheap UPPER bound (e.g. 2·|pairs| for label-state members) — a bound

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Reliable-vs-local checkpoint parity for the iterative family
+  * (Hints.checkpoint): setting `spark.graft.checkpointDir` must swap
+  * every lineage-truncation site from executor-local blocks to a
+  * reliable checkpoint directory — the cluster fault-tolerance mode —
+  * WITHOUT changing any result. Also pins that the reliable mode really
+  * engages (rdd-* checkpoint data appears under the dir): a parity test
+  * that silently stayed in local mode would prove nothing. */
+class CkptModeSpec extends SparkSpec {
+
+  private def collectSorted(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+
+  test("iterative family: identical results in local and reliable checkpoint modes") {
+    val names = Seq("q_graph_pagerank", "q_graph_bfs", "q_dedup_clusters")
+    val local = names.map(n => n -> collectSorted(n)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val reliable = names.map(n => n -> collectSorted(n)).toMap
+      names.foreach { n =>
+        assert(local(n) == reliable(n), s"$n diverged between checkpoint modes")
+      }
+      // the reliable mode must have actually written checkpoint data
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .anyMatch(p => p.getFileName.toString.startsWith("rdd-"))
+      assert(wrote, s"no rdd-* checkpoint data under $dir — reliable mode never engaged")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+    }
+  }
+}

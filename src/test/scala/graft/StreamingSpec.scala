@@ -130,6 +130,54 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getAs[Long]("ad_id") == 1L)
   }
 
+  test("stream-stream interval join parity: fixture events equal the batch interval join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Parity against BATCH interval-join semantics (the q_join_theta
+    // shape: equi key + time bound) on the real fixture, not a toy
+    // 4-row stream: both sides of the self-join stream the same 1000
+    // fixture events, watermarked, and the streamed pair set must equal
+    // the batch join row for row. All data enters in ONE chunk so the
+    // watermark can only advance after everything is already joined —
+    // nothing is droppable as late, which is what makes exact equality
+    // the correct expectation (the late-drop behavior has its own test).
+    val ev = Tables.events(spark, sf0001)
+      .select(col("ts"), col("user_id"), col("event_id"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+    val batch = {
+      val a = Tables.events(spark, sf0001)
+        .select(col("ts").as("a_ts"), col("user_id").as("a_uid"),
+          col("event_id").as("a_id"))
+      val b = Tables.events(spark, sf0001)
+        .select(col("ts").as("b_ts"), col("user_id").as("b_uid"),
+          col("event_id").as("b_id"))
+      a.join(b, expr(
+        """a_uid = b_uid AND a_id <> b_id AND
+          |b_ts >= a_ts AND b_ts <= a_ts + interval 30 minutes""".stripMargin))
+        .select(col("a_id"), col("b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    }
+    assert(batch.nonEmpty, "fixture produced no interval-join pairs — test is vacuous")
+    val la = MemoryStream[(Timestamp, Long, Long)]
+    val lb = MemoryStream[(Timestamp, Long, Long)]
+    val sa = la.toDF().toDF("a_ts", "a_uid", "a_id").withWatermark("a_ts", "10 minutes")
+    val sb = lb.toDF().toDF("b_ts", "b_uid", "b_id").withWatermark("b_ts", "10 minutes")
+    val joined = sa.join(sb, expr(
+      """a_uid = b_uid AND a_id <> b_id AND
+        |b_ts >= a_ts AND b_ts <= a_ts + interval 30 minutes""".stripMargin))
+    val q = joined.select(col("a_id"), col("b_id"))
+      .writeStream.format("memory").queryName("ssj_parity")
+      .outputMode("append").start()
+    la.addData(ev.toIndexedSeq)
+    lb.addData(ev.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssj_parity").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(streamed.sameElements(batch),
+      s"stream=${streamed.length} pairs, batch=${batch.length} pairs")
+  }
+
   test("stream-stream LEFT OUTER join emits unmatched rows once the watermark passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -18,22 +18,30 @@ tail -c 2000 "$OUT" > "$OUT.tail"
 python3 - "$OUT.tail" <<'EOF'
 import json, sys
 tail = open(sys.argv[1], "rb").read().decode("utf-8", "replace")
-parsed = None
+parsed = families = None
 for line in tail.splitlines():
     try:
         obj = json.loads(line)
         if isinstance(obj, dict) and obj.get("metric") == "total":
             parsed = obj
+        if isinstance(obj, dict) and obj.get("metric") == "families":
+            families = obj
     except Exception:
         pass
 if parsed is None:
     print("FAIL: no parseable bench JSON line in last 2000 bytes. Tail was:")
     print(tail)
     sys.exit(1)
+if families is None:
+    print("FAIL: family-subtotal line missing from the 2000-byte tail.")
+    print(tail)
+    sys.exit(1)
 line_len = len(json.dumps(parsed, separators=(",", ":")))
 print(f"OK: parsed bench line: total={parsed['value']}s n={parsed['n_queries']} "
       f"shown={len(parsed['queries'])} omitted={parsed['omitted_fastest']} "
       f"(~{line_len}B)")
+print(f"OK: families line: {len(families['totals'])} shown, "
+      f"other_n={families['other_n']} other_sum={families['other_sum']}s")
 EOF
 rc=$?
 rm -f "$OUT" "$OUT.tail"
