@@ -40,7 +40,9 @@ object Headroom {
     "q_win_ntile", "q_win_ntile_exact2", "q_tpch_q3", "q_evt_session",
     // TPC-H completion set: the window-min (Q2), semi+anti double
     // correlation (Q21), and distinct-count (Q16) shapes
-    "q_tpch_q2", "q_tpch_q21", "q_tpch_q16")
+    "q_tpch_q2", "q_tpch_q21", "q_tpch_q16",
+    // round-7 scale twins of the block-quadratic audits
+    "q_dedup_jaccard_lsh", "q_dedup_contain_lsh", "q_sim_knn_graph_ann")
 
   def generate(spark: SparkSession, src: String, out: String, reps: Int): Unit = {
     val done = new java.io.File(s"$out/_DONE")
@@ -91,6 +93,15 @@ object Headroom {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Size-driven partitioning for the big-replica runs: a fixed 32
+      // shuffle partitions puts ~2M-row hash-aggregate tasks on the 100×
+      // replica (execution-memory OOM on the PageRank edge distinct);
+      // with a high initial partition count AQE coalesces DOWN to the
+      // right size instead of being stuck too coarse — exactly the
+      // production config a real 100 TB job runs with. Small-SF plans
+      // coalesce back to a handful of partitions, so sf0.1 timings are
+      // unaffected.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -20,13 +20,20 @@ import org.apache.spark.sql.functions.broadcast
   * under the threshold. Above it the join degrades to the standard shuffled
   * form — same algebra, no driver-memory cliff. The threshold is rows, not
   * bytes, because every caller's state row is a fixed narrow shape
-  * (id + label / node + rank: ≤ ~50 B), so 2M rows ≈ 100 MB build side —
-  * comfortably inside executor broadcast budgets while far above anything
-  * the local test SFs produce.
+  * (id + label / node + rank), so the row bound translates directly to a
+  * build-side budget — see [[MaxBroadcastRows]] for the sizing rationale.
   */
 object Hints {
-  /** Max state rows that still get a broadcast hint. */
-  val MaxBroadcastRows: Long = 2L * 1000 * 1000
+  /** Max state rows that still get a broadcast hint. Was 2M through
+    * round 6; the 100× replica showed why that overshoots: a 1.5M-node
+    * PageRank state slipped under the bound and each power-iteration
+    * round built a multi-hundred-MB broadcast hash relation (rows cost
+    * ~100 B+ in the relation, not the ~50 B of their data), which
+    * together with the cached edge leaf exhausted execution memory.
+    * 500k rows ≈ 50 MB build side keeps the hint inside ordinary
+    * executor broadcast budgets; bigger state degrades to the shuffled
+    * join, which is the correct plan for it anyway. */
+  val MaxBroadcastRows: Long = 500L * 1000
 
   /** Lineage-truncation point for the iterative family (PageRank/BFS
     * edge leaves, label-propagation state): `localCheckpoint` by

@@ -454,18 +454,45 @@ object Sim {
 
   private val KgBands = 8
   private val KgRows = 4 // planes per band
+  private val KgMaxExtra = 16 // arithmetic cap on the shared widening bits
+
+  /** Shared band-widening width: the band value space must GROW with the
+    * corpus or per-bucket pair work turns quadratic — at a fixed 8 bands
+    * × 4 bits × |labels| keys, a 100× replica measured an execution-OOM
+    * candidate explosion (≈1.2k avg bucket occupancy → ~10^9 pairs).
+    * Same bitlen derivation as [[Dedup.annWidth]], anchored so the width
+    * is 0 at every oracled fixture scale (n ≤ 2048·8 ⇒ results
+    * unchanged) and adds one shared bit per corpus doubling after that,
+    * holding expected (label, band, value) occupancy roughly constant. */
+  private def kgExtraWidth(n: Long): Int = {
+    val m = (n + 7) / 8 - 1
+    val bitlen = if (m <= 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(m)
+    math.min(KgMaxExtra, math.max(0, bitlen.toInt - 8))
+  }
 
   /** Per-vector banded hyperplane values: KgBands bands of KgRows sign
-    * bits each, planes from the shared deterministic
-    * [[Dedup.planeWeight]] family (plane index = band·rows + row). */
-  private def kgBandCols: Seq[Column] = (0 until KgBands).map { k =>
-    val bits = (0 until KgRows).map { j =>
-      val p = KgRows * k + j
+    * bits each (planes 0..31 of the shared deterministic
+    * [[Dedup.planeWeight]] family, plane index = band·rows + row), each
+    * widened by `extraW` SHARED sign bits from planes 32.. — shared so
+    * every band keeps its independent KgRows-bit s-curve while the
+    * common suffix partitions hot buckets as the corpus grows. Encoded
+    * as bval = bandBits + 2^KgRows · extraBits, the exact value the
+    * oracle reproduces via (extraFull % 2^w). */
+  private def kgBandCols(extraW: Int): Seq[Column] = {
+    def signBit(p: Int, bit: Int): Column = {
       val w = (0 until 64).map(jj => s"${Dedup.planeWeight(p, jj)}D").mkString(", ")
-      when(expr(s"vec_dot(embedding, array($w))") > 0, lit(1L << j))
+      when(expr(s"vec_dot(embedding, array($w))") > 0, lit(1L << bit))
         .otherwise(lit(0L))
-    }.reduce[Column](_ + _)
-    struct(lit(k.toLong).as("band_id"), bits.as("bval"))
+    }
+    val extra =
+      if (extraW == 0) lit(0L)
+      else (0 until extraW).map(j =>
+        signBit(KgBands * KgRows + j, KgRows + j)).reduce[Column](_ + _)
+    (0 until KgBands).map { k =>
+      val bits = (0 until KgRows).map(j => signBit(KgRows * k + j, j))
+        .reduce[Column](_ + _)
+      struct(lit(k.toLong).as("band_id"), (bits + extra).as("bval"))
+    }
   }
 
   /** Scale-path twin of [[simKnnGraph]]: the SAME 3-NN-edge + mutuality
@@ -490,8 +517,9 @@ object Sim {
     * spending the cluster time. */
   def simKnnGraphAnn(s: SparkSession, d: String): DataFrame = {
     val e = vectors(s, d)
+    val extraW = kgExtraWidth(Tables.embeddings(s, d).count())
     val banded = e.select(col("label"), col("vec_id"),
-        explode(array(kgBandCols: _*)).as("bb"))
+        explode(array(kgBandCols(extraW): _*)).as("bb"))
       .select(col("label"), col("vec_id"), col("bb.band_id"), col("bb.bval"))
     val cand = banded.alias("l").hint("shuffle_hash")
       .join(banded.alias("r"),
@@ -760,20 +788,38 @@ object Sim {
       |             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),
       |           (a, x) -> a + x) / (q.nrm * c.nrm)""".stripMargin
 
-  /** DuckDB twin of one [[kgBandCols]] band value: KgRows sign bits from
-    * the shared planeWeight family, band-local bit positions. */
+  /** DuckDB sign-bit term for plane p at bit position `bit` (shared
+    * planeWeight family). */
+  private def kgPlaneSql(p: Int, bit: Int): String = {
+    val lits = (0 until 64).map(jj => Dedup.planeWeight(p, jj).toString)
+      .mkString(", ")
+    s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(list_zip(embedding, [$lits]),
+       |    z -> CAST(z[1] AS DOUBLE) * z[2])),
+       |  (a, x) -> a + x) > 0 THEN ${1L << bit} ELSE 0 END""".stripMargin
+  }
+
+  /** DuckDB twin of one [[kgBandCols]] band value (pre-widening). */
   private def kgBandSql(k: Int): String = {
-    val bits = (0 until KgRows).map { j =>
-      val p = KgRows * k + j
-      val lits = (0 until 64).map(jj => Dedup.planeWeight(p, jj).toString)
-        .mkString(", ")
-      s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |  list_transform(list_zip(embedding, [$lits]),
-         |    z -> CAST(z[1] AS DOUBLE) * z[2])),
-         |  (a, x) -> a + x) > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
-    }.mkString("\n + ")
+    val bits = (0 until KgRows).map(j => kgPlaneSql(KgRows * k + j, j))
+      .mkString("\n + ")
     s"CAST($bits AS BIGINT)"
   }
+
+  /** DuckDB twin of the FULL shared widening word (all KgMaxExtra bits
+    * at positions KgRows+j); the oracle masks it to the adaptive width
+    * with % (1 << (KgRows + w)), which equals the Spark side's
+    * compute-only-w-bits sum by construction. */
+  private def kgExtraSql: String = {
+    val bits = (0 until KgMaxExtra).map(j =>
+      kgPlaneSql(KgBands * KgRows + j, KgRows + j)).mkString("\n + ")
+    s"CAST($bits AS BIGINT)"
+  }
+
+  /** DuckDB twin of [[kgExtraWidth]] as a runtime expression. */
+  private def kgWidthSql: String =
+    s"least($KgMaxExtra, greatest(0, length(bin(" +
+      s"((SELECT count(*) FROM embeddings) + 7) // 8 - 1)) - 8))"
 
   /** DuckDB twin of [[qdot]] for quantized BIGINT lists. */
   private def duckIdot(a: String, b: String): String =
@@ -1045,11 +1091,19 @@ object Sim {
     // hash compare even though the graph is approximate by design.
     "q_sim_knn_graph_ann" ->
       (eCte + s""",
+        |sig AS (
+        |  SELECT vec_id, label,
+        |         ${(0 until KgBands).map(k => s"${kgBandSql(k)} AS sb$k")
+                    .mkString(",\n         ")},
+        |         $kgExtraSql AS exf
+        |  FROM e),
         |bnd AS (
-        |  ${(0 until KgBands).map(k =>
-             s"SELECT vec_id, label, CAST($k AS BIGINT) AS band_id,\n" +
-             s"         ${kgBandSql(k)} AS bval FROM e")
-             .mkString("\n  UNION ALL\n  ")}),
+        |  SELECT vec_id, label, CAST(band_id AS BIGINT) AS band_id,
+        |         CAST(CASE band_id ${(0 until KgBands)
+                    .map(k => s"WHEN $k THEN sb$k").mkString(" ")} END
+        |              + (exf % (CAST(1 AS BIGINT) << ($KgRows + $kgWidthSql)))
+        |              AS BIGINT) AS bval
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, $KgBands)) AS band_id) t),
         |cand AS (
         |  SELECT DISTINCT a.label, a.vec_id AS q_id, b.vec_id AS c_id
         |  FROM bnd a JOIN bnd b
