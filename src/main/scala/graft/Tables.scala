@@ -46,6 +46,42 @@ object Tables {
       .mkString(",")
   }
 
+  /** Exact table row count from parquet FOOTER metadata — a driver-side
+    * file-stat + footer read, NO Spark job, memoized per (path,
+    * fingerprint) like [[schemaCache]]. This is what the adaptive-width
+    * operators (Dedup.annWidth, Sim.kgExtraWidth) consume: their bucket
+    * width is a function of corpus size, and deriving it from a
+    * DataFrame `.count()` at construction time posted a full Spark job
+    * per plan build (the round-7 PlanQualitySpec laziness failure) AND
+    * computed the input twice per execution. Footer row counts are the
+    * same number a production catalog serves from table statistics —
+    * zero scheduling round-trips, exact, and staleness-safe via the
+    * fingerprint. Directory tables (the replica fixtures) sum their
+    * part-file footers; at 1000-file scale that is still a pure
+    * driver-side metadata pass, the same cost class as schema inference. */
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long = {
+    val path = s"$sfDir/$name.parquet"
+    val key = s"$path@${pathFingerprint(spark, path)}"
+    rowCountCache.computeIfAbsent(key, { _ =>
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isFile) Seq(p)
+        else fs.listStatus(p).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath)
+      java.lang.Long.valueOf(files.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum)
+    })
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Some fixture generations store events.ts as TIMESTAMP(NANOS), which
     // Spark's vectorized reader rejects unless nanos are read as long.

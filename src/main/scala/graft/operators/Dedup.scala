@@ -913,25 +913,36 @@ object Dedup {
   private def widthSqlFrom(nExpr: String, idiv: String = "div"): String =
     s"least($MaxPlanes, greatest($BasePlanes, length(bin(($nExpr + 7) $idiv 8 - 1))))"
 
-  /** Scala twin of [[widthSqlFrom]] for the driver-side count. */
+  /** Scala twin of [[widthSqlFrom]] for the driver-side count. The n=0
+    * branch mirrors the SQL exactly: DuckDB's bin(-1) is 64 one-bits, so
+    * an empty table clamps to MaxPlanes on BOTH sides (vacuously equal —
+    * no rows exist to bucket — but the twins must not diverge even on
+    * degenerate inputs, or a fixture regression shows up as a hash-gate
+    * mystery instead of a width assertion). */
   def annWidth(n: Long): Int = {
     val m = (n + 7) / 8 - 1
-    val bitlen = if (m <= 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(m)
+    val bitlen =
+      if (m < 0) 64 // bin(-1): 64 set bits, same clamp as the SQL twin
+      else if (m == 0) 1
+      else 64 - java.lang.Long.numberOfLeadingZeros(m)
     math.min(MaxPlanes, math.max(BasePlanes, bitlen.toInt))
   }
 
   /** Sign-bit bucket id for every vector: bit p = (w_p · e > 0) over the
-    * first `width` planes. The width comes from one driver-side count()
-    * — metadata-cheap on parquet at any scale — so the plan computes
-    * ONLY the needed plane dots per row (8 at every oracled fixture,
-    * halving the old build-all-32-then-mask cost) while the ORACLE keeps
-    * the equivalent mask form: summing the first b sign-bit terms and
-    * masking a 32-term sum to b bits are the same value by construction.
-    * At scale this bucket is the partition key that turns ANN into a
-    * per-bucket local search. */
-  def annBuckets(emb: DataFrame): DataFrame = {
+    * first `width` planes. The width comes from the corpus row count `n`
+    * — callers pass [[graft.Tables.rowCount]]'s footer-metadata number,
+    * so plan CONSTRUCTION stays job-free (pinned by PlanQualitySpec's
+    * laziness gate; the round-7 form ran a `count()` here, posting a
+    * full scan job per build and computing the input twice). The plan
+    * computes ONLY the needed plane dots per row (8 at every oracled
+    * fixture, halving the old build-all-32-then-mask cost) while the
+    * ORACLE keeps the equivalent mask form: summing the first b sign-bit
+    * terms and masking a 32-term sum to b bits are the same value by
+    * construction. At scale this bucket is the partition key that turns
+    * ANN into a per-bucket local search. */
+  def annBuckets(emb: DataFrame, n: Long): DataFrame = {
     graft.functions.VectorExprs.register(emb.sparkSession)
-    val width = annWidth(emb.count())
+    val width = annWidth(n)
     val bits = (0 until width).map { p =>
       val w = (0 until Dim).map(j => s"${planeWeight(p, j)}D").mkString(", ")
       val dot = expr(s"vec_dot(embedding, array($w))")
@@ -941,7 +952,7 @@ object Dedup {
   }
 
   def simAnnBuckets(s: SparkSession, d: String): DataFrame =
-    annBuckets(Tables.embeddings(s, d))
+    annBuckets(Tables.embeddings(s, d), Tables.rowCount(s, d, "embeddings"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vecs"))
       .orderBy(col("bucket").asc)

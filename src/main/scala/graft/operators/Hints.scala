@@ -44,8 +44,19 @@ object Hints {
     * (environment) switches every site to a RELIABLE `checkpoint()`
     * against that directory — the fault-tolerant mode a 100 TB run
     * wants — with identical results (CkptModeSpec pins equality in both
-    * modes). The conf is consulted per call, so one session can compare
-    * modes; the checkpoint dir is set lazily on first use. */
+    * modes). The conf is consulted per call — changing it mid-session
+    * re-points the context — so one session can compare modes.
+    *
+    * DISK-GROWTH CAVEAT: reliable checkpoint files are only garbage-
+    * collected when `spark.cleaner.referenceTracking.cleanCheckpoints`
+    * is true AND the checkpointed RDD is dropped; iterative operators
+    * (BFS per-hop, label-prop rounds) otherwise accumulate one rdd-*
+    * directory per round in the checkpoint dir for the session's
+    * lifetime. A production deployment should set that cleaner conf (we
+    * don't force it here — it is a session-wide behavioral conf the
+    * caller owns) or point SPARK_GRAFT_CKPT_DIR at storage with a
+    * lifecycle/TTL policy, the standard practice for checkpoint
+    * locations on object stores. */
   def checkpoint(df: DataFrame, eager: Boolean): DataFrame = {
     val s = df.sparkSession
     val dir = Option(s.conf.get("spark.graft.checkpointDir", null))
@@ -53,7 +64,16 @@ object Hints {
       .orElse(sys.env.get("SPARK_GRAFT_CKPT_DIR").filter(_.nonEmpty))
     dir match {
       case Some(p) =>
-        if (s.sparkContext.getCheckpointDir.isEmpty)
+        // Consulted PER CALL, as documented: re-point the context when
+        // the conf value changes mid-session (the previous guard only
+        // set it when empty, silently ignoring a changed conf).
+        // getCheckpointDir returns the resolved URI (scheme-qualified),
+        // so compare by suffix-resolution: only call setCheckpointDir
+        // when the configured path isn't the one already in effect.
+        val cur = s.sparkContext.getCheckpointDir
+        if (!cur.exists(c => c == p || c.endsWith(p) ||
+            new org.apache.hadoop.fs.Path(c).toUri.getPath ==
+              new org.apache.hadoop.fs.Path(p).toUri.getPath))
           s.sparkContext.setCheckpointDir(p)
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)

@@ -87,7 +87,7 @@ object Sim {
     * broadcast(whole table) + label-blocked all-pairs, a driver OOM at
     * 100×). The oracle blocks on the same generated bucket SQL. */
   def dedupEmbcos(s: SparkSession, d: String): DataFrame = {
-    val e = Dedup.annBuckets(vectors(s, d))
+    val e = Dedup.annBuckets(vectors(s, d), Tables.rowCount(s, d, "embeddings"))
     val a = e.select(col("bucket"), col("vec_id").as("a_id"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col("bucket").as("bucket_b"), col("vec_id").as("b_id"),
@@ -517,7 +517,7 @@ object Sim {
     * spending the cluster time. */
   def simKnnGraphAnn(s: SparkSession, d: String): DataFrame = {
     val e = vectors(s, d)
-    val extraW = kgExtraWidth(Tables.embeddings(s, d).count())
+    val extraW = kgExtraWidth(Tables.rowCount(s, d, "embeddings"))
     val banded = e.select(col("label"), col("vec_id"),
         explode(array(kgBandCols(extraW): _*)).as("bb"))
       .select(col("label"), col("vec_id"), col("bb.band_id"), col("bb.bval"))

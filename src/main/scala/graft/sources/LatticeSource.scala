@@ -345,8 +345,15 @@ class LatticeMicroBatchStream(lo: Long, hi: Long, batchRows: Long,
     case m: ReadMaxRows      => m.maxRows()
     case _: ReadAllAvailable => hi - lo // whole range; min(hi, ..) caps it
     case c: CompositeReadLimit =>
-      val maxes = c.getReadLimits.collect { case m: ReadMaxRows => m.maxRows() }
-      if (maxes.nonEmpty) maxes.min else batchRows
+      val ls = c.getReadLimits
+      val maxes = ls.collect { case m: ReadMaxRows => m.maxRows() }
+      if (maxes.nonEmpty) maxes.min
+      // A composite with allAvailable but no maxRows bound means "drain"
+      // — admit the whole remaining range, same as a bare ReadAllAvailable
+      // (falling back to batchRows here would silently re-pace a drain
+      // trigger at the source's own default).
+      else if (ls.exists(_.isInstanceOf[ReadAllAvailable])) hi - lo
+      else batchRows
     case _ => batchRows
   }
 

@@ -31,6 +31,15 @@ class CkptModeSpec extends SparkSpec {
       assert(wrote, s"no rdd-* checkpoint data under $dir — reliable mode never engaged")
     } finally {
       spark.conf.unset("spark.graft.checkpointDir")
+      // The sparkContext checkpoint dir stays pointed at `dir` for the
+      // session (harmless: with the conf unset, Hints.checkpoint goes
+      // back to localCheckpoint and never consults it), but the temp
+      // data itself must not leak across the suite run.
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 }

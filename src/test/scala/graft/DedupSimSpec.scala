@@ -57,10 +57,11 @@ class DedupSimSpec extends SparkSpec {
 
   test("ann buckets: identical vectors share a bucket; recall vs brute force is sane") {
     val emb = Tables.embeddings(spark, sf0001)
-    val bk = operators.Dedup.annBuckets(emb).select("vec_id", "bucket")
+    val n = Tables.rowCount(spark, sf0001, "embeddings")
+    val bk = operators.Dedup.annBuckets(emb, n).select("vec_id", "bucket")
     // deterministic: rerunning yields identical assignments
     val b1 = bk.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val b2 = operators.Dedup.annBuckets(emb).select("vec_id", "bucket")
+    val b2 = operators.Dedup.annBuckets(emb, n).select("vec_id", "bucket")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(b1 == b2)
     // buckets partition the corpus

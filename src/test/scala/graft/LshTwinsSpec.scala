@@ -8,15 +8,30 @@ import org.apache.spark.sql.functions._
   * and non-degeneracy of the repaired MinHash parameter family. */
 class LshTwinsSpec extends SparkSpec {
 
-  private def rows(name: String): Seq[String] =
-    SparkEntry.queries(name)(spark, sf0001).collect().map(_.toString).toSeq
+  private def rows(name: String, sf: String): Seq[String] =
+    SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
 
-  test("q_dedup_jaccard_lsh equals the all-pairs q_dedup_jaccard top-100") {
-    assert(rows("q_dedup_jaccard_lsh") == rows("q_dedup_jaccard"))
+  // The twins' equality with their all-pairs originals rests on
+  // fixture-MEASURED recall bounds (e.g. contain's top-100 cutoff at
+  // J=0.207 vs the 64-band escape probability (1-J)^64) — so the
+  // equality is pinned at EVERY fixture SF, not just the smallest: a
+  // regenerated or larger fixture that invalidates the bound must
+  // surface here as a test failure, not as a driver hash-gate mystery.
+  private val allSfs = Seq(
+    "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+  test("q_dedup_jaccard_lsh equals the all-pairs q_dedup_jaccard top-100 at every fixture SF") {
+    allSfs.foreach { sf =>
+      assert(rows("q_dedup_jaccard_lsh", sf) == rows("q_dedup_jaccard", sf),
+        s"jaccard twin diverged at $sf")
+    }
   }
 
-  test("q_dedup_contain_lsh equals the all-pairs q_dedup_contain top-100") {
-    assert(rows("q_dedup_contain_lsh") == rows("q_dedup_contain"))
+  test("q_dedup_contain_lsh equals the all-pairs q_dedup_contain top-100 at every fixture SF") {
+    allSfs.foreach { sf =>
+      assert(rows("q_dedup_contain_lsh", sf) == rows("q_dedup_contain", sf),
+        s"contain twin diverged at $sf")
+    }
   }
 
   test("blocked candidates never cross a (lang, source) block and are deduped") {

@@ -13,6 +13,24 @@ class TestdataInvariantsSpec extends SparkSpec {
       "embeddings" -> 500L)
     expected.foreach { case (t, n) =>
       assert(Tables(spark, sf0001, t).count() == n, s"table $t")
+      // the footer-metadata count (what adaptive-width operators consume
+      // at plan-construction time, job-free) must agree with the scan
+      assert(Tables.rowCount(spark, sf0001, t) == n, s"footer count $t")
+    }
+  }
+
+  test("rowCount sums part-file footers for directory tables") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rc").toString
+    try {
+      spark.range(1000).repartition(4).write.mode("overwrite")
+        .parquet(s"$dir/t.parquet")
+      assert(Tables.rowCount(spark, dir, "t") == 1000L)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 
