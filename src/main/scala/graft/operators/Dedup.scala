@@ -27,6 +27,57 @@ object Dedup {
 
   private def toks = array_distinct(split(col("text"), " "))
 
+  // ------------------------------------------------------ audit size guard
+
+  /** The block-quadratic audits (q_dedup_jaccard/contain + their LSH
+    * twins, q_dedup_est_err, q_sim_knn_graph(+_ann)) are licensed at
+    * fixture scale by bounded blocks; their scaladoc has always
+    * prescribed "run over a key-sampled block" at corpus scale. The
+    * guard makes that prescription the DEFAULT rather than advice:
+    * whenever the input exceeds [[AuditCap]] rows, the audit runs over
+    * a deterministic ≈AuditCap-row subsample keyed by the cross-engine
+    * md5 fold of the id ([[DetHash]]), with the divisor derived from
+    * the corpus count — footer metadata on the Spark side
+    * ([[graft.Tables.rowCount]], job-free at plan construction), a
+    * scalar count subquery on the DuckDB side — so BOTH engines select
+    * the exact same block and the gate stays a hard rows+hash compare
+    * at any scale. Every fixture SF (≤ 50k docs) sits under the cap, so
+    * oracled results are unchanged; a regenerated bigger fixture can no
+    * longer quietly turn the bench quadratic (cost is capped at
+    * C(AuditCap, 2) block-bounded pair work forever). AuditGuardSpec
+    * pins that sampling commutes with the audits: the LSH twin over a
+    * forced sample equals the all-pairs audit over the same sample.
+    *
+    * Cap sizing: every fixture SF holds ≤ 5,000 documents / 2,000
+    * embeddings, so 8192 keeps all oracled results bit-identical while
+    * engaging already at the 10× replica (50k docs → divisor 7 → ≈7k
+    * sampled, re-measured q_dedup_contain 15.7× → ~2× there) — the
+    * audit's statistical power (error histograms, top-pair screens)
+    * saturates around 10^3–10^4 docs; beyond that the extra pairs buy
+    * quadratic cost, not information. */
+  val AuditCap = 8192L
+
+  def auditDivisor(n: Long): Long = math.max(1L, (n + AuditCap - 1) / AuditCap)
+
+  /** Keep rows of `df` whose md5-hex fold of `idCol` ≡ 0 (mod the
+    * divisor for corpus size `n`); identity when `n` is under the cap. */
+  def auditSample(df: DataFrame, n: Long, idCol: String): DataFrame = {
+    val s = auditDivisor(n)
+    if (s <= 1L) df
+    else df.withColumn("_ah", expr(s"md5(cast($idCol as string))"))
+      .filter(expr(s"${graft.operators.DetHash.sparkHexInt("_ah")} % ${s}L = 0"))
+      .drop("_ah")
+  }
+
+  /** DuckDB twin of [[auditSample]] as a WHERE fragment over `table`.
+    * The md5 call is inlined into the 8 fold terms (oracle-only SQL at
+    * fixture row counts — DuckDB CSEs the digest; the perf note in
+    * DetHash's scaladoc is about the engine-side hot path). */
+  def auditSampleSql(table: String, idCol: String): String =
+    s"((${graft.operators.DetHash.duckHexInt(s"md5(CAST($idCol AS VARCHAR))")})" +
+      s" % (SELECT greatest(1, (count(*) + ${AuditCap - 1}) // $AuditCap)" +
+      s" FROM $table)) = 0"
+
   // ---------------------------------------------------------------- jaccard
 
   /** Token-set Jaccard similarity between documents in the same
@@ -37,8 +88,12 @@ object Dedup {
     * bounded (TestdataInvariantsSpec guards the block structure; cost is
     * Σ C(block, 2)). For unbounded corpora the declared scale path is
     * q_dedup_neardup: LSH candidates → exact verify, never all-pairs. */
-  def dedupJaccard(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.spread(Tables.documents(s, d)).withColumn("tset", toks)
+  def dedupJaccard(s: SparkSession, d: String): DataFrame =
+    dedupJaccardOn(auditSample(Tables.documents(s, d),
+      Tables.rowCount(s, d, "documents"), "doc_id"))
+
+  def dedupJaccardOn(docsIn: DataFrame): DataFrame = {
+    val docs = Tables.spread(docsIn).withColumn("tset", toks)
     val a = docs.select(col("lang"), col("source"), col("doc_id").as("a_id"),
       col("tset").as("ta"))
     val b = docs.select(col("lang").as("lang_b"), col("source").as("source_b"),
@@ -63,8 +118,12 @@ object Dedup {
     * containment is not symmetric. Same bounded-(lang,source) blocking
     * contract as dedupJaccard; the unbounded-corpus path would reuse
     * q_dedup_neardup's LSH candidates with this scorer swapped in. */
-  def dedupContain(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.spread(Tables.documents(s, d)).withColumn("tset", toks)
+  def dedupContain(s: SparkSession, d: String): DataFrame =
+    dedupContainOn(auditSample(Tables.documents(s, d),
+      Tables.rowCount(s, d, "documents"), "doc_id"))
+
+  def dedupContainOn(docsIn: DataFrame): DataFrame = {
+    val docs = Tables.spread(docsIn).withColumn("tset", toks)
     val a = docs.select(col("lang"), col("source"), col("doc_id").as("a_id"),
       col("tset").as("ta"))
     val b = docs.select(col("lang").as("lang_b"), col("source").as("source_b"),
@@ -151,8 +210,11 @@ object Dedup {
     * Jaccard: banding must hash the similarity space the scorer ranks
     * (the bigram banding of q_dedup_neardup measures J ≈ 0.01–0.06 on
     * exactly these token-top pairs — wrong space, recall ≈ 0). */
-  def dedupJaccardLsh(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  def dedupJaccardLsh(s: SparkSession, d: String): DataFrame =
+    dedupJaccardLshOn(auditSample(Tables.documents(s, d),
+      Tables.rowCount(s, d, "documents"), "doc_id"))
+
+  def dedupJaccardLshOn(docs: DataFrame): DataFrame = {
     val cand = blockedLshCandidates(docs, Seq("lang", "source"),
       nGram = 1, numPerms = 32, bandRows = 2, estMin = 0.5)
     val t = Tables.spread(docs).withColumn("tset", toks)
@@ -181,8 +243,11 @@ object Dedup {
     * any usable cutoff would reject true containment pairs with
     * percent-level probability. Candidates come back directed by
     * unioning both orientations of the undirected pair stream. */
-  def dedupContainLsh(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  def dedupContainLsh(s: SparkSession, d: String): DataFrame =
+    dedupContainLshOn(auditSample(Tables.documents(s, d),
+      Tables.rowCount(s, d, "documents"), "doc_id"))
+
+  def dedupContainLshOn(docs: DataFrame): DataFrame = {
     val und = blockedLshCandidates(docs, Seq("lang", "source"),
       nGram = 1, numPerms = 64, bandRows = 1, estMin = 0.0)
     val cand = und.union(
@@ -730,8 +795,10 @@ object Dedup {
     // tset and signatures from ONE scan (withMd5Sigs) — a separate
     // minhashMd5Sigs call would rescan documents and force a doc_id
     // re-join shuffle for columns this scan already has in hand.
+    val guarded = auditSample(Tables.documents(s, d),
+      Tables.rowCount(s, d, "documents"), "doc_id")
     val base = withMd5Sigs(
-      withToks(Tables.spread(Tables.documents(s, d)))
+      withToks(Tables.spread(guarded))
         .withColumn("tset", expr(shingles(2)))
         .filter(size(col("tset")) > 0)
         .select(col("doc_id"), col("lang"), col("source"), col("tset")),
@@ -998,14 +1065,17 @@ object Dedup {
 
   /** DuckDB twin of [[minhashMd5Sigs]], generated from the same constants:
     * bigram shingles, md5 hex fold to [0, p), 8 affine-min signatures. */
-  private def mdSigsCte: String = {
+  private def mdSigsCte(guarded: Boolean = false): String = {
     val sigLines = (0 until MdPerms).map { i =>
       s"CAST(list_min(list_transform(hp, v -> (${mdA(i)} * v + ${mdB(i)}) " +
         s"% $MdP)) AS BIGINT) AS s$i"
     }.mkString(",\n         ")
+    // the audit guard applies only to the block-quadratic consumer
+    // (est_err); the linear signature dumps stay full-corpus
+    val guard = if (guarded) s" WHERE $docGuard" else ""
     s"""toks AS (
        |  SELECT doc_id, lang, source, string_split(text, ' ') AS tk
-       |  FROM documents),
+       |  FROM documents$guard),
        |t AS (
        |  SELECT doc_id, lang, source,
        |         list_distinct(list_transform(range(1, len(tk)),
@@ -1072,18 +1142,21 @@ object Dedup {
        |  $bandSelects) GROUP BY bucket)""".stripMargin
   }
 
+  /** Shared WHERE fragment: the audit sample over documents. */
+  private val docGuard = auditSampleSql("documents", "doc_id")
+
   val oracle: Map[String, String] = Map(
     "q_dedup_lsh_sweep" ->
-      (s"""WITH $mdSigsCte
+      (s"""WITH ${mdSigsCte()}
         |${SweepRows.map(sweepLegSql).mkString("", "\nUNION ALL\n", "")}
         |ORDER BY rows_per_band ASC""".stripMargin),
     "q_dedup_minhash_md5" ->
-      (s"""WITH $mdSigsCte
+      (s"""WITH ${mdSigsCte()}
         |SELECT doc_id, ${(0 until MdPerms).map(i => s"s$i").mkString(", ")}
         |FROM sigs
         |ORDER BY doc_id ASC""".stripMargin),
     "q_dedup_est_err" ->
-      (s"""WITH $mdSigsCte,
+      (s"""WITH ${mdSigsCte(guarded = true)},
         |p AS (
         |  SELECT (${(0 until MdPerms).map(i =>
             s"(CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END)").mkString(" + ")})
@@ -1110,10 +1183,10 @@ object Dedup {
     // at dedupJaccardLsh/dedupContainLsh) make candidates ⊇ the true
     // top-100, and verification is exact, so outputs are identical.
     "q_dedup_jaccard_lsh" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, lang, source,
         |         list_distinct(string_split(text, ' ')) AS tset
-        |  FROM documents),
+        |  FROM documents WHERE $docGuard),
         |p AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |         len(list_intersect(a.tset, b.tset)) AS inter,
@@ -1127,10 +1200,10 @@ object Dedup {
         |ORDER BY jac DESC, a_id ASC, b_id ASC
         |LIMIT 100""".stripMargin,
     "q_dedup_contain_lsh" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, lang, source,
         |         list_distinct(string_split(text, ' ')) AS tset
-        |  FROM documents),
+        |  FROM documents WHERE $docGuard),
         |p AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |         CAST(len(list_intersect(a.tset, b.tset)) AS BIGINT) AS inter,
@@ -1144,10 +1217,10 @@ object Dedup {
         |ORDER BY cont_pm DESC, a_id ASC, b_id ASC
         |LIMIT 100""".stripMargin,
     "q_dedup_jaccard" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, lang, source,
         |         list_distinct(string_split(text, ' ')) AS tset
-        |  FROM documents),
+        |  FROM documents WHERE $docGuard),
         |p AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |         len(list_intersect(a.tset, b.tset)) AS inter,
@@ -1161,10 +1234,10 @@ object Dedup {
         |ORDER BY jac DESC, a_id ASC, b_id ASC
         |LIMIT 100""".stripMargin,
     "q_dedup_contain" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, lang, source,
         |         list_distinct(string_split(text, ' ')) AS tset
-        |  FROM documents),
+        |  FROM documents WHERE $docGuard),
         |p AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |         CAST(len(list_intersect(a.tset, b.tset)) AS BIGINT) AS inter,
@@ -1369,7 +1442,7 @@ object Dedup {
         |SELECT doc_id, sh AS sig FROM sig
         |ORDER BY doc_id ASC""").stripMargin,
     "q_dedup_minhash" ->
-      (s"""WITH $mdSigsCte,
+      (s"""WITH ${mdSigsCte()},
         |b AS (
         |  ${(0 until MdPerms / 2).map(b =>
              s"SELECT CAST($b AS BIGINT) AS band_id, CAST(s${2 * b} AS VARCHAR) " +

@@ -76,7 +76,19 @@ object Hints {
               new org.apache.hadoop.fs.Path(p).toUri.getPath))
           s.sparkContext.setCheckpointDir(p)
         df.checkpoint(eager)
-      case None => df.localCheckpoint(eager)
+      case None =>
+        // MEMORY_AND_DISK_SER, not the default deserialized
+        // MEMORY_AND_DISK: the iterative leaves are corpus-sized (the
+        // 100× replica's 60M-edge PageRank leaf), and deserialized row
+        // caches of that size pin unified memory that concurrent
+        // hash-aggregate tasks need — the measured failure mode was
+        // UNABLE_TO_ACQUIRE_MEMORY in the round's grouped sum while the
+        // leaf held gigabytes of unserialized rows. Serialized blocks
+        // are several× smaller and evict to disk under pressure, so
+        // execution can claim the pool; the extra deserialization on
+        // the 2–4 reads per leaf is noise against a join+agg round.
+        df.localCheckpoint(eager,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
   }
 

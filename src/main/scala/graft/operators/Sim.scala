@@ -424,8 +424,11 @@ object Sim {
     * label-keyed shuffle join so no unbounded side broadcasts; the
     * mutuality check is one self-join of the edge list on the reversed
     * key. Integer outputs. */
-  def simKnnGraph(s: SparkSession, d: String): DataFrame = {
-    val e = vectors(s, d)
+  def simKnnGraph(s: SparkSession, d: String): DataFrame =
+    simKnnGraphOn(Dedup.auditSample(vectors(s, d),
+      Tables.rowCount(s, d, "embeddings"), "vec_id"))
+
+  def simKnnGraphOn(e: DataFrame): DataFrame = {
     val a = e.select(col("label"), col("vec_id").as("q_id"),
       col("embedding").as("qa"), col("nrm").as("qn"))
     val b = e.select(col("label").as("label_b"), col("vec_id").as("c_id"),
@@ -516,7 +519,10 @@ object Sim {
     * clustering — the question a 100 TB corpus has to answer BEFORE
     * spending the cluster time. */
   def simKnnGraphAnn(s: SparkSession, d: String): DataFrame = {
-    val e = vectors(s, d)
+    // audit sample under the guard; widening width still derives from
+    // the FULL corpus count (the oracle's scalar subquery does the same)
+    val e = Dedup.auditSample(vectors(s, d),
+      Tables.rowCount(s, d, "embeddings"), "vec_id")
     val extraW = kgExtraWidth(Tables.rowCount(s, d, "embeddings"))
     val banded = e.select(col("label"), col("vec_id"),
         explode(array(kgBandCols(extraW): _*)).as("bb"))
@@ -774,13 +780,22 @@ object Sim {
       .orderBy(col("q_id").asc, col("rn").asc)
   }
 
-  private val eCte =
-    """WITH e AS (
+  private def eCteWith(guard: String): String =
+    s"""WITH e AS (
       |  SELECT vec_id, label, embedding,
       |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
       |           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
       |           (a, x) -> a + x)) AS nrm
-      |  FROM embeddings)""".stripMargin
+      |  FROM embeddings$guard)""".stripMargin
+
+  private val eCte = eCteWith("")
+
+  /** The knn-graph audits run over the deterministic audit sample once
+    * the corpus exceeds Dedup.AuditCap (same guard, same md5 fold —
+    * see Dedup's audit-guard scaladoc); widths still derive from the
+    * FULL corpus count on both sides. */
+  private val eCteAudit =
+    eCteWith(" WHERE " + Dedup.auditSampleSql("embeddings", "vec_id"))
 
   private val dotSql =
     """list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -1062,7 +1077,7 @@ object Sim {
     // Directed 3-NN edges per label block, mutual edges via reversed
     // self-join; fold-order-identical cosines, id tiebreaks.
     "q_sim_knn_graph" ->
-      (eCte + """,
+      (eCteAudit + """,
         |p AS (
         |  SELECT q.label, q.vec_id AS q_id, c.vec_id AS c_id,
         |         """ + dotSql + """ AS cos
@@ -1090,7 +1105,7 @@ object Sim {
     // same planes, same bands, same scoring — the gate stays a hard
     // hash compare even though the graph is approximate by design.
     "q_sim_knn_graph_ann" ->
-      (eCte + s""",
+      (eCteAudit + s""",
         |sig AS (
         |  SELECT vec_id, label,
         |         ${(0 until KgBands).map(k => s"${kgBandSql(k)} AS sb$k")

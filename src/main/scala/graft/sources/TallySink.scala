@@ -60,13 +60,15 @@ class TallyTable(writeSchema: StructType, path: String)
   override def name(): String = s"tally($path)"
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new TallyBatchWrite(info.schema(), path, info.queryId())
+        override def toStreaming: streaming.StreamingWrite =
+          new TallyStreamingWrite(info.schema(), path)
       }
     }
 }
@@ -115,16 +117,76 @@ class TallyBatchWrite(schema: StructType, path: String, queryId: String)
   }
 }
 
+/** STREAMING write: the same two-phase protocol, made EXACTLY-ONCE under
+  * micro-batch replay by determinism instead of a transaction log:
+  *
+  *  - Final data-file names are a pure function of (epochId, partitionId)
+  *    — no taskId, no queryId — and task commit moves with
+  *    REPLACE_EXISTING. A replayed epoch (restart after the sink wrote
+  *    but before the engine committed the batch to its WAL) regenerates
+  *    byte-identical content for the same offsets (the micro-batch is
+  *    pinned by the offset log) and lands on the SAME file names, so
+  *    replay overwrites rather than duplicates. This is the classic
+  *    idempotent-sink contract Structured Streaming's exactly-once story
+  *    is built on (file sink does the same via its manifest log).
+  *  - Epoch commit writes a per-epoch `_tally.e<epoch>` manifest via the
+  *    same atomic temp+rename; re-committing a replayed epoch rewrites
+  *    identical totals — idempotent, never additive.
+  *
+  * Readers take the union of `part-e*.tsv` files; StreamTallySpec pins
+  * no-duplication across a mid-stream restart and a forced epoch replay. */
+class TallyStreamingWrite(schema: StructType, path: String)
+    extends streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
+    new TallyStreamingWriterFactory(schema, path)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val tallies = messages.collect { case t: TallyCommit if t.rows > 0 => t }
+    val manifest = new File(path, f"_tally.e$epochId%06d")
+    val tmp = new File(path, f"._tally.e$epochId%06d.inprogress")
+    val w = new BufferedWriter(new FileWriter(tmp))
+    try {
+      w.write(s"rows=${tallies.map(_.rows).sum}\n")
+      w.write(s"files=${tallies.length}\n")
+      tallies.map(_.file).sorted.foreach(f => w.write(s"file=$f\n"))
+    } finally w.close()
+    java.nio.file.Files.move(tmp.toPath, manifest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    // an aborted epoch's partial files are harmless (they will be
+    // overwritten by the replay), but sweep its inprogress temps
+    val dir = new File(path)
+    Option(dir.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.getName.startsWith(".part-") &&
+        f.getName.endsWith(".inprogress"))
+      .foreach(_.delete())
+  }
+}
+
+class TallyStreamingWriterFactory(schema: StructType, path: String)
+    extends streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new TallyWriter(schema, path,
+      f"part-e$epochId%06d-p$partitionId%05d.tsv", taskId)
+}
+
 class TallyWriterFactory(schema: StructType, path: String, queryId: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new TallyWriter(schema, path, queryId, partitionId, taskId)
+    new TallyWriter(schema, path, f"part-$queryId-$partitionId%05d.tsv", taskId)
 }
 
-class TallyWriter(schema: StructType, path: String, queryId: String,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
-
-  private val finalName = f"part-$queryId-$partitionId%05d.tsv"
+class TallyWriter(schema: StructType, path: String,
+    finalName: String, taskId: Long) extends DataWriter[InternalRow] {
   // taskId in the temp name keeps retried attempts of one partition from
   // colliding; only the committed attempt ever takes the final name
   private val tempFile = new File(path, s".$finalName.$taskId.inprogress")
@@ -161,8 +223,12 @@ class TallyWriter(schema: StructType, path: String, queryId: String,
     if (rows == 0) { tempFile.delete(); TallyCommit(finalName, 0, 0) }
     else {
       val dst = new File(path, finalName)
-      if (!tempFile.renameTo(dst))
-        throw new java.io.IOException(s"tally sink: rename to $dst failed")
+      // REPLACE_EXISTING: in batch mode the (queryId, partition) name is
+      // unique so nothing is ever replaced; in streaming mode a replayed
+      // epoch legitimately overwrites its own deterministic file — the
+      // idempotence that makes the sink exactly-once under replay.
+      java.nio.file.Files.move(tempFile.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       TallyCommit(finalName, rows, bytes)
     }
   }
