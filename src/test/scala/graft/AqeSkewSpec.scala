@@ -41,6 +41,42 @@ class AqeSkewSpec extends SparkSpec {
       s"AQE did not mark/split the skewed join partition:\n$p")
   }
 
+  test("hot-targeted salted join equals the plain join with mixed hot/cold keys") {
+    import spark.implicits._
+    // one hot key (5k rows) + 50 cold keys (10 rows each): with
+    // hotMin=1000 only 'H' crosses the threshold, so BOTH paths — salted
+    // hot rows and salt-0 cold rows — execute and must reassemble into
+    // exactly the plain join's result.
+    val big = (Seq.fill(5000)("H") ++ (0 until 50).flatMap(k =>
+        Seq.fill(10)(s"c$k"))).zipWithIndex
+      .toDF("k", "v")
+    val small = (("H", 99L) +: (0 until 50).map(k => (s"c$k", k.toLong)))
+      .toDF("k", "w")
+    val plain = big.join(small, "k")
+      .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+      .collect().map(_.toString).sorted.toSeq
+    val salted = operators.Skew.saltedJoinHot(big, small, "k",
+        salts = 8, hotMin = 1000, maxHot = 16, saltSource = col("v"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+    // the maxHot cap must degrade gracefully, not change results: cap 0
+    // forces every key down the cold path
+    val capped = operators.Skew.saltedJoinHot(big, small, "k",
+        salts = 8, hotMin = 1, maxHot = 0, saltSource = col("v"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(capped == plain)
+  }
+
+  test("q_skew_join_hot exercises the hot path at fixture scale (all flags over hotMin)") {
+    val flags = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(flags.size == 3 && flags.values.forall(_ >= 100),
+      s"fixture drifted — salt path would go dormant: $flags")
+  }
+
   test("AQE coalesces over-provisioned post-shuffle partitions") {
     val s = aqeSession()
     val tiny = Tables.nation(s, sf0001)
