@@ -69,6 +69,20 @@ class AqeSkewSpec extends SparkSpec {
     assert(capped == plain)
   }
 
+  test("q_skew_join_hot plan: hot probes broadcast, salted join stays shuffled-hash") {
+    val df = operators.Skew.skewJoinHot(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // two membership probes against the bounded hot list must be
+    // broadcasts (the safety argument IS the bounded build side)...
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"hot-list probes not broadcast:\n$p")
+    // ...and the (key, salt) join must stay a shuffled hash join — a
+    // sort-merge here would silently re-serialize the skew on the sort
+    assert(p.contains("ShuffledHashJoin"),
+      s"salted join lost its shuffle_hash pin:\n$p")
+  }
+
   test("q_skew_join_hot exercises the hot path at fixture scale (all flags over hotMin)") {
     val flags = Tables.lineitem(spark, sf0001)
       .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
