@@ -209,6 +209,27 @@ class LatticeSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("admission control honors every ReadLimit shape, including composites") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val st = new sources.LatticeMicroBatchStream(0L, 1000L, 100L,
+      sources.LatticeTable.schema)
+    def next(limit: ReadLimit): Long =
+      st.latestOffset(sources.LatticeOffset(0L), limit)
+        .asInstanceOf[sources.LatticeOffset].v
+    assert(next(ReadLimit.maxRows(40L)) == 40L)
+    assert(next(ReadLimit.allAvailable()) == 1000L)
+    // composite with a maxRows component: the tightest bound wins
+    assert(next(ReadLimit.compositeLimit(
+      Array(ReadLimit.maxRows(60L), ReadLimit.allAvailable()))) == 60L)
+    // composite with allAvailable but NO maxRows must drain the range,
+    // not silently re-pace at the source's own batchRows (ADVICE r7)
+    assert(next(ReadLimit.compositeLimit(
+      Array(ReadLimit.allAvailable(), ReadLimit.minRows(5L, 1000L)))) == 1000L)
+    // unknown-only composite falls back to batchRows
+    assert(next(ReadLimit.compositeLimit(
+      Array(ReadLimit.minRows(5L, 1000L)))) == 100L)
+  }
+
   test("micro-batch restart resumes from the checkpointed offset without replay") {
     val ckpt = java.nio.file.Files.createTempDirectory("lattice-mb2").toString
     val out = java.nio.file.Files.createTempDirectory("lattice-mb2-out").toString
