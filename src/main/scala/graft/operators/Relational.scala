@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -265,8 +265,58 @@ object Relational {
       .orderBy(col("o_orderpriority").asc)
   }
 
+  /** Morton/Z-value of two keys, each first normalized MONOTONICALLY
+    * into [0, 2^bits) — bit interleave preserves locality only under a
+    * monotone mapping (a hash would scatter it). Pure integer
+    * shift/mask algebra: codegen-friendly, deterministic. */
+  def zvalue(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce[Column](_ bitwiseOR _)
+
+  /** Z-ORDER clustered read surface — the fourth storage-layout lever,
+    * for MULTI-dimensional selective predicates where the other three
+    * each cover one axis (partitionBy: equality on one low-cardinality
+    * key; range: one range key; bucketBy: one join key). Lineitem is
+    * written once range-partitioned + sorted on the Morton interleave of
+    * (l_partkey, l_suppkey) — both normalized monotonically to 10 bits
+    * via the footer-count domain bound (job-free at construction) — so
+    * every file's (partkey × suppkey) bounding box is a small tile of
+    * the 2-D domain instead of a full-width stripe. A conjunctive
+    * 2-D range predicate then prunes most files/row-groups on BOTH
+    * columns' min/max stats, where a 1-D sort prunes only its own axis
+    * (LayoutZorderSpec measures exactly this: tile spans vs stripe
+    * spans on the same data). At 100 TB this is the standard
+    * data-clustering move (Delta/Iceberg OPTIMIZE ZORDER) and it's pure
+    * layout: the declared result is oracle-identical to the plain scan. */
+  def srcZorder(s: SparkSession, d: String): DataFrame = {
+    val dir = "/tmp/graft_zorder_li_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val marker = new java.io.File(dir + "/_SUCCESS")
+    val pN = graft.Tables.rowCount(s, d, "part")
+    val sN = graft.Tables.rowCount(s, d, "supplier")
+    if (!marker.isFile) {
+      val z = zvalue(
+        expr(s"l_partkey * 1024L div ${pN + 1}L"),
+        expr(s"l_suppkey * 1024L div ${sN + 1}L"), 10)
+      Tables.lineitem(s, d)
+        .withColumn("__z", z)
+        .repartitionByRange(16, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+        .write.mode("overwrite").parquet(dir)
+    }
+    s.read.parquet(dir)
+      .filter(col("l_partkey") <= pN / 8 && col("l_suppkey") <= sN / 8)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_src_partitioned" -> srcPartitioned,
+    "q_src_zorder" -> srcZorder,
     "q_src_lattice" -> srcLattice,
     "q_src_lattice_agg" -> srcLatticeAgg,
     "q_src_catalog" -> srcCatalog,
@@ -287,6 +337,14 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_src_zorder" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey <= (SELECT count(*) FROM part) // 8
+        |  AND l_suppkey <= (SELECT count(*) FROM supplier) // 8
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC""".stripMargin,
     "q_src_partitioned" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

@@ -582,6 +582,7 @@ class PlanQualitySpec extends SparkSpec {
     val exempt = Set(
       // layout: materialize the storage layout they demonstrate
       "q_join_bucketed", "q_src_partitioned", "q_src_lattice",
+      "q_src_zorder",
       // iterative fixed-point: checkpointed rounds + data-dependent
       // convergence checks run inside fn by construction
       "q_dedup_clusters", "q_dedup_repr", "q_dedup_split", "q_geo_dbscan",
