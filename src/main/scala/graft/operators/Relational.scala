@@ -252,8 +252,21 @@ object Relational {
     * I/O for the other status values). At 100 TB this is the first
     * lever against any selective-predicate scan: the filter never
     * touches data at all. Revenue is summed in exact integer cents. */
+  /** Layout-copy directory keyed by the SOURCE file's fingerprint as
+    * well as the sf dir: the driver has regenerated /root/testdata
+    * in place twice (TESTDATA.md), and a path-only key would keep
+    * serving the STALE layout copy after a regeneration — an oracle
+    * mismatch with no visible cause. A fingerprint change simply
+    * derives a fresh dir and rebuilds (the stale copy is a few MB of
+    * /tmp). */
+  private[graft] def layoutDir(s: SparkSession, d: String, table: String,
+      prefix: String): String =
+    s"/tmp/graft_${prefix}_" + (d + "/" + table + "@" +
+      graft.Tables.pathFingerprint(s, s"$d/$table.parquet"))
+      .replaceAll("[^A-Za-z0-9]", "_")
+
   def srcPartitioned(s: SparkSession, d: String): DataFrame = {
-    val dir = "/tmp/graft_part_orders_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = layoutDir(s, d, "orders", "part_orders")
     val marker = new java.io.File(dir + "/_SUCCESS")
     if (!marker.isFile)
       graft.Tables.writePartitioned(Tables.orders(s, d), dir, "o_orderstatus")
@@ -291,7 +304,7 @@ object Relational {
     * data-clustering move (Delta/Iceberg OPTIMIZE ZORDER) and it's pure
     * layout: the declared result is oracle-identical to the plain scan. */
   def srcZorder(s: SparkSession, d: String): DataFrame = {
-    val dir = "/tmp/graft_zorder_li_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = layoutDir(s, d, "lineitem", "zorder_li")
     val marker = new java.io.File(dir + "/_SUCCESS")
     val pN = graft.Tables.rowCount(s, d, "part")
     val sN = graft.Tables.rowCount(s, d, "supplier")

@@ -20,7 +20,7 @@ class LayoutZorderSpec extends SparkSpec {
   test("z-ordered files tile BOTH key domains; a 1-d sort stripes one of them") {
     // materialize the declared layout (idempotent) and read its boxes
     SparkEntry.queries("q_src_zorder")(spark, sf0001).collect()
-    val zDir = "/tmp/graft_zorder_li_" + sf0001.replaceAll("[^A-Za-z0-9]", "_")
+    val zDir = operators.Relational.layoutDir(spark, sf0001, "lineitem", "zorder_li")
     val zBoxes = fileBoxes(zDir)
 
     // contrast layout: same data, range-sorted on partkey only
