@@ -100,6 +100,104 @@ object Sim {
       .limit(20)
   }
 
+  // ------------------------------------------------------------ SemDeDup
+
+  /** Shared ×64 int8 quantization (the q_emb_stats/q_sim_kmeans scale),
+    * as a SQL fragment so it can sit inside larger expressions. */
+  private val SemQvSql =
+    "transform(embedding, x -> CAST(least(127, greatest(-128, " +
+      "floor(CAST(x AS DOUBLE) * 64.0D + 0.5D))) AS BIGINT))"
+
+  /** Adaptive cluster count for [[dedupSemdedup]]: one centroid per ~512
+    * vectors so the within-cluster pair space stays LINEAR in n (expected
+    * 512²/2 pairs per cluster × n/512 clusters ≈ 256·n), clamped to
+    * [4, 4096]. The floor keeps every oracled fixture (≤ 2 000 vectors)
+    * at k = 4 — results stable across SFs; the ceiling bounds the
+    * broadcast codebook at ~4096 × 520 B ≈ 2 MB. Beyond the ceiling the
+    * expected cluster grows again; the production hand-off at that point
+    * is a two-level coarse quantizer (exactly the IVF assign the q_sim_ivf
+    * family implements), not a bigger broadcast. The count arrives from
+    * [[graft.Tables.rowCount]]'s parquet-footer metadata — zero Spark
+    * jobs at plan construction (the laziness gate pins this). */
+  def semK(n: Long): Long = math.max(4L, math.min(4096L, n / 512))
+
+  /** SemDeDup — semantic near-duplicate pruning via k-means partition +
+    * within-cluster cosine threshold (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540 — public method, re-expressed
+    * Spark-first). Pipeline position: after exact/MinHash dedup
+    * (q_dedup_exact/q_dedup_neardup), this removes *semantically*
+    * redundant documents whose token streams differ.
+    *
+    * Stage 1, assign — the "codebook-as-column" shape: the k seed
+    * centroids (distinct vectors with vec_id < k; deterministic, like
+    * every other seeded family here) are folded into ONE array-typed row
+    * and broadcast, and each vector computes its argmin-L2 centroid with
+    * a per-row higher-order fold — a map-only pass with NO shuffle, no
+    * crossJoin row amplification (q_sim_kmeans's explicit k×n join +
+    * window costs a k-times-amplified shuffle; fine for one audited
+    * Lloyd round, wrong for an assign that feeds a join), and no
+    * cardinality collapse on replicated corpora. This is how a
+    * production assign scans 100 TB: broadcast codebook, one pass.
+    * All distances are BIGINT on the shared ×64 int8 quantization
+    * (max component² × dims = 256²·64 ≈ 4.2M — no overflow), ties break
+    * to the lower cid, so assignment is hash-exact on both engines.
+    *
+    * Stage 2, prune: within each cluster, pairs at cosine ≥ 0.35 mark
+    * the HIGHER vec_id dropped (min-id survivor, the repo-wide dedup
+    * convention). The threshold test is integer-exact — dot > 0 AND
+    * 400·dot² ≥ 49·‖a‖²·‖b‖² (0.35² = 49/400; |dot| ≤ 64·128² ≈ 1.05M,
+    * so 400·dot² ≲ 4.4e14 fits BIGINT) — no float, no sqrt. τ = 0.35 is
+    * fixture-tuned for non-degeneracy (the synthetic embeddings are
+    * near-orthogonal: max pairwise cos ≈ 0.5, so the paper's 0.95 would
+    * drop nothing; ~19 % of vectors drop at 0.35). The pair join keys on
+    * the cluster id with a shuffle_hash pin — cluster sizes are bounded
+    * ~512 by [[semK]], so in-cluster pair work is linear in corpus size
+    * and the join never broadcasts an unbounded side.
+    *
+    * Output: (vec_id, cid, dropped) — the keep/drop mask a training-data
+    * pipeline consumes downstream. */
+  def dedupSemdedup(s: SparkSession, d: String): DataFrame = {
+    val k = semK(Tables.rowCount(s, d, "embeddings"))
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr(SemQvSql).as("qv"))
+    // distinct() (not a bare filter): replicated corpora repeat vec_ids,
+    // and the codebook must stay exactly k rows of k distinct seeds
+    val cents = q.filter(col("vec_id") < k).distinct()
+      .agg(expr("sort_array(collect_list(named_struct('cid', vec_id, 'cqv', qv)))")
+        .as("ca"))
+    val asg = q.crossJoin(broadcast(cents))
+      .withColumn("best", expr(
+        """aggregate(
+          |  transform(ca, cc -> named_struct(
+          |    'dist', aggregate(zip_with(qv, cc.cqv, (a, b) -> (a - b) * (a - b)),
+          |              CAST(0 AS BIGINT), (acc, x) -> acc + x),
+          |    'cid', cc.cid)),
+          |  named_struct('dist', CAST(4611686018427387904 AS BIGINT),
+          |               'cid', CAST(4611686018427387904 AS BIGINT)),
+          |  (acc, x) -> IF(x.dist < acc.dist
+          |                 OR (x.dist = acc.dist AND x.cid < acc.cid), x, acc))"""
+          .stripMargin))
+      .withColumn("n2", expr(
+        "aggregate(transform(qv, v -> v * v), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .select(col("vec_id"), col("best.cid").as("cid"), col("qv"), col("n2"))
+    val a = asg.select(col("cid"), col("vec_id").as("a_id"),
+      col("qv").as("qa"), col("n2").as("na"))
+    val b = asg.select(col("cid").as("cid_b"), col("vec_id").as("b_id"),
+      col("qv").as("qb"), col("n2").as("nb"))
+    val drp = a.hint("shuffle_hash")
+      .join(b, col("cid") === col("cid_b") && col("a_id") < col("b_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * lit(400L) >= col("na") * col("nb") * lit(49L))
+      .select(col("b_id")).distinct()
+    asg.join(drp, col("vec_id") === col("b_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        when(col("b_id").isNull, 0L).otherwise(1L).as("dropped"))
+      .orderBy(col("vec_id").asc)
+  }
+
   /** IVF-style ANN, assignment stage: coarse-quantize every vector to its
     * nearest centroid by cosine. Deterministic training stub: the first 8
     * vectors serve as centroids (production would k-means; the
@@ -699,6 +797,7 @@ object Sim {
     "q_emb_matryoshka" -> embMatryoshka,
     "q_emb_binquant"   -> embBinquant,
     "q_dedup_embcos"   -> dedupEmbcos,
+    "q_dedup_semdedup" -> dedupSemdedup,
     "q_sim_ivf"        -> simIvf,
     "q_sim_ivf_probe2" -> simIvfProbe2,
     "q_emb_drift"      -> embDrift,
@@ -1346,6 +1445,53 @@ object Sim {
         |SELECT q_id, CAST(c_label AS BIGINT) AS pred_label, votes
         |FROM t WHERE vr = 1
         |ORDER BY q_id ASC""").stripMargin,
+    "q_dedup_semdedup" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(least(127, greatest(-128,
+        |           floor(CAST(x AS DOUBLE) * 64.0 + 0.5))) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT DISTINCT vec_id AS cid, qv AS cqv
+        |  FROM q WHERE vec_id <
+        |    (SELECT greatest(4, least(4096, count(*) // 512)) FROM embeddings)),
+        |carr AS (
+        |  SELECT list(struct_pack(cid := cid, cqv := cqv) ORDER BY cid ASC)
+        |           AS ca
+        |  FROM c),
+        |asg AS (
+        |  SELECT vec_id, qv,
+        |         list_reduce(
+        |           list_prepend(
+        |             struct_pack(dist := CAST(4611686018427387904 AS BIGINT),
+        |                         cid := CAST(4611686018427387904 AS BIGINT)),
+        |             list_transform(ca, cc -> struct_pack(
+        |               dist := list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                 list_transform(list_zip(qv, cc.cqv),
+        |                   z -> (z[1] - z[2]) * (z[1] - z[2]))),
+        |                 (acc, x) -> acc + x),
+        |               cid := cc.cid))),
+        |           (acc, x) -> CASE WHEN x.dist < acc.dist
+        |                         OR (x.dist = acc.dist AND x.cid < acc.cid)
+        |                       THEN x ELSE acc END).cid AS cid,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(qv, v -> v * v)), (a, x) -> a + x) AS n2
+        |  FROM q CROSS JOIN carr),
+        |pr AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(list_zip(a.qv, b.qv), z -> z[1] * z[2])),
+        |           (acc, x) -> acc + x) AS dot,
+        |         a.n2 AS na, b.n2 AS nb
+        |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        |drp AS (
+        |  SELECT DISTINCT b_id FROM pr
+        |  WHERE dot > 0 AND dot * dot * 400 >= na * nb * 49)
+        |SELECT g.vec_id, CAST(g.cid AS BIGINT) AS cid,
+        |       CAST(CASE WHEN d.b_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |         AS dropped
+        |FROM asg g LEFT JOIN drp d ON g.vec_id = d.b_id
+        |ORDER BY g.vec_id ASC""".stripMargin,
     "q_dedup_embcos" ->
       (eCte + """,
         |eb AS (
