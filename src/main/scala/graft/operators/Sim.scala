@@ -121,6 +121,77 @@ object Sim {
     * jobs at plan construction (the laziness gate pins this). */
   def semK(n: Long): Long = math.max(4L, math.min(4096L, n / 512))
 
+  /** Stage-1 assign shared by [[dedupSemdedup]] and [[embPruneProto]]:
+    * quantize, fold the k deterministic seed centroids into one broadcast
+    * codebook row, and compute each vector's argmin-L2 centroid with a
+    * per-row higher-order fold — map-only, no shuffle, no k× row
+    * amplification. Emits (vec_id, cid, dist2, qv, n2); consumers that
+    * don't need a column let Catalyst prune it. */
+  private def semAssign(s: SparkSession, d: String): DataFrame = {
+    val k = semK(Tables.rowCount(s, d, "embeddings"))
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr(SemQvSql).as("qv"))
+    // distinct() (not a bare filter): replicated corpora repeat vec_ids,
+    // and the codebook must stay exactly k rows of k distinct seeds
+    val cents = q.filter(col("vec_id") < k).distinct()
+      .agg(expr("sort_array(collect_list(named_struct('cid', vec_id, 'cqv', qv)))")
+        .as("ca"))
+    q.crossJoin(broadcast(cents))
+      .withColumn("best", expr(
+        """aggregate(
+          |  transform(ca, cc -> named_struct(
+          |    'dist', aggregate(zip_with(qv, cc.cqv, (a, b) -> (a - b) * (a - b)),
+          |              CAST(0 AS BIGINT), (acc, x) -> acc + x),
+          |    'cid', cc.cid)),
+          |  named_struct('dist', CAST(4611686018427387904 AS BIGINT),
+          |               'cid', CAST(4611686018427387904 AS BIGINT)),
+          |  (acc, x) -> IF(x.dist < acc.dist
+          |                 OR (x.dist = acc.dist AND x.cid < acc.cid), x, acc))"""
+          .stripMargin))
+      .withColumn("n2", expr(
+        "aggregate(transform(qv, v -> v * v), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .select(col("vec_id"), col("best.cid").as("cid"),
+        col("best.dist").as("dist2"), col("qv"), col("n2"))
+  }
+
+  /** DuckDB twin of [[semAssign]] — the shared `WITH` prefix both
+    * embedding-pruning oracles build on. Ends with `asg(vec_id, qv, cid,
+    * dist2, n2)`. */
+  private val SemAsgCte: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(least(127, greatest(-128,
+      |           floor(CAST(x AS DOUBLE) * 64.0 + 0.5))) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT DISTINCT vec_id AS cid, qv AS cqv
+      |  FROM q WHERE vec_id <
+      |    (SELECT greatest(4, least(4096, count(*) // 512)) FROM embeddings)),
+      |carr AS (
+      |  SELECT list(struct_pack(cid := cid, cqv := cqv) ORDER BY cid ASC)
+      |           AS ca
+      |  FROM c),
+      |asg AS (
+      |  SELECT vec_id, qv, best.cid AS cid, best.dist AS dist2,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(qv, v -> v * v)), (a, x) -> a + x) AS n2
+      |  FROM (
+      |    SELECT vec_id, qv,
+      |           list_reduce(
+      |             list_prepend(
+      |               struct_pack(dist := CAST(4611686018427387904 AS BIGINT),
+      |                           cid := CAST(4611686018427387904 AS BIGINT)),
+      |               list_transform(ca, cc -> struct_pack(
+      |                 dist := list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                   list_transform(list_zip(qv, cc.cqv),
+      |                     z -> (z[1] - z[2]) * (z[1] - z[2]))),
+      |                   (acc, x) -> acc + x),
+      |                 cid := cc.cid))),
+      |             (acc, x) -> CASE WHEN x.dist < acc.dist
+      |                           OR (x.dist = acc.dist AND x.cid < acc.cid)
+      |                         THEN x ELSE acc END) AS best
+      |    FROM q CROSS JOIN carr))""".stripMargin
+
   /** SemDeDup — semantic near-duplicate pruning via k-means partition +
     * within-cluster cosine threshold (Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web-scale through semantic
@@ -158,29 +229,7 @@ object Sim {
     * Output: (vec_id, cid, dropped) — the keep/drop mask a training-data
     * pipeline consumes downstream. */
   def dedupSemdedup(s: SparkSession, d: String): DataFrame = {
-    val k = semK(Tables.rowCount(s, d, "embeddings"))
-    val q = Tables.embeddings(s, d)
-      .select(col("vec_id"), expr(SemQvSql).as("qv"))
-    // distinct() (not a bare filter): replicated corpora repeat vec_ids,
-    // and the codebook must stay exactly k rows of k distinct seeds
-    val cents = q.filter(col("vec_id") < k).distinct()
-      .agg(expr("sort_array(collect_list(named_struct('cid', vec_id, 'cqv', qv)))")
-        .as("ca"))
-    val asg = q.crossJoin(broadcast(cents))
-      .withColumn("best", expr(
-        """aggregate(
-          |  transform(ca, cc -> named_struct(
-          |    'dist', aggregate(zip_with(qv, cc.cqv, (a, b) -> (a - b) * (a - b)),
-          |              CAST(0 AS BIGINT), (acc, x) -> acc + x),
-          |    'cid', cc.cid)),
-          |  named_struct('dist', CAST(4611686018427387904 AS BIGINT),
-          |               'cid', CAST(4611686018427387904 AS BIGINT)),
-          |  (acc, x) -> IF(x.dist < acc.dist
-          |                 OR (x.dist = acc.dist AND x.cid < acc.cid), x, acc))"""
-          .stripMargin))
-      .withColumn("n2", expr(
-        "aggregate(transform(qv, v -> v * v), CAST(0 AS BIGINT), (a, x) -> a + x)"))
-      .select(col("vec_id"), col("best.cid").as("cid"), col("qv"), col("n2"))
+    val asg = semAssign(s, d)
     val a = asg.select(col("cid"), col("vec_id").as("a_id"),
       col("qv").as("qa"), col("n2").as("na"))
     val b = asg.select(col("cid").as("cid_b"), col("vec_id").as("b_id"),
@@ -195,6 +244,34 @@ object Sim {
     asg.join(drp, col("vec_id") === col("b_id"), "left")
       .select(col("vec_id"), col("cid"),
         when(col("b_id").isNull, 0L).otherwise(1L).as("dropped"))
+      .orderBy(col("vec_id").asc)
+  }
+
+  /** Prototype-distance data pruning (Sorscher et al. 2022, "Beyond
+    * neural scaling laws: beating power law scaling via data pruning",
+    * arXiv:2206.14486 — public method, re-expressed Spark-first): rank
+    * every vector by its distance to its cluster prototype and keep the
+    * HARDEST examples — the paper's abundant-data regime, where easy
+    * (prototype-near) examples carry the least marginal signal. The
+    * deterministic seed codebook (repo convention) stands in for trained
+    * k-means prototypes; the contract under test is the pipeline shape:
+    * [[semAssign]]'s broadcast-codebook map-only pass, then ONE
+    * cid-keyed window (rank by dist2 desc, tie to lower vec_id) — a
+    * single shuffle on the cluster key, cluster sizes bounded ~512 by
+    * [[semK]], so the sort inside each partition is bounded too. Keep
+    * fraction 60 % per cluster, ceil'd exactly as (3·csize + 4) div 5 —
+    * integer on both engines, and a STRATIFIED cut (per-cluster, not
+    * global), which is what keeps the pruned set covering all modes.
+    * Output: (vec_id, cid, dist2, kept). */
+  def embPruneProto(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("cid"))
+    semAssign(s, d).select(col("vec_id"), col("cid"), col("dist2"))
+      .withColumn("r", row_number()
+        .over(w.orderBy(col("dist2").desc, col("vec_id").asc)))
+      .withColumn("csize", count(lit(1)).over(w))
+      .select(col("vec_id"), col("cid"), col("dist2"),
+        when(col("r") <= expr("(3 * csize + 4) div 5"), 1L).otherwise(0L)
+          .as("kept"))
       .orderBy(col("vec_id").asc)
   }
 
@@ -798,6 +875,7 @@ object Sim {
     "q_emb_binquant"   -> embBinquant,
     "q_dedup_embcos"   -> dedupEmbcos,
     "q_dedup_semdedup" -> dedupSemdedup,
+    "q_emb_prune_proto" -> embPruneProto,
     "q_sim_ivf"        -> simIvf,
     "q_sim_ivf_probe2" -> simIvfProbe2,
     "q_emb_drift"      -> embDrift,
@@ -1445,38 +1523,21 @@ object Sim {
         |SELECT q_id, CAST(c_label AS BIGINT) AS pred_label, votes
         |FROM t WHERE vr = 1
         |ORDER BY q_id ASC""").stripMargin,
+    "q_emb_prune_proto" ->
+      (SemAsgCte + """,
+        |pr AS (
+        |  SELECT vec_id, cid, dist2,
+        |         row_number() OVER (PARTITION BY cid
+        |           ORDER BY dist2 DESC, vec_id ASC) AS r,
+        |         count(*) OVER (PARTITION BY cid) AS csize
+        |  FROM asg)
+        |SELECT vec_id, CAST(cid AS BIGINT) AS cid, CAST(dist2 AS BIGINT)
+        |         AS dist2,
+        |       CAST(CASE WHEN r <= (3 * csize + 4) // 5 THEN 1 ELSE 0 END
+        |         AS BIGINT) AS kept
+        |FROM pr ORDER BY vec_id ASC""").stripMargin,
     "q_dedup_semdedup" ->
-      """WITH q AS (
-        |  SELECT vec_id,
-        |         list_transform(embedding, x -> CAST(least(127, greatest(-128,
-        |           floor(CAST(x AS DOUBLE) * 64.0 + 0.5))) AS BIGINT)) AS qv
-        |  FROM embeddings),
-        |c AS (
-        |  SELECT DISTINCT vec_id AS cid, qv AS cqv
-        |  FROM q WHERE vec_id <
-        |    (SELECT greatest(4, least(4096, count(*) // 512)) FROM embeddings)),
-        |carr AS (
-        |  SELECT list(struct_pack(cid := cid, cqv := cqv) ORDER BY cid ASC)
-        |           AS ca
-        |  FROM c),
-        |asg AS (
-        |  SELECT vec_id, qv,
-        |         list_reduce(
-        |           list_prepend(
-        |             struct_pack(dist := CAST(4611686018427387904 AS BIGINT),
-        |                         cid := CAST(4611686018427387904 AS BIGINT)),
-        |             list_transform(ca, cc -> struct_pack(
-        |               dist := list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |                 list_transform(list_zip(qv, cc.cqv),
-        |                   z -> (z[1] - z[2]) * (z[1] - z[2]))),
-        |                 (acc, x) -> acc + x),
-        |               cid := cc.cid))),
-        |           (acc, x) -> CASE WHEN x.dist < acc.dist
-        |                         OR (x.dist = acc.dist AND x.cid < acc.cid)
-        |                       THEN x ELSE acc END).cid AS cid,
-        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |           list_transform(qv, v -> v * v)), (a, x) -> a + x) AS n2
-        |  FROM q CROSS JOIN carr),
+      (SemAsgCte + """,
         |pr AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -1491,7 +1552,7 @@ object Sim {
         |       CAST(CASE WHEN d.b_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
         |         AS dropped
         |FROM asg g LEFT JOIN drp d ON g.vec_id = d.b_id
-        |ORDER BY g.vec_id ASC""".stripMargin,
+        |ORDER BY g.vec_id ASC""").stripMargin,
     "q_dedup_embcos" ->
       (eCte + """,
         |eb AS (

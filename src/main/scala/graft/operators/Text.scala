@@ -688,6 +688,114 @@ object Text {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Number of hash buckets for [[textDsir]]'s bag-of-hashed-ngrams
+    * models (the paper uses 10⁴; 64 keeps the fixture's 31-token
+    * vocabulary colliding realistically). Also the add-B smoothing
+    * denominator offset. */
+  private val DsirB = 64L
+
+  /** Integer micro-nat ln for UNBOUNDED counts — the extension of
+    * [[lnMicro]] past 128 that q_text_surprise's scaladoc said would
+    * need an unbounded table: decompose n = m·2^e with e = max(0,
+    * bitlen(n) − 7) (bitlen via `bin()` string length — the same
+    * bin-length idiom as q_sim_ann's ceil-log2, available identically in
+    * both engines), so m lands in [64, 127] (or n itself when n ≤ 127)
+    * and ln(n) ≈ lnTable(m) + e·ln2. The truncation error is ≤ ln(65/64)
+    * ≈ 1.5 % of a nat, DETERMINISTIC, and computed from shared integer
+    * constants — so scores hash-match across engines, which exact float
+    * ln never does. Emits `outCol` (micro-nats) via one broadcast join
+    * against the 128-row table; `nSql` must be a positive-BIGINT SQL
+    * fragment. */
+  private def withLgMicro(df: DataFrame, nSql: String, outCol: String)
+      : DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val ln = lnMicro.toDF("k", "lm")
+    val e = s"greatest(0, length(bin($nSql)) - 7)"
+    df.withColumn(s"_m_$outCol",
+        expr(s"($nSql) div shiftleft(CAST(1 AS BIGINT), CAST($e AS INT))"))
+      .withColumn(s"_e_$outCol", expr(s"CAST($e AS BIGINT)"))
+      .join(broadcast(ln.select(col("k").as(s"_m_$outCol"),
+        col("lm").as(s"_lm_$outCol"))), s"_m_$outCol")
+      .withColumn(outCol,
+        col(s"_lm_$outCol") + col(s"_e_$outCol") * lit(693147L))
+      .drop(s"_m_$outCol", s"_e_$outCol", s"_lm_$outCol")
+  }
+
+  /** DuckDB twin of [[withLgMicro]], inlined as a scalar fragment
+    * against the `ln(k, lm)` VALUES CTE alias `lnA`. */
+  private def lgMicroSql(nSql: String, lnAlias: String): String = {
+    val e = s"greatest(0, length(bin($nSql)) - 7)"
+    s"((SELECT lm FROM ln $lnAlias WHERE $lnAlias.k = " +
+      s"($nSql) // (CAST(1 AS BIGINT) << ($e))) + ($e) * 693147)"
+  }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling",
+    * arXiv:2302.03169 — public method, re-expressed Spark-first):
+    * score every candidate document by its log importance weight
+    * ln(p_target(x)/p_raw(x)) under bag-of-hashed-ngrams unigram
+    * models, then keep the per-language top quarter. Here target =
+    * the 'en' stratum (the quality-proxy corpus), candidate pool =
+    * everything else.
+    *
+    * Features are unigrams + adjacent bigrams md5-hashed into
+    * [[DsirB]] buckets (DetHash fold — cross-engine exact). With
+    * add-one smoothing the weight factorizes to
+    *   Σ_f c_f·(lg(ct_f+1) − lg(cr_f+1)) − n_feats·(lg(Nt+B) − lg(Nr+B))
+    * — two corpus-wide B-row histograms (map-side-combined hash aggs,
+    * broadcast back), one 1-row totals fold, and per-doc grouped sums.
+    * All logs are [[withLgMicro]] integer micro-nats, so the score and
+    * every cut on it hash-compare across engines. Selection is the
+    * deterministic analog of the paper's Gumbel-top-k: rank by (score
+    * desc, doc_id asc) INSIDE each language stratum (bounded window
+    * width — the repo's quartile discipline; an unstratified global
+    * top-k would be a driver TakeOrdered instead) and keep
+    * rn ≤ ceil(n/4). Output: (doc_id, lang, n_feats, score_micro, sel). */
+  def textDsir(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"), toks.as("tk"))
+    val feats = docs
+      .withColumn("f", explode(concat(col("tk"), expr(
+        """zip_with(slice(tk, 1, greatest(0, size(tk) - 1)),
+          |         slice(tk, 2, greatest(0, size(tk) - 1)),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin))))
+      .withColumn("hx", md5(col("f")))
+      .select(col("doc_id"), col("lang"),
+        expr(s"${DetHash.sparkHexInt("hx", 4)} % $DsirB").as("b"))
+    val tgt = feats.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val raw = feats.filter(col("lang") =!= "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    // left join: pool docs only ever probe buckets cnt_r itself saw
+    val stats0 = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val stats = withLgMicro(withLgMicro(stats0, "ct + 1", "lgt"),
+        "cr + 1", "lgr")
+      .select(col("b"), (col("lgt") - col("lgr")).as("wgt"))
+    val totals0 = stats0.agg(
+      (sum(col("ct")) + DsirB).as("nt"), (sum(col("cr")) + DsirB).as("nr"))
+    val totals = withLgMicro(withLgMicro(totals0, "nt", "lgnt"),
+        "nr", "lgnr")
+      .select((col("lgnt") - col("lgnr")).as("base"))
+    val byLang = Window.partitionBy(col("lang"))
+    feats.filter(col("lang") =!= "en")
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(stats), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n_feats"), sum(col("c") * col("wgt")).as("s1"))
+      .crossJoin(broadcast(totals))
+      .withColumn("score_micro", col("s1") - col("n_feats") * col("base"))
+      .withColumn("rn", row_number().over(
+        byLang.orderBy(col("score_micro").desc, col("doc_id").asc)))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .select(col("doc_id"), col("lang"), col("n_feats"), col("score_micro"),
+        when(col("rn") <= expr("(n + 3) div 4"), 1L).otherwise(0L).as("sel"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Collocation extraction: top-20 adjacent-bigram collocations by
     * LIFT = P(ab) / (P(a)·P(b)), the PMI ranking made hash-exact by
     * integer scaling — lift_ppm = (n_ab · N_uni² · 10⁶) div (n_a · n_b ·
@@ -1199,6 +1307,7 @@ object Text {
     "q_text_chargrams" -> textChargrams,
     "q_text_colloc"  -> textColloc,
     "q_text_entropy" -> textEntropy,
+    "q_text_dsir"    -> textDsir,
     "q_text_rarity"      -> textRarity,
     "q_text_qfilter"     -> textQfilter,
     "q_text_cdc"         -> textCdc,
@@ -1539,6 +1648,60 @@ object Text {
         |GROUP BY gram
         |ORDER BY n DESC, gram ASC
         |LIMIT 20""".stripMargin,
+    "q_text_dsir" -> {
+      val values = lnMicro.map { case (k, lm) => s"($k, $lm)" }.mkString(", ")
+      s"""WITH ln(k, lm) AS (SELECT * FROM (VALUES $values) t(k, lm)),
+         |tk AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS tk
+         |  FROM documents),
+         |feats AS (
+         |  SELECT doc_id, lang,
+         |         (${DetHash.duckHexInt("md5(f)", 4)}) % $DsirB AS b
+         |  FROM (
+         |    SELECT doc_id, lang,
+         |           unnest(list_concat(tk,
+         |             list_transform(range(1, len(tk)),
+         |               i -> tk[i] || ' ' || tk[i + 1]))) AS f
+         |    FROM tk)),
+         |tgt AS (
+         |  SELECT b, CAST(count(*) AS BIGINT) AS ct
+         |  FROM feats WHERE lang = 'en' GROUP BY b),
+         |rawc AS (
+         |  SELECT b, CAST(count(*) AS BIGINT) AS cr
+         |  FROM feats WHERE lang <> 'en' GROUP BY b),
+         |stats0 AS (
+         |  SELECT r.b, r.cr, coalesce(t.ct, 0) AS ct
+         |  FROM rawc r LEFT JOIN tgt t ON r.b = t.b),
+         |stats AS (
+         |  SELECT b, ${lgMicroSql("ct + 1", "l1")}
+         |           - ${lgMicroSql("cr + 1", "l2")} AS wgt
+         |  FROM stats0),
+         |totals AS (
+         |  SELECT ${lgMicroSql("nt", "l3")}
+         |           - ${lgMicroSql("nr", "l4")} AS base
+         |  FROM (
+         |    SELECT sum(ct) + $DsirB AS nt, sum(cr) + $DsirB AS nr
+         |    FROM stats0)),
+         |dc AS (
+         |  SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS c
+         |  FROM feats WHERE lang <> 'en' GROUP BY doc_id, lang, b),
+         |sc AS (
+         |  SELECT doc_id, lang, sum(c) AS n_feats, sum(c * wgt) AS s1
+         |  FROM dc JOIN stats USING (b) GROUP BY doc_id, lang),
+         |fin AS (
+         |  SELECT doc_id, lang, n_feats, s1 - n_feats * base AS score_micro
+         |  FROM sc CROSS JOIN totals),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY lang
+         |              ORDER BY score_micro DESC, doc_id ASC) AS rn,
+         |         count(*) OVER (PARTITION BY lang) AS n
+         |  FROM fin)
+         |SELECT doc_id, lang, CAST(n_feats AS BIGINT) AS n_feats,
+         |       CAST(score_micro AS BIGINT) AS score_micro,
+         |       CAST(CASE WHEN rn <= (n + 3) // 4 THEN 1 ELSE 0 END
+         |         AS BIGINT) AS sel
+         |FROM rk ORDER BY doc_id ASC""".stripMargin
+    },
     "q_text_colloc" ->
       """WITH tk AS (
         |  SELECT string_split(text, ' ') AS tk FROM documents),

@@ -65,6 +65,49 @@ class SemDedupSpec extends SparkSpec {
       s"threshold degenerate: $nDropped of $n dropped")
   }
 
+  test("prune_proto: per-cluster hardest-60% cut equals a local replay") {
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), quant(r.getSeq[Float](1))))
+    val k = operators.Sim.semK(vecs.length.toLong)
+    val cents = vecs.filter(_._1 < k).sortBy(_._1)
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val asg = vecs.map { case (id, qv) =>
+      val (d, c) = cents.map { case (c, cv) => (l2(qv, cv), c) }.min
+      (id, c, d)
+    }
+    val expected = asg.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val ranked = rows.sortBy { case (id, _, d) => (-d, id) }
+      val nKeep = (3 * rows.length + 4) / 5
+      ranked.zipWithIndex.map { case ((id, c, d), i) =>
+        (id, c, d, if (i < nKeep) 1L else 0L)
+      }
+    }.sortBy(_._1)
+    val got = operators.Sim.embPruneProto(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("prune_proto: the cut is stratified — exactly ceil(0.6·csize) kept per cluster") {
+    val rows = operators.Sim.embPruneProto(spark, sf0001).collect()
+      .map(r => (r.getLong(1), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (cid, rs) =>
+      val kept = rs.count(_._2 == 1L)
+      assert(kept == (3 * rs.length + 4) / 5,
+        s"cluster $cid: $kept of ${rs.length} kept")
+    }
+  }
+
+  test("prune_proto: plan is the broadcast-codebook assign + ONE cid window") {
+    val p = SparkEntry.queries("q_emb_prune_proto")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in prune_proto:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"prune_proto should not join beyond the 1-row codebook fold:\n$p")
+    assert(p.contains("Window"), s"missing the per-cluster rank window:\n$p")
+  }
+
   test("semdedup: plan is map-only assign + cluster-keyed hash pair join") {
     val p = SparkEntry.queries("q_dedup_semdedup")(spark, sf0001)
       .queryExecution.executedPlan.toString
