@@ -796,6 +796,62 @@ object Text {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Bigram LM perplexity scoring with stupid backoff (Brants et al.
+    * 2007, "Large Language Models in Machine Translation" — the
+    * web-scale backoff that needs no discounting pass; the quality
+    * signal CCNet computes with a trained LM). q_text_surprise's octave
+    * bands were the coarse stand-in; [[withLgMicro]]'s unbounded integer
+    * lg makes real log-probabilities tractable now. Train/score split on
+    * doc_id parity (a same-corpus LM would make the backoff path dead
+    * code — an unseen bigram could never occur): even docs train the
+    * counts, odd docs get scored.
+    *
+    * Per scored bigram: ln p(w2|w1) = lg(c12) − lg(c1) when the bigram
+    * was seen in training; else the backoff ln 0.4 + ln p_add1(w2) =
+    * lg(c2+1) − lg(N+V) − 916291 (OOV w2 hits the +1 floor via the left
+    * join's coalesce-to-0). Log arithmetic lives in the VOCAB-sized
+    * count tables (lg joins against 128 rows there, not on the token
+    * stream); the stream then takes two vocab-keyed left joins + a 1-row
+    * scalar fold and one grouped sum — the posting-join discipline of
+    * q_text_rarity, where AQE broadcasts the vocab side at fixture scale
+    * and shuffles it when a 100 TB vocabulary won't fit. All values are
+    * negated into positive nll before the integer div, so Spark `div`
+    * (truncate) and DuckDB `//` (floor) agree. Output: (doc_id, n_bi,
+    * nll_micro, nll_per_bi) for the scored half. */
+  def textLmPpl(s: SparkSession, d: String): DataFrame = {
+    val dk = Tables.spread(Tables.documents(s, d)).withColumn("tk", toks)
+    val toku = dk.select(col("doc_id"), explode(col("tk")).as("w"))
+    val occ = dk.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),
+          |         (a, b) -> named_struct('w1', a, 'w2', b))""".stripMargin))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val utrain = toku.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val btrain = occ.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uniLg = withLgMicro(withLgMicro(utrain, "c1", "lgc1"),
+      "c1 + 1", "lgc1p")
+    val biSc = withLgMicro(btrain, "c12", "lg12")
+      .join(uniLg.select(col("w").as("w1"), col("lgc1")), "w1")
+      .select(col("w1"), col("w2"), (col("lg12") - col("lgc1")).as("sc_bi"))
+    val totals = withLgMicro(
+        uniLg.agg(sum(col("c1")).as("nn"), count(lit(1)).as("vv")),
+        "nn + vv", "lgnv")
+      .select((col("lgnv") + 916291L).as("base"))
+    occ.filter(col("doc_id") % 2 === 1)
+      .join(biSc, Seq("w1", "w2"), "left")
+      .join(uniLg.select(col("w").as("w2"), col("lgc1p")), Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("sc", coalesce(col("sc_bi"),
+        coalesce(col("lgc1p"), lit(0L)) - col("base")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bi"), (-sum(col("sc"))).as("nll_micro"))
+      .withColumn("nll_per_bi", expr("nll_micro div n_bi"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Collocation extraction: top-20 adjacent-bigram collocations by
     * LIFT = P(ab) / (P(a)·P(b)), the PMI ranking made hash-exact by
     * integer scaling — lift_ppm = (n_ab · N_uni² · 10⁶) div (n_a · n_b ·
@@ -1308,6 +1364,7 @@ object Text {
     "q_text_colloc"  -> textColloc,
     "q_text_entropy" -> textEntropy,
     "q_text_dsir"    -> textDsir,
+    "q_text_lm_ppl"  -> textLmPpl,
     "q_text_rarity"      -> textRarity,
     "q_text_qfilter"     -> textQfilter,
     "q_text_cdc"         -> textCdc,
@@ -1648,6 +1705,45 @@ object Text {
         |GROUP BY gram
         |ORDER BY n DESC, gram ASC
         |LIMIT 20""".stripMargin,
+    "q_text_lm_ppl" -> {
+      val values = lnMicro.map { case (k, lm) => s"($k, $lm)" }.mkString(", ")
+      s"""WITH ln(k, lm) AS (SELECT * FROM (VALUES $values) t(k, lm)),
+         |tkt AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |toku AS (SELECT doc_id, unnest(tk) AS w FROM tkt),
+         |occ AS (
+         |  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |      i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS bg
+         |    FROM tkt WHERE len(tk) >= 2)),
+         |utrain AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS c1
+         |  FROM toku WHERE doc_id % 2 = 0 GROUP BY w),
+         |uniL AS (
+         |  SELECT w, c1, ${lgMicroSql("c1", "l1")} AS lgc1,
+         |         ${lgMicroSql("c1 + 1", "l2")} AS lgc1p
+         |  FROM utrain),
+         |btrain AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |  FROM occ WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+         |biSc AS (
+         |  SELECT b.w1, b.w2, ${lgMicroSql("c12", "l3")} - u.lgc1 AS sc_bi
+         |  FROM btrain b JOIN uniL u ON b.w1 = u.w),
+         |totals AS (
+         |  SELECT ${lgMicroSql("nn + vv", "l4")} + 916291 AS base FROM (
+         |    SELECT sum(c1) AS nn, count(*) AS vv FROM utrain)),
+         |osc AS (
+         |  SELECT o.doc_id,
+         |         coalesce(b.sc_bi, coalesce(u.lgc1p, 0) - t.base) AS sc
+         |  FROM (SELECT * FROM occ WHERE doc_id % 2 = 1) o
+         |  LEFT JOIN biSc b ON o.w1 = b.w1 AND o.w2 = b.w2
+         |  LEFT JOIN uniL u ON o.w2 = u.w
+         |  CROSS JOIN totals t)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bi,
+         |       CAST(-sum(sc) AS BIGINT) AS nll_micro,
+         |       CAST((-sum(sc)) // count(*) AS BIGINT) AS nll_per_bi
+         |FROM osc GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin
+    },
     "q_text_dsir" -> {
       val values = lnMicro.map { case (k, lm) => s"($k, $lm)" }.mkString(", ")
       s"""WITH ln(k, lm) AS (SELECT * FROM (VALUES $values) t(k, lm)),
