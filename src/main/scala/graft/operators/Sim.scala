@@ -57,6 +57,29 @@ object Sim {
 
   /** kNN classification: majority label among the top-5 neighbors in a
     * coarser block (label%5) so the vote is non-degenerate. */
+  /** Hard-negative mining for contrastive training (the triplet-mining
+    * step of Schroff et al. 2015, "FaceNet", arXiv:1503.03832 — public
+    * method): for each anchor, the top-3 most-similar vectors of a
+    * DIFFERENT fine label inside the same coarse block (label mod 5) —
+    * negatives that are close in embedding space are the ones a
+    * contrastive loss learns from. Same broadcast-anchors blocked scan
+    * as [[simTopk]]: the coarse-block equality bounds the candidate
+    * stream exactly like q_knn_label's, the label inequality selects
+    * negatives, and the per-anchor window takes the 3 hardest. */
+  def simHardneg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    pairs(s, d, _.filter(col("vec_id") < 10),
+        col("q_label") % 5 === col("c_label") % 5,
+        col("q_label") =!= col("c_label"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("q_label").cast("long").as("q_label"),
+        col("c_id"), col("c_label").cast("long").as("c_label"),
+        round(col("cos"), 4).as("cos_sim"), col("rn"))
+      .orderBy(col("q_id").asc, col("rn").asc)
+  }
+
   def knnLabel(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id").asc)
@@ -867,6 +890,7 @@ object Sim {
     "q_emb_stats"      -> embStats,
     "q_emb_quant"      -> embQuant,
     "q_sim_topk"       -> simTopk,
+    "q_sim_hardneg"    -> simHardneg,
     "q_knn_label"      -> knnLabel,
     "q_sim_pq_search"  -> simPqSearch,
     "q_sim_knn_graph"  -> simKnnGraph,
@@ -1498,6 +1522,25 @@ object Sim {
         |  FROM p)
         |SELECT q_id, c_id, round(cos, 4) AS cos_sim, rn
         |FROM r WHERE rn <= 5
+        |ORDER BY q_id ASC, rn ASC""").stripMargin,
+    "q_sim_hardneg" ->
+      (eCte + """,
+        |p AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label,
+        |         c.vec_id AS c_id, c.label AS c_label,
+        |         """ + dotSql + """ AS cos
+        |  FROM e q JOIN e c ON q.label % 5 = c.label % 5
+        |                   AND q.label <> c.label
+        |  WHERE q.vec_id < 10),
+        |r AS (
+        |  SELECT q_id, q_label, c_id, c_label, cos,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY cos DESC, c_id ASC) AS rn
+        |  FROM p)
+        |SELECT q_id, CAST(q_label AS BIGINT) AS q_label, c_id,
+        |       CAST(c_label AS BIGINT) AS c_label,
+        |       round(cos, 4) AS cos_sim, rn
+        |FROM r WHERE rn <= 3
         |ORDER BY q_id ASC, rn ASC""").stripMargin,
     "q_knn_label" ->
       (eCte + """,

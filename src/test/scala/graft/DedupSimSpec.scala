@@ -149,6 +149,23 @@ class DedupSimSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("hardneg: every mined negative is cross-label within the coarse block, plan broadcasts anchors") {
+    import org.apache.spark.sql.functions._
+    val df = operators.Sim.simHardneg(spark, sf0001)
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (qid, ql, cid, cl) =>
+      assert(ql != cl, s"anchor $qid mined a POSITIVE ($cid, label $cl)")
+      assert(ql % 5 == cl % 5,
+        s"anchor $qid escaped its coarse block: $ql vs $cl")
+    }
+    assert(rows.groupBy(_._1).values.forall(_.length <= 3))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"anchor side must broadcast, candidate side must not shuffle:\n$p")
+  }
+
   test("decode stub counts bytes exactly") {
     val f = multimodal.Multimodal.decodeStub(
       multimodal.MediaIn(1L, "beat a tree".getBytes("UTF-8")))
