@@ -852,6 +852,52 @@ object Text {
       .orderBy(col("doc_id").asc)
   }
 
+  /** BM25 ranked retrieval (Robertson & Walker 1994, Okapi BM25 — the
+    * lexical-retrieval baseline every RAG/decontamination pipeline
+    * keeps next to its ANN index), integer-exact: for the 10 rarest
+    * index terms (df asc, tok asc — a deterministic stand-in for a user
+    * query set), the top-5 documents by
+    * idf·(k1+1)·tf / (tf + k1·(1−b+b·dl/avgdl)), k1 = 6/5, b = 3/4.
+    * Robertson idf = ln((N−df+½)/(df+½)) becomes lg(2N−2df+1) −
+    * lg(2df+1) in micro-nats; the length normalization becomes
+    * nlen_ppm = dl·10¹² div avgdl_micro (deterministic ppm quantization,
+    * mirrored in the oracle), and the whole score multiplies out to
+    *   idf_micro·44·10⁶·tf div (20·10⁶·tf + 6·10⁶ + 18·nlen_ppm)
+    * — BIGINT-safe to ~10¹⁰ docs (beyond that, the same expression in
+    * DECIMAL(38,0)). Shape: postings tf agg + per-doc dl agg + 1-row
+    * corpus fold + a 10-row broadcast of the query terms with their lg
+    * idf — the scored stream is postings ⋈ broadcast(queries), then one
+    * per-term top-5 window. */
+  def textBm25(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), explode(toks).as("tok"))
+    val tf = occ.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = occ.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tot = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("ndl"))
+      .withColumn("avgdl_micro", expr("ndl * 1000000 div n_docs"))
+    val dfs = occ.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val qry = withLgMicro(withLgMicro(
+        dfs.orderBy(col("df").asc, col("tok").asc).limit(10)
+          .crossJoin(broadcast(tot.select(col("n_docs")))),
+        "2 * n_docs - 2 * df + 1", "lgn"), "2 * df + 1", "lgd")
+      .select(col("tok"), col("df"), (col("lgn") - col("lgd")).as("idf_micro"))
+    tf.join(dl, "doc_id")
+      .crossJoin(broadcast(tot.select(col("avgdl_micro"))))
+      .withColumn("nlen_ppm", expr("dl * 1000000000000 div avgdl_micro"))
+      .join(broadcast(qry), "tok")
+      .withColumn("score_micro", expr(
+        "idf_micro * 44000000 * tf div (20000000 * tf + 6000000 + 18 * nlen_ppm)"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("tok"))
+        .orderBy(col("score_micro").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("tok"), col("doc_id"), col("tf"), col("score_micro"),
+        col("rn"))
+      .orderBy(col("tok").asc, col("rn").asc)
+  }
+
   /** Collocation extraction: top-20 adjacent-bigram collocations by
     * LIFT = P(ab) / (P(a)·P(b)), the PMI ranking made hash-exact by
     * integer scaling — lift_ppm = (n_ab · N_uni² · 10⁶) div (n_a · n_b ·
@@ -1365,6 +1411,7 @@ object Text {
     "q_text_entropy" -> textEntropy,
     "q_text_dsir"    -> textDsir,
     "q_text_lm_ppl"  -> textLmPpl,
+    "q_text_bm25"    -> textBm25,
     "q_text_rarity"      -> textRarity,
     "q_text_qfilter"     -> textQfilter,
     "q_text_cdc"         -> textCdc,
@@ -1705,6 +1752,53 @@ object Text {
         |GROUP BY gram
         |ORDER BY n DESC, gram ASC
         |LIMIT 20""".stripMargin,
+    "q_text_bm25" -> {
+      val values = lnMicro.map { case (k, lm) => s"($k, $lm)" }.mkString(", ")
+      s"""WITH ln(k, lm) AS (SELECT * FROM (VALUES $values) t(k, lm)),
+         |occ AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM occ GROUP BY doc_id, tok),
+         |dl AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         |  FROM occ GROUP BY doc_id),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(dl) AS BIGINT) AS ndl,
+         |         CAST(sum(dl) AS BIGINT) * 1000000
+         |           // CAST(count(*) AS BIGINT) AS avgdl_micro
+         |  FROM dl),
+         |dfs AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM (
+         |    SELECT DISTINCT doc_id, tok FROM occ)
+         |  GROUP BY tok),
+         |qry AS (
+         |  SELECT tok, df,
+         |         ${lgMicroSql("2 * t.n_docs - 2 * df + 1", "l1")}
+         |           - ${lgMicroSql("2 * df + 1", "l2")} AS idf_micro
+         |  FROM (SELECT * FROM dfs ORDER BY df ASC, tok ASC LIMIT 10)
+         |  CROSS JOIN tot t),
+         |sc AS (
+         |  SELECT q.tok, tf.doc_id, tf.tf,
+         |         q.idf_micro * 44000000 * tf.tf
+         |           // (20000000 * tf.tf + 6000000
+         |               + 18 * (dl.dl * 1000000000000 // t.avgdl_micro))
+         |           AS score_micro
+         |  FROM tf
+         |  JOIN dl ON tf.doc_id = dl.doc_id
+         |  CROSS JOIN tot t
+         |  JOIN qry q ON tf.tok = q.tok),
+         |rk AS (
+         |  SELECT tok, doc_id, tf, score_micro,
+         |         row_number() OVER (PARTITION BY tok
+         |           ORDER BY score_micro DESC, doc_id ASC) AS rn
+         |  FROM sc)
+         |SELECT tok, doc_id, tf, score_micro, CAST(rn AS BIGINT) AS rn
+         |FROM rk WHERE rn <= 5
+         |ORDER BY tok ASC, rn ASC""".stripMargin
+    },
     "q_text_lm_ppl" -> {
       val values = lnMicro.map { case (k, lm) => s"($k, $lm)" }.mkString(", ")
       s"""WITH ln(k, lm) AS (SELECT * FROM (VALUES $values) t(k, lm)),

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import IntLg.lg
 
 /** Semantic pins for q_text_dsir (the DSIR importance-resampling
   * selector): a from-scratch local replay of the whole pipeline —
@@ -13,14 +14,6 @@ import org.apache.spark.sql.functions._
 class DsirSpec extends SparkSpec {
 
   private val B = 64L
-  private val lnTbl: Map[Long, Long] =
-    (1 to 128).map(k => (k.toLong, math.round(math.log(k.toDouble) * 1e6))).toMap
-
-  private def lg(n: Long): Long = {
-    val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(n)
-    val e = math.max(0, bitlen - 7)
-    lnTbl(n >> e) + e.toLong * 693147L
-  }
 
   private def bucket(f: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import IntLg.lg
 
 /** Semantic pins for q_text_lm_ppl (stupid-backoff bigram LM scoring):
   * a from-scratch local replay — parity split, count tables, integer
@@ -10,15 +11,6 @@ import org.apache.spark.sql.functions._
   * see).
   */
 class LmPplSpec extends SparkSpec {
-
-  private val lnTbl: Map[Long, Long] =
-    (1 to 128).map(k => (k.toLong, math.round(math.log(k.toDouble) * 1e6))).toMap
-
-  private def lg(n: Long): Long = {
-    val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(n)
-    val e = math.max(0, bitlen - 7)
-    lnTbl(n >> e) + e.toLong * 693147L
-  }
 
   private def corpus(): Array[(Long, Array[String])] =
     Tables.documents(spark, sf0001)
