@@ -265,10 +265,71 @@ object Graph {
     "q_graph_triangles" -> graphTriangles,
     "q_graph_pagerank" -> graphPagerank,
     "q_graph_bfs" -> ((s, d) => graphBfs(s, d)),
-    "q_graph_common" -> graphCommon
+    "q_graph_common" -> graphCommon,
+    "q_graph_adamic" -> graphAdamic
   )
 
+  /** Adamic–Adar link prediction (Liben-Nowell & Kleinberg 2003, "The
+    * link prediction problem for social networks" — public method) on
+    * [[graphCommon]]'s bipartite customer–supplier graph: score a
+    * candidate customer pair by Σ_z 1/ln(deg z) over shared suppliers z
+    * — common neighbors weighted so that promiscuous hubs count less.
+    * Integer-exact: each supplier's weight is 10¹² div lg(deg) micro⁻¹
+    * nats via Text's unbounded lg, computed once in the supplier-degree
+    * table (vocab-sized, broadcast) — never on the pair stream. deg ≥ 2
+    * is filtered BEFORE the division: a degree-1 supplier has ln = 0
+    * (division by zero — null in Spark, an error in DuckDB) and can
+    * never produce an a<b pair anyway, so the filter is
+    * semantics-preserving on both engines. Same bounded pair discipline
+    * as q_graph_common (custkey mod-100 probe set). */
+  def graphAdamic(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_custkey") % 100 === 0)
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .distinct()
+    val degS = e.groupBy(col("sk")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2)
+    val aaW = Text.withLgMicro(degS, "deg", "lgdeg")
+      .select(col("sk"), expr("1000000000000 div lgdeg").as("aa_w"))
+    val a = e.select(col("ck").as("a_ck"), col("sk"))
+    val b = e.select(col("ck").as("b_ck"), col("sk"))
+    a.join(b, Seq("sk"))
+      .filter(col("a_ck") < col("b_ck"))
+      .join(broadcast(aaW), "sk")
+      .groupBy(col("a_ck"), col("b_ck"))
+      .agg(count(lit(1)).as("common"), sum(col("aa_w")).as("aa_micro"))
+      .orderBy(col("aa_micro").desc, col("a_ck").asc, col("b_ck").asc)
+      .limit(20)
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_graph_adamic" -> {
+      val values = Text.lnMicro.map { case (k, lm) => s"($k, $lm)" }
+        .mkString(", ")
+      s"""WITH ln(k, lm) AS (SELECT * FROM (VALUES $values) t(k, lm)),
+         |e AS (
+         |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE o_custkey % 100 = 0),
+         |degs AS (
+         |  SELECT sk, CAST(count(*) AS BIGINT) AS deg
+         |  FROM e GROUP BY sk),
+         |aaw AS (
+         |  SELECT sk, 1000000000000 // (${Text.lgMicroSql("deg", "l1")})
+         |           AS aa_w
+         |  FROM degs WHERE deg >= 2),
+         |p AS (
+         |  SELECT a.ck AS a_ck, b.ck AS b_ck, w.aa_w
+         |  FROM e a JOIN e b ON a.sk = b.sk AND a.ck < b.ck
+         |  JOIN aaw w ON a.sk = w.sk)
+         |SELECT a_ck, b_ck, CAST(count(*) AS BIGINT) AS common,
+         |       CAST(sum(aa_w) AS BIGINT) AS aa_micro
+         |FROM p GROUP BY a_ck, b_ck
+         |ORDER BY aa_micro DESC, a_ck ASC, b_ck ASC
+         |LIMIT 20""".stripMargin
+    },
     "q_graph_degree" ->
       ("""WITH e AS (
         |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb

@@ -660,7 +660,7 @@ object Text {
     * transcendental never runs per-engine — the same shared-constant
     * discipline as the langid trigram profiles. 128 covers any count in
     * a ≤100-token document with headroom. */
-  private val lnMicro: Seq[(Long, Long)] =
+  private[operators] val lnMicro: Seq[(Long, Long)] =
     (1 to 128).map(k => (k.toLong, math.round(math.log(k.toDouble) * 1e6)))
 
   /** Shannon token entropy per doc in EXACT integer micro-nats:
@@ -706,7 +706,7 @@ object Text {
     * ln never does. Emits `outCol` (micro-nats) via one broadcast join
     * against the 128-row table; `nSql` must be a positive-BIGINT SQL
     * fragment. */
-  private def withLgMicro(df: DataFrame, nSql: String, outCol: String)
+  private[operators] def withLgMicro(df: DataFrame, nSql: String, outCol: String)
       : DataFrame = {
     val s = df.sparkSession
     import s.implicits._
@@ -724,7 +724,7 @@ object Text {
 
   /** DuckDB twin of [[withLgMicro]], inlined as a scalar fragment
     * against the `ln(k, lm)` VALUES CTE alias `lnA`. */
-  private def lgMicroSql(nSql: String, lnAlias: String): String = {
+  private[operators] def lgMicroSql(nSql: String, lnAlias: String): String = {
     val e = s"greatest(0, length(bin($nSql)) - 7)"
     s"((SELECT lm FROM ln $lnAlias WHERE $lnAlias.k = " +
       s"($nSql) // (CAST(1 AS BIGINT) << ($e))) + ($e) * 693147)"
