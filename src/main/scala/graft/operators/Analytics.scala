@@ -869,12 +869,51 @@ object Analytics {
     "q_null_safe"   -> nullSafe,
     "q_part_stats"  -> partStats,
     "q_dq_audit"    -> dqAudit,
+    "q_dq_benford"  -> dqBenford,
     "q_profile_cols" -> profileCols,
     "q_tpch_q17"    -> tpchQ17,
     "q_tpch_q22"    -> tpchQ22,
     "q_tpch_q15"    -> tpchQ15,
     "q_part_skyline" -> partSkyline
   )
+
+  /** The nine Benford expected first-digit frequencies in ppm —
+    * ln(1+1/d)/ln(10) computed ONCE from the shared [[Text.lnMicro]]
+    * constants and inlined verbatim into both engines (the ln-table
+    * discipline), so not a single transcendental runs per-engine. */
+  private val benfordPpm: Seq[(Long, Long)] = (1 to 9).map { dd =>
+    def ln(k: Int): Long = Text.lnMicro(k - 1)._2
+    (dd.toLong, (ln(dd + 1) - ln(dd)) * 1000000L / 2302585L)
+  }
+
+  /** Benford first-digit audit (Benford 1938; the classic
+    * fabricated-data screen auditors run on financial columns): observed
+    * vs expected first-significant-digit distribution of
+    * l_extendedprice, deviation in exact integer ppm. The digit comes
+    * from `floor` + string head — floor(double) is IEEE-identical in
+    * both engines where a double→BIGINT CAST is NOT (Spark truncates,
+    * DuckDB rounds). One hash aggregate into nine rows, a 9-row
+    * broadcast of the expected table, a 1-row total fold — the whole
+    * audit is a single map-side-combined pass at any corpus size.
+    * Synthetic uniform-ish prices do NOT follow Benford — the audit's
+    * job is to REPORT dev_ppm, and the spec pins the expected side's
+    * axioms instead (monotone decreasing, sums to ~10⁶). */
+  def dqBenford(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val exp = benfordPpm.toDF("digit", "exp_ppm")
+    val cnt = Tables.lineitem(s, d)
+      .select(expr("CAST(substring(CAST(CAST(floor(l_extendedprice) " +
+        "AS BIGINT) AS STRING), 1, 1) AS BIGINT)").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = cnt.agg(sum(col("n")).as("total"))
+    broadcast(exp).join(cnt, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(tot))
+      .withColumn("obs_ppm", expr("n * 1000000 div total"))
+      .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+        abs(col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
+      .orderBy(col("digit").asc)
+  }
 
   /** Part-dimension stats (covers p_size / p_retailprice). */
   def partStats(s: SparkSession, d: String): DataFrame =
@@ -1233,6 +1272,29 @@ object Analytics {
         |FROM cls
         |GROUP BY l
         |ORDER BY l ASC""".stripMargin,
+    "q_dq_benford" -> {
+      val values = benfordPpm.map { case (dg, p) => s"($dg, $p)" }
+        .mkString(", ")
+      s"""WITH expb(digit, exp_ppm) AS (
+         |  SELECT * FROM (VALUES $values) t(digit, exp_ppm)),
+         |dg AS (
+         |  SELECT CAST(substring(CAST(CAST(floor(l_extendedprice)
+         |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |  FROM lineitem),
+         |cnt AS (
+         |  SELECT digit, CAST(count(*) AS BIGINT) AS n
+         |  FROM dg GROUP BY digit),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cnt)
+         |SELECT CAST(e.digit AS BIGINT) AS digit,
+         |       coalesce(c.n, 0) AS n,
+         |       coalesce(c.n, 0) * 1000000 // t.total AS obs_ppm,
+         |       CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+         |       abs(coalesce(c.n, 0) * 1000000 // t.total - e.exp_ppm)
+         |         AS dev_ppm
+         |FROM expb e LEFT JOIN cnt c ON e.digit = c.digit
+         |CROSS JOIN tot t
+         |ORDER BY e.digit ASC""".stripMargin
+    },
     "q_dq_audit" ->
       """WITH li AS (SELECT * FROM lineitem), o AS (SELECT * FROM orders)
         |SELECT rule, CAST(n_bad AS BIGINT) AS n_bad,
