@@ -258,12 +258,19 @@ object Relational {
     * serving the STALE layout copy after a regeneration — an oracle
     * mismatch with no visible cause. A fingerprint change simply
     * derives a fresh dir and rebuilds (the stale copy is a few MB of
-    * /tmp). */
+    * /tmp). The key is md5'd to a fixed-length token: a DIRECTORY
+    * table's fingerprint concatenates every part file's
+    * (name, mtime, len), and on the multi-part scale replicas the raw
+    * string blew past the filesystem's 255-byte filename limit
+    * (measured: Mkdirs failure on the 10× replica's customer copy). */
   private[graft] def layoutDir(s: SparkSession, d: String, table: String,
-      prefix: String): String =
-    s"/tmp/graft_${prefix}_" + (d + "/" + table + "@" +
-      graft.Tables.pathFingerprint(s, s"$d/$table.parquet"))
-      .replaceAll("[^A-Za-z0-9]", "_")
+      prefix: String): String = {
+    val key = d + "/" + table + "@" +
+      graft.Tables.pathFingerprint(s, s"$d/$table.parquet")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    s"/tmp/graft_${prefix}_" +
+      md.digest(key.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  }
 
   def srcPartitioned(s: SparkSession, d: String): DataFrame = {
     val dir = layoutDir(s, d, "orders", "part_orders")
@@ -276,6 +283,53 @@ object Relational {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
       .orderBy(col("o_orderpriority").asc)
+  }
+
+  /** JSONL ingest surface — the wire format every web-scale text corpus
+    * actually arrives in (Common Crawl WET derivatives, Dolma, RedPajama
+    * all ship newline-delimited JSON): documents round-tripped through
+    * `.write.json` once (idempotent fingerprint-keyed copy, like every
+    * layout surface here) and read back with an EXPLICIT schema — at
+    * 100 TB schema inference is a full extra pass over the corpus, so a
+    * production reader never infers. The declared aggregate carries a
+    * per-language md5-fold checksum of the text column: the oracle runs
+    * on the ORIGINAL parquet, so a hash match proves the JSON encode →
+    * decode round trip was byte-exact, not just row-count-preserving. */
+  def srcJsonl(s: SparkSession, d: String): DataFrame = {
+    val dir = layoutDir(s, d, "documents", "jsonl_docs")
+    val src = Tables.documents(s, d)
+    if (!new java.io.File(dir + "/_SUCCESS").isFile)
+      src.write.mode("overwrite").json(dir)
+    s.read.schema(src.schema).json(dir)
+      .withColumn("hx", md5(col("text")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("sum_chars"),
+        sum(expr(DetHash.sparkHexInt("hx"))).as("checksum"))
+      .orderBy(col("lang").asc)
+  }
+
+  /** CSV ingest surface — the other ubiquitous text wire format:
+    * customer round-tripped through `.write.csv` (header on, quoting
+    * left to the writer) and read back with the EXPLICIT parquet schema
+    * (same no-inference rule as [[srcJsonl]] — and doubly so for CSV,
+    * where inference also guesses types). The checksum rides c_name and
+    * the cents sum rides the round-tripped DOUBLE c_acctbal: Java's
+    * shortest-round-trip double formatting guarantees parse-back
+    * bit-equality, which the oracle (on the original parquet) then
+    * hash-verifies. */
+  def srcCsv(s: SparkSession, d: String): DataFrame = {
+    val dir = layoutDir(s, d, "customer", "csv_cust")
+    val src = Tables.customer(s, d)
+    if (!new java.io.File(dir + "/_SUCCESS").isFile)
+      src.write.mode("overwrite").option("header", "true").csv(dir)
+    s.read.schema(src.schema).option("header", "true").csv(dir)
+      .withColumn("hx", md5(col("c_name")))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("sum_cents"),
+        sum(expr(DetHash.sparkHexInt("hx"))).as("checksum"))
+      .orderBy(col("c_mktsegment").asc)
   }
 
   /** Morton/Z-value of two keys, each first normalized MONOTONICALLY
@@ -330,6 +384,8 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_src_partitioned" -> srcPartitioned,
     "q_src_zorder" -> srcZorder,
+    "q_src_jsonl" -> srcJsonl,
+    "q_src_csv" -> srcCsv,
     "q_src_lattice" -> srcLattice,
     "q_src_lattice_agg" -> srcLatticeAgg,
     "q_src_catalog" -> srcCatalog,
@@ -350,6 +406,23 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_src_jsonl" ->
+      (s"""SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+         |       CAST(sum(${DetHash.duckHexInt("md5(text)")}) AS BIGINT)
+         |         AS checksum
+         |FROM documents
+         |GROUP BY lang
+         |ORDER BY lang ASC""").stripMargin,
+    "q_src_csv" ->
+      (s"""SELECT c_mktsegment, count(*) AS n_cust,
+         |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         |         AS sum_cents,
+         |       CAST(sum(${DetHash.duckHexInt("md5(c_name)")}) AS BIGINT)
+         |         AS checksum
+         |FROM customer
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment ASC""").stripMargin,
     "q_src_zorder" ->
       """SELECT l_returnflag, count(*) AS n_rows,
         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
