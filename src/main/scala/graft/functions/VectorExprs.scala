@@ -425,6 +425,67 @@ case class CharNgrams(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Native codegen twin of Text.withLgMicro's integer micro-nat log:
+  * lg_micro(n) = lnTable(m) + e·ln2_micro for n = m·2^e, e = max(0,
+  * bitlen(n) − 7) — the same shared 128-entry table, embedded once as a
+  * codegen reference object instead of a 128-row broadcast JOIN per
+  * call site. Why a custom Expression: the join formulation costs a
+  * build-side + probe per log taken; this emits three integer ops and
+  * an array load inside whole-stage codegen — the shape a 100 TB scan
+  * wants when a log rides the ROW STREAM rather than a vocab-sized
+  * side table. Identity with the join path holds exactly on the join
+  * path's whole domain (n ≤ 128: table-exact by construction, incl.
+  * n = 128 where round(ln64)+round(ln2) = round(ln128)); LgNativeSpec
+  * pins bit-parity against the table join and the spec-side replica.
+  * Total function: n < 1 returns 0 (branchless contract — callers
+  * guarantee positive counts; a throw would poison codegen). */
+case class LgMicro(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"lg_micro expects a BIGINT input, got ${dt.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val n = input.asInstanceOf[Long]
+    if (n < 1L) 0L
+    else {
+      val e = math.max(0, (64 - java.lang.Long.numberOfLeadingZeros(n)) - 7)
+      LgMicro.table((n >> e).toInt - 1) + e.toLong * 693147L
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tbl = ctx.addReferenceObj("lgMicroTable", LgMicro.table, "long[]")
+    nullSafeCodeGen(ctx, ev, n => {
+      val e = ctx.freshName("e")
+      s"""
+         |if ($n < 1L) {
+         |  ${ev.value} = 0L;
+         |} else {
+         |  int $e = java.lang.Math.max(0,
+         |    (64 - java.lang.Long.numberOfLeadingZeros($n)) - 7);
+         |  ${ev.value} = $tbl[(int) ($n >> $e) - 1] + $e * 693147L;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LgMicro =
+    copy(child = newChild)
+}
+
+object LgMicro {
+  /** The shared 128-entry micro-nat ln table — the SAME constants
+    * Text.lnMicro inlines into every DuckDB oracle. */
+  private[graft] val table: Array[Long] =
+    (1 to 128).map(k => math.round(math.log(k.toDouble) * 1e6)).toArray
+}
+
 object VectorExprs {
   /** Register `vec_dot`, `minhash_sigs` and `haversine_km` in the
     * session's function registry so query code can use them via
@@ -432,6 +493,8 @@ object VectorExprs {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lg_micro", exprs => LgMicro(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "haversine_km",
       exprs => HaversineKm(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")

@@ -688,6 +688,58 @@ object Text {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Native-Expression twin of [[textEntropy]]: the same exact integer
+    * micro-nat entropy, but both logs come from the codegen'd
+    * `lg_micro` ([[graft.functions.LgMicro]]) instead of two broadcast
+    * joins against the 128-row table — the count and total columns ride
+    * the per-(doc, token) ROW STREAM here, which is precisely where a
+    * join-per-log hurts at 100 TB and an inline array load doesn't.
+    * lg_micro is table-exact on the whole join domain (n ≤ 128), so the
+    * twin shares q_text_entropy's oracle verbatim; LgNativeSpec pins
+    * bit-parity row-for-row between the two plans. */
+  def textEntropyNative(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    val counts = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    counts.join(totals, "doc_id")
+      .withColumn("contrib",
+        col("c") * (expr("lg_micro(n)") - expr("lg_micro(c)")))
+      .groupBy(col("doc_id"), col("n").as("n_toks"))
+      .agg(sum(col("contrib")).as("ent_micro"))
+      .withColumn("h_micro", expr("ent_micro div n_toks"))
+      .select(col("doc_id"), col("n_toks"), col("ent_micro"), col("h_micro"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Entropy oracle, shared verbatim by q_text_entropy and its native
+    * lg_micro twin (value-identical by the table-exactness argument on
+    * [[textEntropyNative]]). */
+  private lazy val entropyOracleSql: String = {
+    val values = lnMicro.map { case (k, lm) => s"($k, $lm)" }.mkString(", ")
+    s"""WITH ln(k, lm) AS (SELECT * FROM (VALUES $values) t(k, lm)),
+       |tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM tok GROUP BY doc_id, tok),
+       |n AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks
+       |  FROM c GROUP BY doc_id)
+       |SELECT c.doc_id, n.n_toks,
+       |       CAST(sum(c.c * (l2.lm - l1.lm)) AS BIGINT) AS ent_micro,
+       |       CAST(sum(c.c * (l2.lm - l1.lm)) // n.n_toks AS BIGINT) AS h_micro
+       |FROM c
+       |JOIN ln l1 ON c.c = l1.k
+       |JOIN n  ON c.doc_id = n.doc_id
+       |JOIN ln l2 ON n.n_toks = l2.k
+       |GROUP BY c.doc_id, n.n_toks
+       |ORDER BY c.doc_id ASC""".stripMargin
+  }
+
   /** Number of hash buckets for [[textDsir]]'s bag-of-hashed-ngrams
     * models (the paper uses 10⁴; 64 keeps the fixture's 31-token
     * vocabulary colliding realistically). Also the add-B smoothing
@@ -1411,6 +1463,7 @@ object Text {
     "q_text_entropy" -> textEntropy,
     "q_text_dsir"    -> textDsir,
     "q_text_lm_ppl"  -> textLmPpl,
+    "q_text_entropy_native" -> textEntropyNative,
     "q_text_bm25"    -> textBm25,
     "q_text_rarity"      -> textRarity,
     "q_text_qfilter"     -> textQfilter,
@@ -1920,28 +1973,10 @@ object Text {
         |WHERE bi.n_ab >= 5
         |ORDER BY lift_ppm DESC, bi.a ASC, bi.b ASC
         |LIMIT 20""".stripMargin,
-    "q_text_entropy" -> {
-      val values = lnMicro.map { case (k, lm) => s"($k, $lm)" }.mkString(", ")
-      s"""WITH ln(k, lm) AS (SELECT * FROM (VALUES $values) t(k, lm)),
-         |tok AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
-         |  FROM tok GROUP BY doc_id, tok),
-         |n AS (
-         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks
-         |  FROM c GROUP BY doc_id)
-         |SELECT c.doc_id, n.n_toks,
-         |       CAST(sum(c.c * (l2.lm - l1.lm)) AS BIGINT) AS ent_micro,
-         |       CAST(sum(c.c * (l2.lm - l1.lm)) // n.n_toks AS BIGINT) AS h_micro
-         |FROM c
-         |JOIN ln l1 ON c.c = l1.k
-         |JOIN n  ON c.doc_id = n.doc_id
-         |JOIN ln l2 ON n.n_toks = l2.k
-         |GROUP BY c.doc_id, n.n_toks
-         |ORDER BY c.doc_id ASC""".stripMargin
-    },
+    "q_text_entropy" -> entropyOracleSql,
+    // the native twin is value-identical by construction (lg_micro is
+    // table-exact on n <= 128) and shares the oracle verbatim
+    "q_text_entropy_native" -> entropyOracleSql,
     "q_text_rarity" ->
       """WITH occ AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
