@@ -586,7 +586,7 @@ class PlanQualitySpec extends SparkSpec {
       // iterative fixed-point: checkpointed rounds + data-dependent
       // convergence checks run inside fn by construction
       "q_dedup_clusters", "q_dedup_repr", "q_dedup_split", "q_geo_dbscan",
-      "q_graph_bfs", "q_graph_pagerank")
+      "q_graph_bfs", "q_graph_pagerank", "q_graph_kcore")
     val sentinels = new java.util.concurrent.atomic.AtomicInteger(0)
     val others = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
