@@ -34,6 +34,7 @@ object SparkEntry {
     (operators.SqlReport.queries,  operators.SqlReport.oracle),
     (operators.Analytics.queries,  operators.Analytics.oracle),
     (operators.TpchFull.queries,   operators.TpchFull.oracle),
+    (operators.Learn.queries,      operators.Learn.oracle),
     (operators.Nulls.queries,      operators.Nulls.oracle),
     (multimodal.Multimodal.queries, multimodal.Multimodal.oracle)
   )

@@ -870,6 +870,7 @@ object Analytics {
     "q_part_stats"  -> partStats,
     "q_dq_audit"    -> dqAudit,
     "q_dq_benford"  -> dqBenford,
+    "q_dq_funcdep"  -> dqFuncdep,
     "q_profile_cols" -> profileCols,
     "q_tpch_q17"    -> tpchQ17,
     "q_tpch_q22"    -> tpchQ22,
@@ -898,6 +899,33 @@ object Analytics {
     * Synthetic uniform-ish prices do NOT follow Benford — the audit's
     * job is to REPORT dev_ppm, and the spec pins the expected side's
     * axioms instead (monotone decreasing, sums to ~10⁶). */
+  /** Functional-dependency audit over `orders`: for each declared
+    * candidate FD lhs→rhs, the count of lhs groups carrying more than
+    * one distinct rhs value — the schema-inference / data-contract
+    * check a pipeline runs before trusting a column as a join key or a
+    * derivable attribute (o_orderkey→o_custkey must hold at 0
+    * violations; the two attribute pairs quantify how far they are
+    * from functional). Scale shape: one two-phase aggregate per
+    * candidate (distinct-count per lhs group with partial aggregation,
+    * then a 1-row fold) — group count is bounded by lhs cardinality,
+    * never a pair join; violation rate in non-negative per-mille
+    * division. */
+  def dqFuncdep(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def fd(lhs: String, rhs: String): DataFrame =
+      o.groupBy(col(lhs))
+        .agg(countDistinct(col(rhs)).as("nrhs"))
+        .agg(count(lit(1)).as("n_lhs_groups"),
+          sum(when(col("nrhs") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(lhs).as("lhs_col"), lit(rhs).as("rhs_col"),
+          col("n_lhs_groups"), col("n_violating"),
+          expr("(1000 * n_violating) div n_lhs_groups").as("viol_pm"))
+    fd("o_orderkey", "o_custkey")
+      .union(fd("o_custkey", "o_orderpriority"))
+      .union(fd("o_orderdate", "o_orderstatus"))
+      .orderBy(col("lhs_col").asc)
+  }
+
   def dqBenford(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val exp = benfordPpm.toDF("digit", "exp_ppm")
@@ -1272,6 +1300,23 @@ object Analytics {
         |FROM cls
         |GROUP BY l
         |ORDER BY l ASC""".stripMargin,
+    "q_dq_funcdep" -> {
+      def fdSql(lhs: String, rhs: String): String =
+        s"""SELECT '$lhs' AS lhs_col, '$rhs' AS rhs_col,
+           |       CAST(count(*) AS BIGINT) AS n_lhs_groups,
+           |       CAST(sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_violating,
+           |       CAST((1000 * sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END))
+           |         // count(*) AS BIGINT) AS viol_pm
+           |FROM (SELECT $lhs, count(DISTINCT $rhs) AS nrhs
+           |      FROM orders GROUP BY $lhs)""".stripMargin
+      s"""${fdSql("o_orderkey", "o_custkey")}
+         |UNION ALL
+         |${fdSql("o_custkey", "o_orderpriority")}
+         |UNION ALL
+         |${fdSql("o_orderdate", "o_orderstatus")}
+         |ORDER BY lhs_col ASC""".stripMargin
+    },
     "q_dq_benford" -> {
       val values = benfordPpm.map { case (dg, p) => s"($dg, $p)" }
         .mkString(", ")

@@ -260,8 +260,54 @@ object Graph {
       .orderBy(col("band").asc)
   }
 
+  /** Local clustering coefficient per node of the nation trade graph —
+    * the closure measure (Watts & Strogatz 1998's C_i, integer-exact
+    * form) read alongside [[graphTriangles]] when deciding whether a
+    * similarity graph is community-structured enough for label
+    * propagation to converge fast. Same oriented triangle enumeration
+    * and dim-bounded edge list as q_graph_triangles (the fact-scale work
+    * is only the edge DERIVATION); coeff_ppm = 2·10⁶·tri ÷ deg·(deg−1)
+    * in non-negative integer division, deg < 2 pinned to 0 on both
+    * engines (the denominator would be 0). */
+  def graphClustco(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, d).select(col("s_suppkey"),
+        col("s_nationkey").as("sn")), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(s, d).select(col("c_custkey"),
+        col("c_nationkey").as("cn")), col("o_custkey") === col("c_custkey"))
+      .select(least(col("cn"), col("sn")).as("u"),
+        greatest(col("cn"), col("sn")).as("v"))
+      .filter(col("u") < col("v"))
+      .distinct()
+    val e1 = pairs.select(col("u").as("a"), col("v").as("b"))
+    val e2 = pairs.select(col("u").as("b2"), col("v").as("c"))
+    val e3 = pairs.select(col("u").as("a3"), col("v").as("c3"))
+    val tris = e1
+      .join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"), col("b"), col("c"))
+    val deg = pairs.select(col("u").as("n")).union(pairs.select(col("v")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val perNode = tris.select(col("a").as("n"))
+      .union(tris.select(col("b")))
+      .union(tris.select(col("c")))
+      .groupBy(col("n")).agg(count(lit(1)).as("n_tris"))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n").cast("long").as("nationkey"), col("deg"),
+        coalesce(col("n_tris"), lit(0L)).as("n_tris"))
+      .withColumn("coeff_ppm",
+        when(col("deg") >= 2,
+          expr("(2000000 * n_tris) div (deg * (deg - 1))"))
+        .otherwise(lit(0L)))
+      .orderBy(col("coeff_ppm").desc, col("nationkey").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_degree" -> graphDegree,
+    "q_graph_clustco" -> graphClustco,
     "q_graph_triangles" -> graphTriangles,
     "q_graph_pagerank" -> graphPagerank,
     "q_graph_bfs" -> ((s, d) => graphBfs(s, d)),
@@ -501,6 +547,37 @@ object Graph {
         |  UNION ALL SELECT 3, count(*) FROM l3)
         |WHERE n_nodes > 0
         |ORDER BY hop ASC""".stripMargin,
+    "q_graph_clustco" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT least(c_nationkey, s_nationkey) AS u,
+        |         greatest(c_nationkey, s_nationkey) AS v
+        |  FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_nationkey <> s_nationkey),
+        |tris AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM pairs e1
+        |  JOIN pairs e2 ON e1.v = e2.u
+        |  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |deg AS (
+        |  SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs)
+        |  GROUP BY n),
+        |pn AS (
+        |  SELECT n, CAST(count(*) AS BIGINT) AS n_tris FROM (
+        |    SELECT a AS n FROM tris UNION ALL SELECT b FROM tris
+        |    UNION ALL SELECT c FROM tris)
+        |  GROUP BY n)
+        |SELECT deg.n AS nationkey, deg.deg,
+        |       COALESCE(pn.n_tris, 0) AS n_tris,
+        |       CAST(CASE WHEN deg.deg >= 2
+        |            THEN (2000000 * COALESCE(pn.n_tris, 0))
+        |                   // (deg.deg * (deg.deg - 1))
+        |            ELSE 0 END AS BIGINT) AS coeff_ppm
+        |FROM deg LEFT JOIN pn ON deg.n = pn.n
+        |ORDER BY coeff_ppm DESC, nationkey ASC""".stripMargin,
     "q_graph_triangles" ->
       """WITH pairs AS (
         |  SELECT DISTINCT least(c_nationkey, s_nationkey) AS u,

@@ -1,0 +1,340 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Learned-model and time-series analytics: closed-form regression,
+  * generative classification, autocorrelation, and change-point
+  * detection — the "fit a tiny model over a huge corpus" family a
+  * training-data pipeline runs for curriculum/mixture decisions.
+  *
+  * Shared design rule (the repo-wide sufficient-statistics discipline):
+  * the corpus-scale stage only ever computes BOUNDED sufficient
+  * statistics (per-bin sums, per-(lang,token) counts, per-day counts)
+  * with map-side combine; the model math then runs on that bounded
+  * set in exact integer micro-units, so results hash-match the DuckDB
+  * oracle at any corpus size and no driver-side loop ever appears.
+  *
+  * Signed integer division: both engines truncate toward zero (Spark
+  * `div` = Java long division; DuckDB `//` measured −7//2 = −3), so
+  * plain `div`/`//` stays exact-parity even on the possibly-negative
+  * OLS numerators here — the one family in the repo that divides a
+  * sign-carrying value. (DuckDB's `//` is NOT floor division despite
+  * the Python-like spelling; an explicit-floor Spark twin was measured
+  * off-by-one against it on the negative slope.)
+  */
+object Learn {
+
+  // ---------------------------------------------------------------- linreg
+
+  /** Binned ordinary least squares per return flag: regress average
+    * line-item price (cents, integer-divided per bin) on quantity over
+    * the ≤50 distinct quantity bins. Binning first is the scale design,
+    * not a shortcut: the corpus-scale pass is one map-side-combined
+    * groupBy producing ≤ |flags|·50 sufficient-statistic rows, and the
+    * OLS normal equations then run on that bounded set in exact long
+    * arithmetic (n ≤ 50, x ≤ 50, y ≤ 2²⁴ cents ⇒ the 10⁶-scaled
+    * numerator stays ≤ 2⁶¹ — overflow-free at ANY corpus size, where
+    * raw-row Σxy·n would overflow long at ~10⁸ rows). Slope/intercept
+    * in integer micro-units; the numerators can be negative, covered by
+    * the truncate-toward-zero parity noted on the object scaladoc. */
+  def mlLinreg(s: SparkSession, d: String): DataFrame = {
+    val bins = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("rf"),
+        expr("CAST(l_quantity AS BIGINT)").as("q"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("rf"), col("q"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .withColumn("y", expr("sum_cents div n_rows"))
+    bins.groupBy(col("rf"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("q")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("q") * col("q")).as("sxx"),
+        sum(col("q") * col("y")).as("sxy"))
+      .withColumn("num", expr("n_bins * sxy - sx * sy"))
+      .withColumn("den", expr("n_bins * sxx - sx * sx"))
+      .withColumn("slope_micro", expr("(1000000 * num) div den"))
+      .withColumn("icept_micro",
+        expr("(1000000 * sy - slope_micro * sx) div n_bins"))
+      .select(col("rf"), col("n_bins"), col("slope_micro"), col("icept_micro"))
+      .orderBy(col("rf").asc)
+  }
+
+  // ------------------------------------------------------------ naive bayes
+
+  /** Multinomial Naive Bayes language classifier (add-one smoothing),
+    * trained on the even-doc_id half of `documents` and evaluated on the
+    * odd half — the confusion matrix a pipeline uses to calibrate its
+    * language router. Deterministic split (doc_id parity), deterministic
+    * argmax (score desc, lang asc), and EXACT integer scores: every log
+    * is [[Text.withLgMicro]] micro-nats computed on the vocabulary-sized
+    * count table (never the token stream), so
+    *   score(d, l) = lg D_l + Σ_t c_t·lg(ct_{l,t}+1) − n_t·lg(N_l+V)
+    * hash-matches the oracle. Scale shape: train counts are one
+    * map-side-combined (lang, token) agg; the vocabulary size V and the
+    * per-language constants ride 1-row/|langs|-row broadcast folds
+    * (crossJoin of a broadcast aggregate — the repo's standard scalar
+    * fold, no driver action); scoring is the test token stream × |langs|
+    * (a bounded ≤5× fan-out) left-joined to the vocab-sized count table
+    * on (lang, token) — an equi-join that shuffles on the token key,
+    * never a pair blow-up. */
+  def mlNaiveBayes(s: SparkSession, d: String): DataFrame = {
+    val toksCol = split(col("text"), " ")
+    val docs = Tables.documents(s, d)
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val ct = Tables.spread(train)
+      .select(col("lang"), explode(toksCol).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("ct"))
+    val vocab = ct.agg(countDistinct(col("tok")).as("vn"))
+    val langStats = ct.groupBy(col("lang")).agg(sum(col("ct")).as("nl"))
+      .crossJoin(broadcast(vocab))
+      .join(train.groupBy(col("lang")).agg(count(lit(1)).as("dl")), "lang")
+    val langC = Text.withLgMicro(
+        Text.withLgMicro(langStats, "nl + vn", "lg_nv"), "dl", "lg_dl")
+      .select(col("lang").as("cl"), col("lg_nv"), col("lg_dl"))
+    val ctL = Text.withLgMicro(ct, "ct + 1", "lg_ct1")
+      .select(col("lang").as("cl"), col("tok"), col("lg_ct1"))
+    val testToks = Tables.spread(docs.filter(col("doc_id") % 2 === 1))
+      .select(col("doc_id"), col("lang").as("true_lang"),
+        explode(toksCol).as("tok"))
+      .groupBy(col("doc_id"), col("true_lang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val scored = testToks
+      .crossJoin(broadcast(langC.select(col("cl"))))
+      .join(ctL, Seq("cl", "tok"), "left")
+      .withColumn("term", col("c") * coalesce(col("lg_ct1"), lit(0L)))
+      .groupBy(col("doc_id"), col("true_lang"), col("cl"))
+      .agg(sum(col("term")).as("s_term"), sum(col("c")).as("n_toks"))
+      .join(broadcast(langC), Seq("cl"))
+      .withColumn("score",
+        col("lg_dl") + col("s_term") - col("n_toks") * col("lg_nv"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("cl").asc)))
+      .filter(col("rn") === 1)
+      .groupBy(col("true_lang"), col("cl"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("true_lang"), col("cl").as("pred_lang"), col("n_docs"))
+      .orderBy(col("true_lang").asc, col("pred_lang").asc)
+  }
+
+  // -------------------------------------------------------------- autocorr
+
+  /** Lag-1..7 autocorrelation of the daily event-count series — the
+    * weekly-seasonality probe run before gap-filling or resampling a
+    * telemetry stream. The corpus-scale stage is ONE map-side-combined
+    * daily count; the lagged self-join and Pearson sufficient statistics
+    * run on the calendar-bounded series (days, not events). Pair
+    * alignment is an equi-join on day+lag (the `explode(sequence)`
+    * fan-out, 7× a ≤10³-row series), never a range join. The correlation
+    * itself divides EXACT long sums (counts and their products — no
+    * ordering sensitivity) as IEEE doubles, rounded at 6; num is also
+    * emitted raw so the exact part of the result is hash-pinned. */
+  def tsAutocorr(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+    val a = daily
+      .select(col("day"), col("cnt").as("x"),
+        explode(expr("sequence(CAST(1 AS BIGINT), CAST(7 AS BIGINT))")).as("lag"))
+      .withColumn("tday", col("day") + col("lag"))
+    val b = daily.select(col("day").as("tday"), col("cnt").as("y"))
+    a.join(b, "tday")
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("num", expr("n_pairs * sxy - sx * sy"))
+      .withColumn("denx", expr("n_pairs * sxx - sx * sx"))
+      .withColumn("deny", expr("n_pairs * syy - sy * sy"))
+      .withColumn("r", when(col("denx") > 0 && col("deny") > 0,
+          round(col("num").cast("double") /
+            sqrt(col("denx").cast("double") * col("deny").cast("double")), 6))
+        .otherwise(lit(0.0)))
+      .select(col("lag"), col("n_pairs"), col("num"), col("r"))
+      .orderBy(col("lag").asc)
+  }
+
+  // ------------------------------------------------------------ changepoint
+
+  /** CUSUM change-point detection on the daily event-count series: the
+    * day where the cumulative deviation from the global mean peaks in
+    * magnitude (Page 1954's cumulative-sum chart, argmax form) — the
+    * standard "did the pipeline's volume regime shift, and when?" audit.
+    * Exact integer micro-units throughout: cum_t = Σ 10⁶·cnt, dev_t =
+    * cum_t − t·mean_micro (sign-carrying but never divided), pre/post
+    * means by non-negative integer division, argmax tie-broken by
+    * earliest day. The single-partition windows run on the POST-AGG
+    * daily series — calendar-bounded (one row per day, independent of
+    * corpus size), so the non-parallel sort is a constant-size epilogue,
+    * the same boundedness argument as q_ts_gapfill. */
+  def tsChangepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+    val tot = daily.agg(sum(col("cnt")).as("tot"), count(lit(1)).as("nd"))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(tot))
+      .withColumn("t", row_number().over(Window.orderBy(col("day"))).cast("long"))
+      .withColumn("cum", sum(expr("cnt * 1000000")).over(wCum))
+      .withColumn("mean_micro", expr("(1000000 * tot) div nd"))
+      .withColumn("dev", col("cum") - col("t") * col("mean_micro"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(abs(col("dev")).desc, col("day").asc)))
+      .filter(col("rn") === 1)
+      .select(col("day").as("cp_day"), col("t").as("cp_t"),
+        col("nd").as("n_days"), col("dev").as("cusum_micro"),
+        col("mean_micro"),
+        expr("cum div t").as("pre_mean_micro"),
+        when(col("t") < col("nd"),
+            expr("(1000000 * tot - cum) div (nd - t)"))
+          .otherwise(lit(0L)).as("post_mean_micro"))
+  }
+
+  // ------------------------------------------------------------ registration
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ml_linreg"     -> mlLinreg,
+    "q_ml_naivebayes" -> mlNaiveBayes,
+    "q_ts_autocorr"   -> tsAutocorr,
+    "q_ts_changepoint" -> tsChangepoint
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_ml_linreg" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS rf, CAST(l_quantity AS BIGINT) AS q,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |           // CAST(count(*) AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1, 2),
+        |s AS (
+        |  SELECT rf, CAST(count(*) AS BIGINT) AS n_bins,
+        |         CAST(sum(q) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(q * q) AS BIGINT) AS sxx,
+        |         CAST(sum(q * y) AS BIGINT) AS sxy
+        |  FROM b GROUP BY rf),
+        |n AS (
+        |  SELECT rf, n_bins, sx, sy,
+        |         n_bins * sxy - sx * sy AS num,
+        |         n_bins * sxx - sx * sx AS den
+        |  FROM s)
+        |SELECT rf, n_bins,
+        |       CAST((1000000 * num) // den AS BIGINT) AS slope_micro,
+        |       CAST((1000000 * sy - ((1000000 * num) // den) * sx) // n_bins
+        |         AS BIGINT) AS icept_micro
+        |FROM n
+        |ORDER BY rf ASC""".stripMargin,
+    "q_ml_naivebayes" -> {
+      val values = Text.lnMicro.map { case (k, lm) => s"($k, $lm)" }
+        .mkString(", ")
+      s"""WITH ln(k, lm) AS (SELECT * FROM (VALUES $values) t(k, lm)),
+         |tr AS (
+         |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |ct AS (
+         |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS ct
+         |  FROM tr GROUP BY 1, 2),
+         |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vn FROM ct),
+         |ls AS (
+         |  SELECT ct.lang, CAST(sum(ct.ct) AS BIGINT) AS nl
+         |  FROM ct GROUP BY ct.lang),
+         |pr AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS dl
+         |  FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+         |lc AS (
+         |  SELECT ls.lang AS cl,
+         |         ${Text.lgMicroSql("ls.nl + v.vn", "la")} AS lg_nv,
+         |         ${Text.lgMicroSql("pr.dl", "lb")} AS lg_dl
+         |  FROM ls, v
+         |  JOIN pr ON ls.lang = pr.lang),
+         |ctl AS (
+         |  SELECT lang AS cl, tok,
+         |         ${Text.lgMicroSql("ct + 1", "lc2")} AS lg_ct1
+         |  FROM ct),
+         |tt AS (
+         |  SELECT doc_id, true_lang, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, lang AS true_lang,
+         |               unnest(string_split(text, ' ')) AS tok
+         |        FROM documents WHERE doc_id % 2 = 1)
+         |  GROUP BY 1, 2, 3),
+         |sc AS (
+         |  SELECT tt.doc_id, tt.true_lang, lc.cl,
+         |         lc.lg_dl + sum(tt.c * coalesce(ctl.lg_ct1, 0))
+         |           - sum(tt.c) * lc.lg_nv AS score
+         |  FROM tt
+         |  CROSS JOIN lc
+         |  LEFT JOIN ctl ON ctl.cl = lc.cl AND ctl.tok = tt.tok
+         |  GROUP BY tt.doc_id, tt.true_lang, lc.cl, lc.lg_dl, lc.lg_nv),
+         |p AS (
+         |  SELECT doc_id, true_lang, cl,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY score DESC, cl ASC) AS rn
+         |  FROM sc)
+         |SELECT true_lang, cl AS pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM p WHERE rn = 1
+         |GROUP BY 1, 2
+         |ORDER BY true_lang ASC, pred_lang ASC""".stripMargin
+    },
+    "q_ts_autocorr" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT l.lag, a.cnt AS x, b.cnt AS y
+        |  FROM daily a
+        |  CROSS JOIN (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag) l
+        |  JOIN daily b ON b.day = a.day + l.lag),
+        |s AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) AS BIGINT) AS syy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM p GROUP BY lag)
+        |SELECT lag, n_pairs,
+        |       CAST(n_pairs * sxy - sx * sy AS BIGINT) AS num,
+        |       CASE WHEN n_pairs * sxx - sx * sx > 0
+        |             AND n_pairs * syy - sy * sy > 0
+        |            THEN round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+        |              / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+        |                   * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6)
+        |            ELSE 0.0 END AS r
+        |FROM s
+        |ORDER BY lag ASC""".stripMargin,
+    "q_ts_changepoint" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+        |         CAST(count(*) AS BIGINT) AS nd
+        |  FROM daily),
+        |c AS (
+        |  SELECT day, cnt, tot, nd,
+        |         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+        |         CAST(sum(cnt * 1000000) OVER (ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum,
+        |         CAST((1000000 * tot) // nd AS BIGINT) AS mean_micro
+        |  FROM daily, t),
+        |d AS (SELECT *, cum - t * mean_micro AS dev FROM c),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY abs(dev) DESC, day ASC) AS rn
+        |  FROM d)
+        |SELECT day AS cp_day, t AS cp_t, nd AS n_days,
+        |       CAST(dev AS BIGINT) AS cusum_micro, mean_micro,
+        |       CAST(cum // t AS BIGINT) AS pre_mean_micro,
+        |       CAST(CASE WHEN t < nd THEN (1000000 * tot - cum) // (nd - t)
+        |                 ELSE 0 END AS BIGINT) AS post_mean_micro
+        |FROM r WHERE rn = 1""".stripMargin
+  )
+}

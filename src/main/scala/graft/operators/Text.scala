@@ -1487,8 +1487,37 @@ object Text {
     "q_dedup_norm"       -> dedupNorm,
     "q_text_quality"     -> textQuality,
     "q_text_langid"      -> textLangid,
-    "q_text_fingerprint" -> textFingerprint
+    "q_text_fingerprint" -> textFingerprint,
+    "q_text_readability" -> textReadability
   )
+
+  /** Flesch reading-ease scoring (Flesch 1948's public formula,
+    * 206.835 − 1.015·words/sentence − 84.6·syllables/word) in exact
+    * integer milli-units — the document-quality feature a corpus
+    * curation pipeline bins on beside [[textQuality]]'s ratio scores.
+    * Syllables are the standard cheap proxy (maximal vowel runs, one
+    * regexp count — the same heuristic every large-corpus readability
+    * pass uses, exact syllabification needs a dictionary); sentence
+    * count is terminal-punctuation runs clamped to ≥1 (the synthetic
+    * fixture has none — every doc reads as one sentence, which the
+    * clamp makes well-defined rather than a division by zero). Pure
+    * per-row narrow projection — codegen'd, no shuffle until the
+    * ordered output; every division has non-negative operands. */
+  def textReadability(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_words"),
+        expr("CAST(greatest(1, regexp_count(text, '[.!?]')) AS BIGINT)")
+          .as("n_sent"),
+        expr("CAST(regexp_count(text, '[aeiou]+') AS BIGINT)").as("n_syl"))
+      .withColumn("wps_milli", expr("(1000 * n_words) div n_sent"))
+      .withColumn("spw_milli", expr("(1000 * n_syl) div n_words"))
+      .withColumn("flesch_milli",
+        expr("206835 - (1015 * wps_milli) div 1000" +
+          " - (84600 * spw_milli) div 1000"))
+      .select(col("doc_id"), col("n_words"), col("n_syl"),
+        col("wps_milli"), col("spw_milli"), col("flesch_milli"))
+      .orderBy(col("doc_id").asc)
 
   val oracle: Map[String, String] = Map(
     "q_text_novelty" ->
@@ -2279,6 +2308,25 @@ object Text {
         |GROUP BY word
         |ORDER BY cnt DESC, word ASC
         |LIMIT 20""".stripMargin,
+    "q_text_readability" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |       CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+        |         AS n_syl,
+        |       CAST((1000 * len(string_split(text, ' ')))
+        |         // greatest(1, len(regexp_extract_all(text, '[.!?]')))
+        |         AS BIGINT) AS wps_milli,
+        |       CAST((1000 * len(regexp_extract_all(text, '[aeiou]+')))
+        |         // len(string_split(text, ' ')) AS BIGINT) AS spw_milli,
+        |       CAST(206835
+        |         - (1015 * ((1000 * len(string_split(text, ' ')))
+        |             // greatest(1, len(regexp_extract_all(text, '[.!?]')))))
+        |             // 1000
+        |         - (84600 * ((1000 * len(regexp_extract_all(text, '[aeiou]+')))
+        |             // len(string_split(text, ' ')))) // 1000
+        |         AS BIGINT) AS flesch_milli
+        |FROM documents
+        |ORDER BY doc_id ASC""".stripMargin,
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,

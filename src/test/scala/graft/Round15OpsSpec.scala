@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the round-15 operators (the Learn module plus the
+  * clustering-coefficient / readability / functional-dependency audits):
+  * each checked against a from-scratch local replay on sf0.001 — the
+  * third-implementation discipline that catches test bugs as well as
+  * product bugs (both engines agreeing with each other is not enough).
+  */
+class Round15OpsSpec extends SparkSpec {
+
+  test("ml linreg: binned OLS equals a local normal-equations replay") {
+    val rows = Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"),
+        expr("CAST(l_quantity AS BIGINT)"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val local = rows.groupBy(_._1).map { case (rf, g) =>
+      val bins = g.groupBy(_._2).map { case (q, rs) =>
+        (q, rs.map(_._3).sum / rs.size)   // sum_cents div n_rows, both >= 0
+      }.toSeq
+      val n = bins.size.toLong
+      val sx = bins.map(_._1).sum
+      val sy = bins.map(_._2).sum
+      val sxx = bins.map(b => b._1 * b._1).sum
+      val sxy = bins.map(b => b._1 * b._2).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      val slope = (1000000L * num) / den          // Java / truncates like div
+      val icept = (1000000L * sy - slope * sx) / n
+      rf -> (n, slope, icept)
+    }
+    val got = operators.Learn.mlLinreg(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toMap == local)
+    assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
+  }
+
+  test("ml naivebayes: confusion matrix equals a local NB replay and rows partition the test half") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String) = t.split(" ", -1).toSeq
+    val train = docs.filter(_._1 % 2 == 0)
+    val test_ = docs.filter(_._1 % 2 == 1)
+    val ct = train.flatMap(d => toks(d._3).map(tk => (d._2, tk)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val vn = ct.keys.map(_._2).toSet.size.toLong
+    val nl = ct.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+    val dl = train.groupBy(_._2).map { case (l, ds) => l -> ds.size.toLong }
+    val langs = nl.keys.toSeq.sorted
+    val conf = test_.map { case (_, trueLang, text) =>
+      val c = toks(text).groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+      val nt = c.values.sum
+      val pred = langs.map { l =>
+        val s = IntLg.lg(dl(l)) +
+          c.map { case (t, ci) => ci * ct.get((l, t)).map(x => IntLg.lg(x + 1)).getOrElse(0L) }.sum -
+          nt * IntLg.lg(nl(l) + vn)
+        (l, s)
+      }.maxBy { case (l, s) => (s, langs.size - langs.indexOf(l)) } // score desc, lang asc
+      (trueLang, pred._1)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = operators.Learn.mlNaiveBayes(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+    assert(got.toMap == conf)
+    assert(got.map(_._2).sum == test_.size.toLong)
+  }
+
+  test("ts autocorr: per-lag Pearson equals a local replay on the daily series") {
+    val daily = Tables.events(spark, sf0001)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = (1L to 7L).map { lag =>
+      val pairs = daily.toSeq.flatMap { case (d, x) =>
+        daily.get(d + lag).map(y => (x, y)) }
+      val n = pairs.size.toLong
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val num = n * sxy - sx * sy
+      val denx = n * sxx - sx * sx; val deny = n * syy - sy * sy
+      val r = if (denx > 0 && deny > 0)
+        BigDecimal(num.toDouble / math.sqrt(denx.toDouble * deny.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0
+      lag -> (n, num, r)
+    }.toMap
+    val got = operators.Learn.tsAutocorr(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toMap == local)
+    assert(got.map(_._1).toSeq == (1L to 7L))
+  }
+
+  test("ts changepoint: CUSUM argmax equals a local replay") {
+    val daily = Tables.events(spark, sf0001)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val tot = daily.map(_._2).sum; val nd = daily.size.toLong
+    val mean = (1000000L * tot) / nd
+    var cum = 0L
+    val devs = daily.zipWithIndex.map { case ((day, cnt), i) =>
+      cum += cnt * 1000000L
+      (day, i + 1L, cum, cum - (i + 1L) * mean)
+    }
+    val (day, t, cumAt, dev) = devs.maxBy { case (d, _, _, v) => (math.abs(v), -d) }
+    val row = operators.Learn.tsChangepoint(spark, sf0001).collect()
+    assert(row.length == 1)
+    val r = row.head
+    assert(r.getLong(0) == day && r.getLong(1) == t && r.getLong(2) == nd)
+    assert(r.getLong(3) == dev && r.getLong(4) == mean)
+    assert(r.getLong(5) == cumAt / t)
+    val post = if (t < nd) (1000000L * tot - cumAt) / (nd - t) else 0L
+    assert(r.getLong(6) == post)
+  }
+
+  test("graph clustco: coefficient agrees with q_graph_triangles' per-node counts") {
+    val tri = operators.Graph.graphTriangles(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = operators.Graph.graphClustco(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(g => g._1 -> (g._2, g._3)).toMap == tri)
+    got.foreach { case (_, deg, tris, ppm) =>
+      val want = if (deg >= 2) (2000000L * tris) / (deg * (deg - 1)) else 0L
+      assert(ppm == want)
+      // C_i is a fraction of possible wedges: bounded by 10^6
+      assert(ppm >= 0L && ppm <= 1000000L)
+    }
+    // ordered by coefficient desc then node
+    val keys = got.map(g => (-g._4, g._1)).toSeq
+    assert(keys == keys.sorted)
+  }
+
+  test("text readability: milli-unit Flesch equals a local replay, one-sentence clamp engaged") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val local = docs.map { case (id, t) =>
+      val words = t.split(" ", -1).length.toLong
+      val syl = "[aeiou]+".r.findAllIn(t).length.toLong
+      val sent = math.max(1L, "[.!?]".r.findAllIn(t).length.toLong)
+      val wps = 1000L * words / sent
+      val spw = 1000L * syl / words
+      id -> (words, syl, wps, spw, 206835L - 1015L * wps / 1000L - 84600L * spw / 1000L)
+    }.toMap
+    val got = operators.Text.textReadability(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toMap == local)
+    // synthetic fixture has no terminal punctuation: every doc is one
+    // "sentence", so words-per-sentence == 1000·n_words exactly
+    assert(got.forall { case (_, (w, _, wps, _, _)) => wps == 1000L * w })
+  }
+
+  test("dq funcdep: the key FD holds at zero violations and an attribute FD replays locally") {
+    val got = operators.Analytics.dqFuncdep(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.size == 3)
+    // o_orderkey is the primary key: it must determine o_custkey exactly
+    val (nk, vk, pk) = got(("o_orderkey", "o_custkey"))
+    assert(vk == 0L && pk == 0L && nk > 0L)
+    // local replay of the o_custkey -> o_orderpriority candidate
+    val rows = Tables.orders(spark, sf0001)
+      .select(col("o_custkey"), col("o_orderpriority")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val grp = rows.groupBy(_._1).map { case (_, g) => g.map(_._2).toSet.size }
+    val nl = grp.size.toLong
+    val nv = grp.count(_ > 1).toLong
+    assert(got(("o_custkey", "o_orderpriority")) == ((nl, nv, 1000L * nv / nl)))
+  }
+}
