@@ -871,6 +871,7 @@ object Analytics {
     "q_dq_audit"    -> dqAudit,
     "q_dq_benford"  -> dqBenford,
     "q_dq_funcdep"  -> dqFuncdep,
+    "q_stats_mad"   -> statsMad,
     "q_profile_cols" -> profileCols,
     "q_tpch_q17"    -> tpchQ17,
     "q_tpch_q22"    -> tpchQ22,
@@ -899,6 +900,45 @@ object Analytics {
     * Synthetic uniform-ish prices do NOT follow Benford — the audit's
     * job is to REPORT dev_ppm, and the spec pins the expected side's
     * axioms instead (monotone decreasing, sums to ~10⁶). */
+  /** Robust dispersion + outlier census per order priority: exact
+    * lower-median and MAD (median absolute deviation — Hampel's robust
+    * scale, the outlier screen that, unlike [[statsAgg]]'s stddev, a
+    * single corrupted row cannot inflate), flagging rows beyond the
+    * standard 3·MAD fence. Exact integer cents throughout: "median" is
+    * the rank-⌈n/2⌉ element under a TOTAL order (cents, then orderkey —
+    * interpolated even-n medians would reintroduce doubles), so both
+    * engines pick the identical element and MAD arithmetic stays
+    * hash-exact. Scale shape: two per-group rank windows (the same
+    * grouped-sort cost class as q_win_median) + a |groups|-row
+    * broadcast-back join; the deviation stream is re-derived per
+    * reference (exchange reuse dedupes the scan) and never widens
+    * beyond (group, key, cents). */
+  def statsMad(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("pri"), col("o_orderkey").as("ok"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val med = base
+      .withColumn("rn", row_number().over(Window.partitionBy(col("pri"))
+        .orderBy(col("cents").asc, col("ok").asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("pri"))))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("pri"), col("cents").as("med_cents"), col("n"))
+    val dev = base.join(med, "pri")
+      .withColumn("dev", abs(col("cents") - col("med_cents")))
+    val mad = dev
+      .withColumn("rn2", row_number().over(Window.partitionBy(col("pri"))
+        .orderBy(col("dev").asc, col("ok").asc)))
+      .filter(col("rn2") === expr("(n + 1) div 2"))
+      .select(col("pri").as("pri2"), col("dev").as("mad_cents"))
+    dev.join(mad, col("pri") === col("pri2"))
+      .groupBy(col("pri"), col("n"), col("med_cents"), col("mad_cents"))
+      .agg(sum(when(col("dev") > lit(3L) * col("mad_cents"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .select(col("pri"), col("n"), col("med_cents"), col("mad_cents"),
+        col("n_outliers"))
+      .orderBy(col("pri").asc)
+  }
+
   /** Functional-dependency audit over `orders`: for each declared
     * candidate FD lhs→rhs, the count of lhs groups carrying more than
     * one distinct rhs value — the schema-inference / data-contract
@@ -1300,6 +1340,36 @@ object Analytics {
         |FROM cls
         |GROUP BY l
         |ORDER BY l ASC""".stripMargin,
+    "q_stats_mad" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority AS pri, o_orderkey AS ok,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |m AS (
+        |  SELECT pri, cents AS med_cents, n FROM (
+        |    SELECT pri, cents, ok,
+        |           row_number() OVER (PARTITION BY pri
+        |                              ORDER BY cents ASC, ok ASC) AS rn,
+        |           CAST(count(*) OVER (PARTITION BY pri) AS BIGINT) AS n
+        |    FROM b)
+        |  WHERE rn = (n + 1) // 2),
+        |d AS (
+        |  SELECT b.pri, b.ok, abs(b.cents - m.med_cents) AS dev,
+        |         m.med_cents, m.n
+        |  FROM b JOIN m ON b.pri = m.pri),
+        |md AS (
+        |  SELECT pri, dev AS mad_cents FROM (
+        |    SELECT pri, dev, n,
+        |           row_number() OVER (PARTITION BY pri
+        |                              ORDER BY dev ASC, ok ASC) AS rn
+        |    FROM d)
+        |  WHERE rn = (n + 1) // 2)
+        |SELECT d.pri, d.n, d.med_cents, md.mad_cents,
+        |       CAST(sum(CASE WHEN d.dev > 3 * md.mad_cents
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN md ON d.pri = md.pri
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY d.pri ASC""".stripMargin,
     "q_dq_funcdep" -> {
       def fdSql(lhs: String, rhs: String): String =
         s"""SELECT '$lhs' AS lhs_col, '$rhs' AS rhs_col,

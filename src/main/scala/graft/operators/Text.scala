@@ -1488,8 +1488,54 @@ object Text {
     "q_text_quality"     -> textQuality,
     "q_text_langid"      -> textLangid,
     "q_text_fingerprint" -> textFingerprint,
-    "q_text_readability" -> textReadability
+    "q_text_readability" -> textReadability,
+    "q_text_rake"        -> textRake
   )
+
+  /** RAKE keyphrase extraction (Rose et al. 2010, "Automatic keyword
+    * extraction from individual documents" — public method): candidate
+    * phrases are maximal stopword-free token runs; a word scores
+    * deg/freq (phrase-length mass over occurrence count, hub words
+    * damped) and a phrase scores the sum of its member words — the
+    * corpus-level keyphrase census a curation pipeline reads beside
+    * [[textSalient]]'s per-source TF-IDF. Stoplist = the fixture
+    * vocabulary's two determiners; phrase segmentation is POSITION
+    * arithmetic (running stopword count per doc — a per-doc window over
+    * token positions), not regex splitting, so both engines segment
+    * identically even around adjacent stopwords. Scores are exact
+    * integer micro-units: s(w) = 10⁶·deg ÷ freq (both non-negative),
+    * phrase score = Σ member s(w). Scale shape: word stats are one
+    * map-side-combined vocab-sized agg joined back onto the token
+    * stream by word key (AQE picks broadcast vs shuffle); phrase
+    * reassembly groups by (doc, phrase-run) — doc-bounded, and the
+    * only corpus-wide sort is the final top-20. */
+  def textRake(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    val tok = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), posexplode(toks).as(Seq("p", "tok")))
+      .withColumn("stop", when(col("tok").isin("the", "a"), 1L).otherwise(0L))
+      .withColumn("pid", sum(col("stop")).over(w))
+      .filter(col("stop") === 0)
+      .select(col("doc_id"), col("pid"), col("p"), col("tok"))
+    val phLen = tok.groupBy(col("doc_id"), col("pid"))
+      .agg(count(lit(1)).as("plen"))
+    val wordScore = tok.join(phLen, Seq("doc_id", "pid"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("tok"), expr("(1000000 * deg) div freq").as("ws"))
+    tok.join(wordScore, "tok")
+      .groupBy(col("doc_id"), col("pid"))
+      .agg(
+        concat_ws(" ", expr("transform(array_sort(" +
+          "collect_list(struct(p, tok))), x -> x.tok)")).as("phrase"),
+        sum(col("ws")).as("score_micro"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occur"), min(col("score_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase").asc)
+      .limit(20)
+      .select(col("phrase"), col("n_occur"), col("score_micro"))
+  }
 
   /** Flesch reading-ease scoring (Flesch 1948's public formula,
     * 206.835 − 1.015·words/sentence − 84.6·syllables/word) in exact
@@ -2307,6 +2353,39 @@ object Text {
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word
         |ORDER BY cnt DESC, word ASC
+        |LIMIT 20""".stripMargin,
+    "q_text_rake" ->
+      """WITH tk0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+        |           i -> struct_pack(p := i, tok := tk[i]))) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
+        |tok0 AS (
+        |  SELECT doc_id, s.p AS p, s.tok AS tok,
+        |         CASE WHEN s.tok IN ('the', 'a') THEN 1 ELSE 0 END AS stop
+        |  FROM tk0),
+        |tokw AS (
+        |  SELECT doc_id, p, tok, stop,
+        |         sum(stop) OVER (PARTITION BY doc_id ORDER BY p) AS pid
+        |  FROM tok0),
+        |tok AS (SELECT doc_id, p, tok, pid FROM tokw WHERE stop = 0),
+        |ph AS (
+        |  SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen
+        |  FROM tok GROUP BY 1, 2),
+        |wsc AS (
+        |  SELECT t.tok,
+        |         CAST((1000000 * sum(ph.plen)) // count(*) AS BIGINT) AS ws
+        |  FROM tok t JOIN ph ON t.doc_id = ph.doc_id AND t.pid = ph.pid
+        |  GROUP BY t.tok),
+        |phr AS (
+        |  SELECT t.doc_id, t.pid,
+        |         string_agg(t.tok, ' ' ORDER BY t.p) AS phrase,
+        |         CAST(sum(w.ws) AS BIGINT) AS score_micro
+        |  FROM tok t JOIN wsc w ON t.tok = w.tok
+        |  GROUP BY t.doc_id, t.pid)
+        |SELECT phrase, CAST(count(*) AS BIGINT) AS n_occur,
+        |       CAST(min(score_micro) AS BIGINT) AS score_micro
+        |FROM phr GROUP BY phrase
+        |ORDER BY score_micro DESC, phrase ASC
         |LIMIT 20""".stripMargin,
     "q_text_readability" ->
       """SELECT doc_id,

@@ -156,6 +156,58 @@ class Round15OpsSpec extends SparkSpec {
     assert(got.forall { case (_, (w, _, wps, _, _)) => wps == 1000L * w })
   }
 
+  test("text rake: phrase scores equal a local RAKE replay") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val stops = Set("the", "a")
+    // phrases = maximal stopword-free runs, per doc
+    val phrases = docs.flatMap { case (_, t) =>
+      val runs = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      var cur = scala.collection.mutable.ArrayBuffer[String]()
+      t.split(" ", -1).foreach { tk =>
+        if (stops(tk)) { if (cur.nonEmpty) { runs += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer() } }
+        else cur += tk
+      }
+      if (cur.nonEmpty) runs += cur.toSeq
+      runs
+    }
+    val freq = phrases.flatten.groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val deg = phrases.flatMap(p => p.map(w => w -> p.size.toLong))
+      .groupBy(_._1).map { case (w, o) => w -> o.map(_._2).sum }
+    val ws = freq.map { case (w, f) => w -> (1000000L * deg(w)) / f }
+    val scored = phrases.map(p => p.mkString(" ") -> p.map(ws).sum)
+      .groupBy(_._1).map { case (txt, o) => (txt, o.size.toLong, o.head._2) }
+    val top = scored.toSeq.sortBy { case (txt, _, sc) => (-sc, txt) }.take(20)
+    val got = operators.Text.textRake(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == top)
+  }
+
+  test("stats mad: exact rank-median MAD and 3-sigma-equivalent fence replay locally") {
+    val rows = Tables.orders(spark, sf0001)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val local = rows.groupBy(_._1).map { case (pri, g) =>
+      val n = g.size.toLong
+      def rankMedian(xs: Seq[(Long, Long)]): Long = { // (value, tiekey)
+        val sorted = xs.sortBy(x => (x._1, x._2))
+        sorted(((n + 1) / 2 - 1).toInt)._1
+      }
+      val med = rankMedian(g.map(r => (r._3, r._2)).toSeq)
+      val devs = g.map(r => (math.abs(r._3 - med), r._2)).toSeq
+      val mad = rankMedian(devs)
+      val out = devs.count(_._1 > 3 * mad).toLong
+      pri -> (n, med, mad, out)
+    }
+    val got = operators.Analytics.statsMad(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toMap == local)
+    assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
+  }
+
   test("dq funcdep: the key FD holds at zero violations and an attribute FD replays locally") {
     val got = operators.Analytics.dqFuncdep(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
