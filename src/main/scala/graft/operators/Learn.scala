@@ -198,13 +198,89 @@ object Learn {
           .otherwise(lit(0L)).as("post_mean_micro"))
   }
 
+  // -------------------------------------------------------------- theil-sen
+
+  /** Theil–Sen robust slope of the daily event-count series (Theil 1950 /
+    * Sen 1968): the rank-median over all pairwise slopes — the
+    * outlier-immune twin of [[mlLinreg]]'s OLS for trend monitoring (one
+    * ingestion-glitch day cannot move it). The pair enumeration is
+    * O(days²) BY DESIGN on the calendar-bounded post-agg series (≤10³
+    * days → ≤5·10⁵ pairs regardless of corpus size — same boundedness
+    * argument as [[tsChangepoint]]'s windows; the corpus-scale stage is
+    * only the daily count). Slopes in integer micro-units (negative
+    * slopes covered by the truncate-toward-zero parity), median =
+    * rank-⌈n/2⌉ under the total order (slope, day-pair) exactly like
+    * q_stats_mad; intercept = the same rank-median of per-day residuals
+    * under the median slope. */
+  def tsTheilsen(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+    val a = daily.select(col("day").as("da"), col("cnt").as("ya"))
+    val b = daily.select(col("day").as("db"), col("cnt").as("yb"))
+    val slopes = a.join(b, col("da") < col("db"))
+      .select(col("da"), col("db"),
+        expr("(1000000 * (yb - ya)) div (db - da)").as("sl"))
+    val slopeMed = slopes
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("sl").asc, col("da").asc, col("db").asc)))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .filter(col("rn") === expr("(np + 1) div 2"))
+      .select(col("sl").as("slope_micro"), col("np").as("n_pairs"))
+    daily.crossJoin(broadcast(slopeMed))
+      .withColumn("resid", expr("1000000 * cnt - slope_micro * day"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("resid").asc, col("day").asc)))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .filter(col("rn") === expr("(nd + 1) div 2"))
+      .select(col("nd").as("n_days"), col("n_pairs"), col("slope_micro"),
+        col("resid").as("icept_micro"))
+  }
+
+  // -------------------------------------------------------------- decompose
+
+  /** Additive seasonal decomposition of the daily event-count series
+    * (the classical moving-average method): trend = centered 7-day
+    * moving average, weekly seasonal = per-day-of-week mean of the
+    * detrended interior, residual = the rest — the volume-regime
+    * fingerprint read before alerting on [[tsChangepoint]]. Exact
+    * integer micro-units: trend_micro = Σ₇·10⁶ div 7 only where the
+    * window is FULL (7 rows — edges carry no trend, exactly the
+    * classical definition), seasonal/residual subtractions are exact,
+    * the per-dow mean divides a sign-carrying sum under the
+    * truncate-toward-zero parity. Same calendar-bounded post-agg
+    * boundedness as the rest of the ts family. */
+  def tsDecompose(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("w_n", count(lit(1)).over(w7))
+      .withColumn("w_sum", sum(col("cnt")).over(w7))
+      .filter(col("w_n") === 7)
+      .withColumn("trend_micro", expr("(1000000 * w_sum) div 7"))
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+      .withColumn("det", expr("1000000 * cnt - trend_micro"))
+    val seasonal = trended.groupBy(col("dow"))
+      .agg(sum(col("det")).as("s_det"), count(lit(1)).as("n_dow"))
+      .select(col("dow"), expr("s_det div n_dow").as("seasonal_micro"))
+    trended.join(broadcast(seasonal), "dow")
+      .select(col("day"), col("dow"), col("cnt"), col("trend_micro"),
+        col("seasonal_micro"),
+        (col("det") - col("seasonal_micro")).as("resid_micro"))
+      .orderBy(col("day").asc)
+  }
+
   // ------------------------------------------------------------ registration
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ml_linreg"     -> mlLinreg,
     "q_ml_naivebayes" -> mlNaiveBayes,
     "q_ts_autocorr"   -> tsAutocorr,
-    "q_ts_changepoint" -> tsChangepoint
+    "q_ts_changepoint" -> tsChangepoint,
+    "q_ts_theilsen"   -> tsTheilsen,
+    "q_ts_decompose"  -> tsDecompose
   )
 
   val oracle: Map[String, String] = Map(
@@ -309,6 +385,63 @@ object Learn {
         |            ELSE 0.0 END AS r
         |FROM s
         |ORDER BY lag ASC""".stripMargin,
+    "q_ts_theilsen" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |sl AS (
+        |  SELECT a.day AS da, b.day AS db,
+        |         CAST((1000000 * (b.cnt - a.cnt)) // (b.day - a.day)
+        |           AS BIGINT) AS sl
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |sm AS (
+        |  SELECT sl AS slope_micro, np AS n_pairs FROM (
+        |    SELECT sl, da, db,
+        |           row_number() OVER (ORDER BY sl ASC, da ASC, db ASC) AS rn,
+        |           CAST(count(*) OVER () AS BIGINT) AS np
+        |    FROM sl)
+        |  WHERE rn = (np + 1) // 2),
+        |res AS (
+        |  SELECT d.day, sm.n_pairs, sm.slope_micro,
+        |         CAST(1000000 * d.cnt - sm.slope_micro * d.day AS BIGINT)
+        |           AS resid
+        |  FROM daily d, sm)
+        |SELECT nd AS n_days, n_pairs, slope_micro, resid AS icept_micro
+        |FROM (
+        |  SELECT n_pairs, slope_micro, resid,
+        |         row_number() OVER (ORDER BY resid ASC, day ASC) AS rn,
+        |         CAST(count(*) OVER () AS BIGINT) AS nd
+        |  FROM res)
+        |WHERE rn = (nd + 1) // 2""".stripMargin,
+    "q_ts_decompose" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT day, cnt,
+        |         count(*) OVER (ORDER BY day
+        |           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w_n,
+        |         CAST(sum(cnt) OVER (ORDER BY day
+        |           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+        |           AS w_sum
+        |  FROM daily),
+        |tr AS (
+        |  SELECT day, cnt, day % 7 AS dow,
+        |         (1000000 * w_sum) // 7 AS trend_micro,
+        |         1000000 * cnt - (1000000 * w_sum) // 7 AS det
+        |  FROM t WHERE w_n = 7),
+        |se AS (
+        |  SELECT dow,
+        |         CAST(sum(det) // count(*) AS BIGINT) AS seasonal_micro
+        |  FROM tr GROUP BY dow)
+        |SELECT tr.day, tr.dow, tr.cnt,
+        |       CAST(tr.trend_micro AS BIGINT) AS trend_micro,
+        |       se.seasonal_micro,
+        |       CAST(tr.det - se.seasonal_micro AS BIGINT) AS resid_micro
+        |FROM tr JOIN se ON tr.dow = se.dow
+        |ORDER BY tr.day ASC""".stripMargin,
     "q_ts_changepoint" ->
       """WITH daily AS (
         |  SELECT epoch_us(ts) // 86400000000 AS day,

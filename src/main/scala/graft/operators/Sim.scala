@@ -881,7 +881,54 @@ object Sim {
       .orderBy(col("rank").asc)
   }
 
+  /** Top principal direction of the embedding second-moment matrix by
+    * distributed power iteration (3 fixed rounds) — the spectral health
+    * probe run before PCA-whitening or dimension-dropping a 100 TB
+    * vector corpus (a dominant direction ⇒ anisotropy the matryoshka /
+    * PQ cuts must respect). Hash-exact where float linear algebra never
+    * is: vectors quantize to integer milli-units (floor(x·10³+0.5), the
+    * [[embQuant]] engine-neutral rounding), the only corpus-scale stage
+    * is ONE map-side-combined agg of per-row xᵢ·xⱼ products into the
+    * d²-bounded (4096-row) moment table, normalized by the parquet
+    * FOOTER row count ([[graft.Tables.rowCount]] — the metadata channel,
+    * no construction job) so entries stay intensive (corpus-size-
+    * independent magnitude ⇒ the iteration can never overflow at scale).
+    * Each round is a broadcast join of the d-row vector against the
+    * d²-row matrix + a grouped sum + a 1-row max-fold renormalization
+    * to ‖v‖∞ = 10⁶ via the two-stage integer division (u·10³)/(m/10³)
+    * — every step exact integer, both engines identical, sign fixed by
+    * the all-ones start vector. */
+  def embPcaPower(s: SparkSession, d: String, rounds: Int = 3): DataFrame = {
+    val n = Tables.rowCount(s, d, "embeddings")
+    val q = Tables.embeddings(s, d).select(expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5D) AS BIGINT))")
+      .as("qv"))
+    val cells = q
+      .select(posexplode(col("qv")).as(Seq("i", "xi")), col("qv"))
+      .select(col("i"), posexplode(expr("transform(qv, x -> xi * x)"))
+        .as(Seq("j", "p")))
+    val aNorm = Hints.checkpoint(
+      cells.groupBy(col("i"), col("j"))
+        .agg(expr(s"sum(p) div $n").as("a")),
+      eager = false)
+    var v = aNorm.filter(col("j") === 0)
+      .select(col("i").as("dim"), lit(1000000L).as("v"))
+    for (_ <- 1 to rounds) {
+      val u = aNorm
+        .join(broadcast(v.select(col("dim").as("j"), col("v"))), "j")
+        .groupBy(col("i"))
+        .agg(sum(col("a") * col("v")).as("u"))
+      val mx = u.agg(max(abs(col("u"))).as("mx"))
+      v = u.crossJoin(broadcast(mx))
+        .select(col("i").as("dim"),
+          expr("(u * 1000) div greatest(mx div 1000, 1)").as("v"))
+    }
+    v.select(col("dim").cast("long").as("dim"), col("v").as("loading_micro"))
+      .orderBy(col("dim").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_emb_pca_power" -> ((s, d) => embPcaPower(s, d)),
     "q_sim_mmr"     -> simMmr,
     "q_emb_coreset" -> simCoreset,
     "q_sim_recall"     -> simRecall,
@@ -1051,6 +1098,50 @@ object Sim {
        |           (acc, x) -> acc + x)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // 3 unrolled power-iteration rounds; a and every u_k are referenced
+    // more than once (max-fold + multiply) -> MATERIALIZED per the
+    // k-core CTE-inlining lesson. Spark's 0-based posexplode index is
+    // mirrored by k - 1.
+    "q_emb_pca_power" -> {
+      def round(k: Int): String = {
+        val prev = if (k == 1) "v0" else s"v${k - 1}"
+        s"""u$k AS MATERIALIZED (
+           |  SELECT a.i, CAST(sum(a.a * v.v) AS BIGINT) AS u
+           |  FROM a JOIN $prev v ON a.j = v.dim GROUP BY a.i),
+           |v$k AS MATERIALIZED (
+           |  SELECT i AS dim,
+           |         CAST((u * 1000) // greatest(
+           |           (SELECT max(abs(u)) FROM u$k) // 1000, 1) AS BIGINT)
+           |           AS v
+           |  FROM u$k)""".stripMargin
+      }
+      s"""WITH q AS (
+         |  SELECT list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+         |                AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |c1 AS (
+         |  SELECT unnest(list_transform(range(1, len(qv) + 1),
+         |           k -> struct_pack(i := k - 1, xi := qv[k]))) AS s, qv
+         |  FROM q),
+         |cells AS (
+         |  SELECT s.i AS i,
+         |         unnest(list_transform(range(1, len(qv) + 1),
+         |           k -> struct_pack(j := k - 1, p := s.xi * qv[k]))) AS s2
+         |  FROM c1),
+         |a AS MATERIALIZED (
+         |  SELECT i, s2.j AS j,
+         |         CAST(sum(s2.p) // (SELECT count(*) FROM embeddings)
+         |           AS BIGINT) AS a
+         |  FROM cells GROUP BY 1, 2),
+         |v0 AS (SELECT i AS dim, CAST(1000000 AS BIGINT) AS v
+         |       FROM a WHERE j = 0),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT CAST(dim AS BIGINT) AS dim, v AS loading_micro
+         |FROM v3 ORDER BY dim ASC""".stripMargin
+    },
     // Farthest-point rounds unrolled exactly like the MMR chain: each
     // p_i is the max-of-min-distance argmax under (mind2 desc, id asc).
     "q_emb_coreset" ->

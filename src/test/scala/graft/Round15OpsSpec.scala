@@ -208,6 +208,80 @@ class Round15OpsSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
   }
 
+  private def dailyCounts(): Seq[(Long, Long)] =
+    Tables.events(spark, sf0001)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+
+  test("ts theilsen: pairwise-slope rank median equals a local replay") {
+    val daily = dailyCounts()
+    val slopes = for {
+      (da, ya) <- daily; (db, yb) <- daily if da < db
+    } yield (da, db, 1000000L * (yb - ya) / (db - da))
+    val np = slopes.size.toLong
+    val sortedSl = slopes.sortBy(x => (x._3, x._1, x._2))
+    val slope = sortedSl(((np + 1) / 2 - 1).toInt)._3
+    val resids = daily.map { case (d, y) => (d, 1000000L * y - slope * d) }
+    val nd = daily.size.toLong
+    val sortedRes = resids.sortBy(x => (x._2, x._1))
+    val icept = sortedRes(((nd + 1) / 2 - 1).toInt)._2
+    val row = operators.Learn.tsTheilsen(spark, sf0001).collect()
+    assert(row.length == 1)
+    assert((row.head.getLong(0), row.head.getLong(1), row.head.getLong(2),
+      row.head.getLong(3)) == ((nd, np, slope, icept)))
+  }
+
+  test("ts decompose: interior trend/seasonal/residual replay and the additive identity holds") {
+    val daily = dailyCounts()
+    val interior = daily.indices.drop(3).dropRight(3).map { k =>
+      val (day, cnt) = daily(k)
+      val w = (k - 3 to k + 3).map(daily(_)._2).sum
+      val trend = 1000000L * w / 7
+      (day, day % 7, cnt, trend, 1000000L * cnt - trend)
+    }
+    val seasonal = interior.groupBy(_._2).map { case (dow, g) =>
+      dow -> g.map(_._5).sum / g.size
+    }
+    val local = interior.map { case (day, dow, cnt, trend, det) =>
+      day -> (dow, cnt, trend, seasonal(dow), det - seasonal(dow))
+    }.toMap
+    val got = operators.Learn.tsDecompose(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toMap == local)
+    // decomposition identity: 10^6*cnt == trend + seasonal + residual
+    got.foreach { case (_, (_, cnt, tr, se, re)) =>
+      assert(1000000L * cnt == tr + se + re)
+    }
+  }
+
+  test("emb pca power: integer power iteration equals a local replay and normalization pins the peak") {
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val n = vecs.length.toLong
+    val dim = vecs.head.length
+    val q = vecs.map(_.map(x => math.floor(x.toDouble * 1000 + 0.5).toLong))
+    val a = Array.ofDim[Long](dim, dim)
+    for (v <- q; i <- 0 until dim; j <- 0 until dim) a(i)(j) += v(i) * v(j)
+    for (i <- 0 until dim; j <- 0 until dim) a(i)(j) /= n
+    var vv = Array.fill(dim)(1000000L)
+    for (_ <- 1 to 3) {
+      val u = (0 until dim).map(i =>
+        (0 until dim).map(j => a(i)(j) * vv(j)).sum).toArray
+      val mx = u.map(math.abs).max
+      vv = u.map(x => (x * 1000) / math.max(mx / 1000, 1L))
+    }
+    val got = operators.Sim.embPcaPower(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.map(_._1).toSeq == (0L until dim.toLong))
+    assert(got.map(_._2).toSeq == vv.toSeq)
+    // renormalization contract: peak |loading| sits at ~10^6
+    val peak = got.map(g => math.abs(g._2)).max
+    assert(peak >= 999000L && peak <= 1001000L)
+  }
+
   test("dq funcdep: the key FD holds at zero violations and an attribute FD replays locally") {
     val got = operators.Analytics.dqFuncdep(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
