@@ -305,9 +305,54 @@ object Graph {
       .orderBy(col("coeff_ppm").desc, col("nationkey").asc)
   }
 
+  /** Degree assortativity of the nation trade graph (Newman 2002,
+    * "Assortative mixing in networks" — public): the Pearson correlation
+    * of endpoint degrees over all directed edges — one scalar that says
+    * whether hubs attach to hubs (assortative, r > 0) or to leaves
+    * (disassortative, r < 0), the structural prior for how badly a
+    * hot-key join will skew. Same dim-bounded edge derivation as
+    * [[graphClustco]]; sufficient statistics are EXACT long sums over
+    * the symmetrized edge list ([[tsAutocorr]]'s discipline: integers
+    * until the single final IEEE division, rounded at 6, with the exact
+    * numerator also emitted hash-pinned). */
+  def graphAssort(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, d).select(col("s_suppkey"),
+        col("s_nationkey").as("sn")), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(s, d).select(col("c_custkey"),
+        col("c_nationkey").as("cn")), col("o_custkey") === col("c_custkey"))
+      .select(least(col("cn"), col("sn")).as("u"),
+        greatest(col("cn"), col("sn")).as("v"))
+      .filter(col("u") < col("v"))
+      .distinct()
+    val edges = pairs.select(col("u").as("a"), col("v").as("b"))
+      .union(pairs.select(col("v").as("a"), col("u").as("b")))
+    val deg = edges.groupBy(col("a").as("n")).agg(count(lit(1)).as("deg"))
+    edges
+      .join(broadcast(deg.select(col("n").as("a"), col("deg").as("x"))), "a")
+      .join(broadcast(deg.select(col("n").as("b"), col("deg").as("y"))), "b")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("num", expr("n_edges * sxy - sx * sy"))
+      .withColumn("denx", expr("n_edges * sxx - sx * sx"))
+      .withColumn("deny", expr("n_edges * syy - sy * sy"))
+      .select(col("n_edges"), col("num"),
+        when(col("denx") > 0 && col("deny") > 0,
+          round(col("num").cast("double") /
+            sqrt(col("denx").cast("double") * col("deny").cast("double")), 6))
+          .otherwise(lit(0.0)).as("r"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_degree" -> graphDegree,
     "q_graph_clustco" -> graphClustco,
+    "q_graph_assort" -> graphAssort,
     "q_graph_triangles" -> graphTriangles,
     "q_graph_pagerank" -> graphPagerank,
     "q_graph_bfs" -> ((s, d) => graphBfs(s, d)),
@@ -547,6 +592,40 @@ object Graph {
         |  UNION ALL SELECT 3, count(*) FROM l3)
         |WHERE n_nodes > 0
         |ORDER BY hop ASC""".stripMargin,
+    "q_graph_assort" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT least(c_nationkey, s_nationkey) AS u,
+        |         greatest(c_nationkey, s_nationkey) AS v
+        |  FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_nationkey <> s_nationkey),
+        |e AS (
+        |  SELECT u AS a, v AS b FROM pairs
+        |  UNION ALL SELECT v AS a, u AS b FROM pairs),
+        |deg AS (
+        |  SELECT a AS n, CAST(count(*) AS BIGINT) AS deg
+        |  FROM e GROUP BY a),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |         CAST(sum(dx.deg) AS BIGINT) AS sx,
+        |         CAST(sum(dy.deg) AS BIGINT) AS sy,
+        |         CAST(sum(dx.deg * dx.deg) AS BIGINT) AS sxx,
+        |         CAST(sum(dy.deg * dy.deg) AS BIGINT) AS syy,
+        |         CAST(sum(dx.deg * dy.deg) AS BIGINT) AS sxy
+        |  FROM e
+        |  JOIN deg dx ON e.a = dx.n
+        |  JOIN deg dy ON e.b = dy.n)
+        |SELECT n_edges,
+        |       CAST(n_edges * sxy - sx * sy AS BIGINT) AS num,
+        |       CASE WHEN n_edges * sxx - sx * sx > 0
+        |             AND n_edges * syy - sy * sy > 0
+        |            THEN round(CAST(n_edges * sxy - sx * sy AS DOUBLE)
+        |              / sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE)
+        |                   * CAST(n_edges * syy - sy * sy AS DOUBLE)), 6)
+        |            ELSE 0.0 END AS r
+        |FROM s""".stripMargin,
     "q_graph_clustco" ->
       """WITH pairs AS (
         |  SELECT DISTINCT least(c_nationkey, s_nationkey) AS u,

@@ -272,6 +272,50 @@ object Learn {
       .orderBy(col("day").asc)
   }
 
+  // ------------------------------------------------------------------ holt
+
+  /** Holt's linear exponential smoothing forecast (Holt 1957/2004,
+    * public method) of the daily event-count series, h = 1..7 days out —
+    * the capacity-planning projection run beside [[tsDecompose]]. The
+    * recurrence (level/trend update per day) is inherently sequential,
+    * so it runs as ONE `aggregate` higher-order function over the
+    * day-ordered count array — a single codegen'd fold over the
+    * calendar-bounded series after the corpus-scale daily count, not a
+    * driver loop and not an O(days) join chain. Multiply-free exact
+    * integer smoothing (α = 1/2: l' = (10⁶y + l + b) div 2; β = 3/10:
+    * b' = (3(l'−l) + 7b) div 10) keeps every intermediate ≤ 10⁶·maxcnt
+    * — overflow-proof where a 10⁶-scaled α product would saturate long
+    * at ~10¹² events/day — and sign-carrying steps ride the
+    * truncate-toward-zero parity. DuckDB twin: `list_reduce` over the
+    * same struct stream (elements pre-lifted to the accumulator shape —
+    * reduce seeds with the first element, which IS the l₀ = 10⁶·y₁,
+    * b₀ = 0 init on both engines). */
+  def tsHolt(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+    val lp = "(y.l + acc.l + acc.b) div 2"
+    val st = daily
+      .agg(expr("transform(array_sort(collect_list(struct(day, cnt))), " +
+          "x -> struct(CAST(x.cnt * 1000000 AS BIGINT) AS l, " +
+          "CAST(0 AS BIGINT) AS b))").as("ys"),
+        count(lit(1)).as("n_days"))
+      .select(col("n_days"), expr(
+        s"""aggregate(
+           |  slice(ys, 2, size(ys) - 1),
+           |  ys[0],
+           |  (acc, y) -> struct(
+           |    CAST($lp AS BIGINT) AS l,
+           |    CAST((3 * ($lp - acc.l) + 7 * acc.b) div 10 AS BIGINT) AS b))
+           |""".stripMargin).as("st"))
+    st.select(col("n_days"), col("st.l").as("level_micro"),
+        col("st.b").as("trend_micro"),
+        explode(expr("sequence(CAST(1 AS BIGINT), CAST(7 AS BIGINT))")).as("h"))
+      .select(col("h"), col("n_days"), col("level_micro"), col("trend_micro"),
+        (col("level_micro") + col("h") * col("trend_micro")).as("forecast_micro"))
+      .orderBy(col("h").asc)
+  }
+
   // ------------------------------------------------------------ registration
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -280,7 +324,8 @@ object Learn {
     "q_ts_autocorr"   -> tsAutocorr,
     "q_ts_changepoint" -> tsChangepoint,
     "q_ts_theilsen"   -> tsTheilsen,
-    "q_ts_decompose"  -> tsDecompose
+    "q_ts_decompose"  -> tsDecompose,
+    "q_ts_holt"       -> tsHolt
   )
 
   val oracle: Map[String, String] = Map(
@@ -385,6 +430,38 @@ object Learn {
         |            ELSE 0.0 END AS r
         |FROM s
         |ORDER BY lag ASC""".stripMargin,
+    // The natural DuckDB twin (list_reduce over lifted structs) is
+    // UNUSABLE: measured on 1.0.0, a chained reduce whose second struct
+    // field reads an accumulator field aliases the accumulator with the
+    // half-written output (field b's expression sees the freshly
+    // assigned l — b := acc.l - 7 returned the NEW l minus 7). The
+    // recurrence is therefore unrolled as a recursive CTE, one row per
+    // day — sequential by nature, calendar-bounded like the Spark fold.
+    "q_ts_holt" -> {
+      val lp = "(i.cnt * 1000000 + h.l + h.b) // 2"
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS day,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1),
+         |idx AS MATERIALIZED (
+         |  SELECT cnt, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+         |         CAST(count(*) OVER () AS BIGINT) AS n_days
+         |  FROM daily),
+         |h(t, l, b) AS (
+         |  SELECT t, CAST(cnt * 1000000 AS BIGINT), CAST(0 AS BIGINT)
+         |  FROM idx WHERE t = 1
+         |  UNION ALL
+         |  SELECT i.t, CAST($lp AS BIGINT),
+         |         CAST((3 * ($lp - h.l) + 7 * h.b) // 10 AS BIGINT)
+         |  FROM h JOIN idx i ON i.t = h.t + 1),
+         |st AS (
+         |  SELECT l, b FROM h ORDER BY t DESC LIMIT 1)
+         |SELECT hh.h, (SELECT max(n_days) FROM idx) AS n_days,
+         |       st.l AS level_micro, st.b AS trend_micro,
+         |       CAST(st.l + hh.h * st.b AS BIGINT) AS forecast_micro
+         |FROM st, (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS h) hh
+         |ORDER BY hh.h ASC""".stripMargin
+    },
     "q_ts_theilsen" ->
       """WITH daily AS (
         |  SELECT epoch_us(ts) // 86400000000 AS day,

@@ -198,6 +198,63 @@ object Relational {
       .withColumn("kept_pm", expr("n_kept * 1000 div n_total"))
       .orderBy(col("o_orderstatus").asc)
 
+  /** Cumulative Poisson(1) CDF in micro units, k = 0..7 — computed once
+    * here and embedded as the same literal CASE in both engines (the
+    * shared-constant discipline of the langid profiles / Benford table).
+    * P(X > 7) ≈ 1e-5 collapses into count 8. */
+  private[operators] val poissonCumMicro: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    var fact = 1.0
+    var cum = 0.0
+    (0 to 7).map { k =>
+      if (k > 0) fact *= k
+      cum += e1 / fact
+      math.round(cum * 1e6)
+    }
+  }
+
+  /** CASE expression mapping a [0, 10⁶) uniform column to a Poisson(1)
+    * draw via the inverse CDF — identical text for both engines. */
+  private def poissonCase(uCol: String): String =
+    "CASE " + poissonCumMicro.zipWithIndex.map { case (t, k) =>
+      s"WHEN $uCol < $t THEN $k" }.mkString(" ") + " ELSE 8 END"
+
+  /** Poisson bootstrap of the mean order value (Chamandy et al. 2012,
+    * "Estimating uncertainty for massive data streams" — the public
+    * Google method): the with-replacement resample that DOES distribute —
+    * each row independently appears Poisson(1) times per replica, so the
+    * whole B-replica bootstrap is one ×B generator fan-out plus one
+    * map-side-combined aggregate, no per-replica corpus pass and no
+    * global sampling state. Every "random" draw is the md5 fold of
+    * (orderkey, replica) through the shared inverse-CDF constants
+    * ([[poissonCumMicro]]) — deterministic, hash-exact, and independent
+    * across replicas by key separation. Output: per-replica effective n
+    * and mean cents (the bootstrap distribution a caller reads the CI
+    * off), plus each replica's deviation from the point estimate. */
+  def sampleBootstrap(s: SparkSession, d: String): DataFrame = {
+    val reps = 16
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val point = base.agg(
+      expr("sum(cents) div count(*)").as("point_mean_cents"))
+    base
+      .select(col("o_orderkey"), col("cents"),
+        explode(expr(s"sequence(CAST(0 AS BIGINT), CAST(${reps - 1} AS BIGINT))"))
+          .as("rep"))
+      .withColumn("hx", expr("md5(concat(CAST(o_orderkey AS STRING), ':', CAST(rep AS STRING)))"))
+      .withColumn("u", expr(s"${DetHash.sparkHexInt("hx")} % 1000000"))
+      .withColumn("c", expr(s"CAST(${poissonCase("u")} AS BIGINT)"))
+      .groupBy(col("rep"))
+      .agg(sum(col("c")).as("n_eff"),
+        sum(col("c") * col("cents")).as("s_cents"))
+      .withColumn("mean_cents", expr("s_cents div n_eff"))
+      .crossJoin(broadcast(point))
+      .select(col("rep"), col("n_eff"), col("mean_cents"),
+        (col("mean_cents") - col("point_mean_cents")).as("dev_cents"))
+      .orderBy(col("rep").asc)
+  }
+
   /** Declared query THROUGH the DataSource V2 connector
     * ([[graft.sources.LatticeSource]]): scan the synthetic point lattice
     * with an id-range predicate the connector consumes into its partition
@@ -391,6 +448,7 @@ object Relational {
     "q_src_catalog" -> srcCatalog,
     "q_sample_split"      -> sampleSplit,
     "q_sample_weighted"   -> sampleWeighted,
+    "q_sample_bootstrap"  -> sampleBootstrap,
     "q_set_except_all"    -> setExceptAll,
     "q_set_intersect_all" -> setIntersectAll,
     "q_scan_project"      -> scanProject,
@@ -454,6 +512,36 @@ object Relational {
         |FROM (SELECT unnest(range(5000, 15000)) AS i)
         |GROUP BY tag
         |ORDER BY tag ASC""".stripMargin,
+    "q_sample_bootstrap" -> {
+      val pcase = "CASE " + poissonCumMicro.zipWithIndex.map { case (t, k) =>
+        s"WHEN u < $t THEN $k" }.mkString(" ") + " ELSE 8 END"
+      s"""WITH b AS (
+         |  SELECT o_orderkey,
+         |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders),
+         |pt AS (
+         |  SELECT CAST(sum(cents) // count(*) AS BIGINT)
+         |           AS point_mean_cents
+         |  FROM b),
+         |u AS (
+         |  SELECT b.o_orderkey, b.cents, r.rep,
+         |         ${DetHash.duckHexInt(
+                     "md5(CAST(b.o_orderkey AS VARCHAR) || ':' || " +
+                     "CAST(r.rep AS VARCHAR))")} % 1000000 AS u
+         |  FROM b CROSS JOIN
+         |       (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS rep) r),
+         |c AS (
+         |  SELECT rep, cents, CAST($pcase AS BIGINT) AS c FROM u),
+         |m AS (
+         |  SELECT rep, CAST(sum(c) AS BIGINT) AS n_eff,
+         |         CAST(sum(c * cents) // sum(c) AS BIGINT) AS mean_cents
+         |  FROM c GROUP BY rep)
+         |SELECT m.rep, m.n_eff, m.mean_cents,
+         |       CAST(m.mean_cents - pt.point_mean_cents AS BIGINT)
+         |         AS dev_cents
+         |FROM m, pt
+         |ORDER BY m.rep ASC""".stripMargin
+    },
     "q_sample_weighted" ->
       """WITH t AS (
         |  SELECT o_orderstatus,

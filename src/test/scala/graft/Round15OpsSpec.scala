@@ -282,6 +282,90 @@ class Round15OpsSpec extends SparkSpec {
     assert(peak >= 999000L && peak <= 1001000L)
   }
 
+  test("sample bootstrap: Poisson replica means equal a local md5 replay and deviations center") {
+    val rows = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cum = operators.Relational.poissonCumMicro
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def draw(key: Long, rep: Long): Long = {
+      val hx = md5hex(s"$key:$rep")
+      val u = hx.take(8).foldLeft(0L)((a, c) =>
+        a * 16 + "0123456789abcdef".indexOf(c)) % 1000000L
+      val k = cum.indexWhere(u < _)
+      if (k < 0) 8L else k.toLong
+    }
+    val point = rows.map(_._2).sum / rows.length
+    val local = (0L until 16L).map { rep =>
+      val cs = rows.map { case (okey, cents) => (draw(okey, rep), cents) }
+      val nEff = cs.map(_._1).sum
+      val mean = cs.map(c => c._1 * c._2).sum / nEff
+      rep -> (nEff, mean, mean - point)
+    }.toMap
+    val got = operators.Relational.sampleBootstrap(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toMap == local)
+    // Poisson(1) mass: effective n within 25% of the corpus size at n=1500
+    got.foreach { case (_, (nEff, _, _)) =>
+      assert(math.abs(nEff - rows.length) < rows.length / 4) }
+  }
+
+  test("ts holt: exponential-smoothing fold equals a sequential local replay") {
+    val daily = dailyCounts()
+    var l = 1000000L * daily.head._2
+    var b = 0L
+    daily.drop(1).foreach { case (_, y) =>
+      val lp = (1000000L * y + l + b) / 2
+      b = (3 * (lp - l) + 7 * b) / 10
+      l = lp
+    }
+    val got = operators.Learn.tsHolt(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == 7)
+    got.zipWithIndex.foreach { case ((h, nd, lv, tr, fc), i) =>
+      assert(h == i + 1L && nd == daily.size.toLong)
+      assert(lv == l && tr == b && fc == l + h * b)
+    }
+  }
+
+  test("graph assort: edge-degree Pearson equals a local replay") {
+    val pairs = operators.Graph.graphClustco(spark, sf0001).collect()
+    // rebuild the edge list from the triangles query's own pair source
+    val tri = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sf0001), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, sf0001), col("o_custkey") === col("c_custkey"))
+      .select(least(col("c_nationkey"), col("s_nationkey")).as("u"),
+        greatest(col("c_nationkey"), col("s_nationkey")).as("v"))
+      .filter(col("u") < col("v")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = tri.flatMap(p => Seq(p, p.swap))
+    val deg = edges.groupBy(_._1).map { case (n, g) => n -> g.length.toLong }
+    val xy = edges.map { case (a, b2) => (deg(a), deg(b2)) }
+    val n = xy.length.toLong
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val syy = xy.map(p => p._2 * p._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val num = n * sxy - sx * sy
+    val denx = n * sxx - sx * sx; val deny = n * syy - sy * sy
+    val r = if (denx > 0 && deny > 0)
+      BigDecimal(num.toDouble / math.sqrt(denx.toDouble * deny.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    else 0.0
+    val row = operators.Graph.graphAssort(spark, sf0001).collect()
+    assert(row.length == 1)
+    assert((row.head.getLong(0), row.head.getLong(1), row.head.getDouble(2))
+      == ((n, num, r)))
+    // degrees cross-check against clustco's per-node degree column
+    val degQ = pairs.map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap
+    assert(deg.forall { case (k, v) => degQ(k) == v })
+  }
+
   test("dq funcdep: the key FD holds at zero violations and an attribute FD replays locally") {
     val got = operators.Analytics.dqFuncdep(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
