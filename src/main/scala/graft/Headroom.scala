@@ -106,6 +106,17 @@ object Headroom {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Config contract, measured in round 8: the 100× replica's iterative
+    // graph queries (PageRank/BFS/k-core over a 60M-edge leaf) need
+    // ~0.75 GB/core of unified memory — 24 GB heap at local[32]. The 8 GB
+    // default (250 MB/core) OOMs mid-sweep after minutes of work. Fail
+    // fast with the remedy instead of letting the rediscovery cost recur.
+    if (reps >= 100) {
+      val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+      require(heapGb >= 20.0,
+        f"100x headroom runs need a 24g driver heap (have $heapGb%.1fg): " +
+          "rerun with SPARK_DRIVER_MEM=24g (see BASELINE.md round-8 notes)")
+    }
     generate(spark, src, out, reps)
 
     def time(fn: => Long): Double = {

@@ -19,6 +19,12 @@ case class MediaFrame(doc_id: Long, frame_id: Long, frame: Array[Byte])
 /** A "resized" payload: fixed-size deterministic byte downsample. */
 case class MediaResized(doc_id: Long, resized: Array[Byte])
 
+/** Parsed RIFF/WAVE header fields; None throughout when validation
+  * fails (bad magic, inconsistent chunk sizes). */
+case class WavMeta(doc_id: Long, valid: Long, channels: Option[Long],
+  sample_rate: Option[Long], byte_rate: Option[Long],
+  data_len: Option[Long], dur_micro: Option[Long])
+
 /** Multimodal column plumbing (driver-ordered extension).
   *
   * Real pipelines decode media with native libs inside a partition-wise
@@ -80,6 +86,65 @@ object Multimodal {
         i += 1
       }
       MediaResized(in.doc_id, out)
+    }
+  }
+
+  /** Assemble a REAL fixed binary layout — a canonical 44-byte RIFF/WAVE
+    * PCM header (the public WAVE format: RIFF size, "WAVE", "fmt " chunk
+    * of 16, audioFormat=1, channels, sampleRate, byteRate, blockAlign,
+    * 16-bit samples, "data" chunk) followed by the payload bytes. Every
+    * numeric field is little-endian, exactly as the format specifies.
+    * Audio parameters derive deterministically from doc_id (1–2 channels,
+    * 8/12/16/20 kHz) so the parse is oracle-checkable; docs where
+    * doc_id % 97 == 0 get a corrupted magic ("RIFX") so the validity
+    * census exercises the rejection path on real rows. */
+  def buildWav(docId: Long, data: Array[Byte]): Array[Byte] = {
+    val channels = (1 + docId % 2).toShort
+    val rate = (8000 + (docId % 4) * 4000).toInt
+    val byteRate = rate * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put((if (docId % 97 == 0) "RIFX" else "RIFF").getBytes("US-ASCII"))
+    bb.putInt(36 + data.length)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII"))
+    bb.putInt(16)                       // fmt chunk size (PCM)
+    bb.putShort(1)                      // audioFormat = PCM
+    bb.putShort(channels)
+    bb.putInt(rate)
+    bb.putInt(byteRate)
+    bb.putShort((channels * 2).toShort) // blockAlign
+    bb.putShort(16)                     // bits per sample
+    bb.put("data".getBytes("US-ASCII"))
+    bb.putInt(data.length)
+    bb.put(data)
+    bb.array()
+  }
+
+  /** Parse a RIFF/WAVE header from raw bytes — the real decode step: the
+    * parser sees ONLY the byte array (no side-channel to the builder),
+    * validates all four magics and both chunk-size invariants, and
+    * decodes the little-endian u16/u32 fields by hand. Invalid payloads
+    * degrade to a (valid=0, all-null) row instead of failing the task —
+    * the posture a 100 TB media scan needs (bad files are data, not
+    * exceptions). dur_micro = data_len * 1e6 / byte_rate, the duration a
+    * player would report. */
+  def parseWav(docId: Long, wav: Array[Byte]): WavMeta = {
+    def u16(o: Int): Long = (wav(o) & 0xffL) | ((wav(o + 1) & 0xffL) << 8)
+    def u32(o: Int): Long = (wav(o) & 0xffL) | ((wav(o + 1) & 0xffL) << 8) |
+      ((wav(o + 2) & 0xffL) << 16) | ((wav(o + 3) & 0xffL) << 24)
+    def tag(o: Int, t: String): Boolean =
+      new String(wav, o, 4, "US-ASCII") == t
+    val ok = wav.length >= 44 && tag(0, "RIFF") && tag(8, "WAVE") &&
+      tag(12, "fmt ") && u32(16) == 16L && u16(20) == 1L &&
+      tag(36, "data") && u32(40) == wav.length - 44L &&
+      u32(4) == wav.length - 8L
+    if (!ok) WavMeta(docId, 0L, None, None, None, None, None)
+    else {
+      val br = u32(28)
+      val dl = u32(40)
+      WavMeta(docId, 1L, Some(u16(22)), Some(u32(24)), Some(br), Some(dl),
+        Some(dl * 1000000L / br))
     }
   }
 
@@ -170,12 +235,33 @@ object Multimodal {
         sum(expr("fam_bytes - keep_bytes")).as("saved_bytes"))
       .orderBy(col("n_docs").asc)
 
+  /** WAV-header round trip end-to-end: synthesize a spec-exact RIFF/WAVE
+    * blob per document (payload = first 64 text bytes), then PARSE it
+    * back byte-level in the same typed partition-wise pass — the
+    * multimodal tier's "decode a real fixed binary layout" operator.
+    * The parse can only succeed by decoding the little-endian fields
+    * correctly; the ~1% corrupted-magic slice proves the validity census
+    * actually rejects. Oracle recomputes the expected fields from the
+    * same doc_id arithmetic the builder used — equality certifies
+    * build→parse is the identity on every valid row. */
+  def mmWavhdr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        substring(col("text"), 1, 64).cast("binary").as("media"))
+      .as[MediaIn]
+      .mapPartitions(_.map(m => parseWav(m.doc_id, buildWav(m.doc_id, m.media))))
+      .toDF()
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_dedup"    -> mmDedup,
     "q_mm_binary"   -> mmBinary,
     "q_mm_features" -> mmFeatures,
     "q_mm_resize"   -> mmResize,
-    "q_mm_frames"   -> mmFrames
+    "q_mm_frames"   -> mmFrames,
+    "q_mm_wavhdr"   -> mmWavhdr
   )
 
   // These oracles equate Spark's byte-level ops on cast(text AS BINARY)
@@ -183,6 +269,30 @@ object Multimodal {
   // only because this corpus is single-byte ASCII (TestdataInvariantsSpec
   // pins that invariant; multi-byte UTF-8 would diverge byte vs char).
   val oracle: Map[String, String] = Map(
+    // The oracle recomputes the header fields from the builder's doc_id
+    // arithmetic (channels = 1 + doc_id % 2, rate = 8000 + (doc_id % 4)
+    // * 4000, payload = min(n_chars, 64) bytes — single-byte ASCII, see
+    // note above); Spark's side must recover the SAME numbers by parsing
+    // the little-endian bytes, so a match certifies the byte layout and
+    // the decode together. The % 97 slice must parse as invalid.
+    "q_mm_wavhdr" ->
+      """SELECT doc_id,
+        |       CAST(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 1 END AS BIGINT) AS valid,
+        |       CASE WHEN doc_id % 97 = 0 THEN NULL
+        |            ELSE CAST(1 + doc_id % 2 AS BIGINT) END AS channels,
+        |       CASE WHEN doc_id % 97 = 0 THEN NULL
+        |            ELSE CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) END AS sample_rate,
+        |       CASE WHEN doc_id % 97 = 0 THEN NULL
+        |            ELSE CAST((8000 + (doc_id % 4) * 4000)
+        |                      * (1 + doc_id % 2) * 2 AS BIGINT) END AS byte_rate,
+        |       CASE WHEN doc_id % 97 = 0 THEN NULL
+        |            ELSE CAST(least(length(text), 64) AS BIGINT) END AS data_len,
+        |       CASE WHEN doc_id % 97 = 0 THEN NULL
+        |            ELSE CAST(least(length(text), 64) * 1000000
+        |                      // ((8000 + (doc_id % 4) * 4000)
+        |                         * (1 + doc_id % 2) * 2) AS BIGINT) END AS dur_micro
+        |FROM documents
+        |ORDER BY doc_id ASC""".stripMargin,
     // Same decode-feature arithmetic as q_mm_features, quantized into the
     // family key, then the family rollup; the byte/char equivalence note
     // above applies.

@@ -498,36 +498,46 @@ object Dedup {
   }
 
   /** Duplicate-cluster resolution — the step that turns near-dup PAIRS
-    * into per-document survivors: connected components by iterative
-    * min-label propagation (each round every member adopts the smallest
-    * label among itself and its neighbors; GraphX-free, pure joins).
-    * Rounds are FIXED (2) so the job count is static and deterministic;
-    * min-label propagation converges in rounds ≥ the distance from the
-    * min-label member, and near-dup clusters are clique-like (diameter
-    * 1–2 here, which 2 rounds covers; DedupSimSpec asserts a diameter-3
-    * chain still converges via the convergence-check extension rounds,
-    * and the oracle — a true transitive closure — fails the gate if
-    * real data ever needs more). Each doc in any pair reports its
-    * canonical id (= min doc_id of its component) — survivors are the
-    * docs where canon_id = doc_id. The edge list is tiny relative to the
-    * corpus (pairs, not docs), so it persists across rounds; at 100 TB
-    * the same loop runs with the edge list as a shuffle-joined table.
-    * Oracle: DuckDB recursive CTE computing min reachable label over the
-    * same (all-pairs-verified) edge set. */
-  /** Min-label propagation over an (a_id, b_id) pair list; returns one
-    * (id, lbl) row per pair member with lbl = min doc_id reachable.
+    * into per-document survivors: connected components over the verified
+    * edge list (GraphX-free, pure joins — see [[clusterLabels]] for the
+    * algorithm). Each doc in any pair reports its canonical id (= min
+    * doc_id of its component) — survivors are the docs where
+    * canon_id = doc_id. The edge list is tiny relative to the corpus
+    * (pairs, not docs), so it persists across rounds; at 100 TB the same
+    * loop runs with the edge list as a shuffle-joined table. */
+  /** Connected components over an (a_id, b_id) pair list by ALTERNATING
+    * LARGE-STAR / SMALL-STAR contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014 — public); returns
+    * one (id, lbl) row per pair member with lbl = min doc_id reachable.
     *
-    * labels_k references labels_{k-1} twice (own row + neighbor
-    * aggregate), so the lazy plan doubles per round — 2^rounds subtree
-    * copies. The ONE load-bearing materialization is the pair list
-    * (eager localCheckpoint): with the expensive candidate DAG truncated
-    * to a cached leaf, 2^rounds copies of the remaining tiny subtrees
-    * are free, while un-truncated they re-derived the whole LSH pipeline
-    * at every leaf (measured: minutes of optimizer+recompute at 8
-    * rounds). More fixed rounds would want per-round checkpoints; the
-    * fixed 2 deliberately does not pay those sequential job barriers —
-    * only the rare extension rounds do. */
-  def clusterLabels(pairs: DataFrame, rounds: Int = 2,
+    * Why star contraction and not min-label propagation (what rounds 1–8
+    * shipped): label propagation needs one round per unit of component
+    * DIAMETER — a skewed corpus with one long near-dup chain holds every
+    * other component hostage for O(diameter) shuffle barriers. Star
+    * contraction rewires edges toward each neighborhood's minimum, so
+    * components collapse in O(log n) rounds regardless of diameter
+    * (clique-like near-dup clusters finish in ONE), and per-round state
+    * is the edge list itself — never a node×neighborhood expansion.
+    *
+    * Round shape, on a canonical high→low edge list (u > v):
+    *  - large-star: for every node n, all STRICTLY LARGER neighbors
+    *    re-point at m = min(Γ(n) ∪ {n}) — long tails fold onto minima;
+    *  - small-star: for every node u, its smaller neighbors (and u
+    *    itself) re-point at m = min(Γ⁻(u) ∪ {u}) — local stars flatten.
+    *
+    * Convergence is judged on the OUTPUT, not the edge set: derive
+    * labels (min out-neighbor, self for centers) and test that no
+    * ORIGINAL pair straddles two labels. That check is sound AND
+    * complete — edges never leave their component, so a label function
+    * consistent across every original edge is constant per component and
+    * pinned to the component minimum at the minimum itself. The common
+    * clique case pays one tiny count job; only genuinely deep chains
+    * loop, each extension round checkpointed (bounded plan) up to
+    * maxRounds, then fail fast rather than emit a wrong fixed point.
+    * Oracle: DuckDB recursive CTE computing min reachable label over the
+    * same (all-pairs-verified) edge set — unchanged from the
+    * label-propagation implementation it replaces. */
+  def clusterLabels(pairs: DataFrame,
       maxRounds: Int = 12,
       maxBroadcastRows: Long = Hints.MaxBroadcastRows): DataFrame = {
     // LAZY checkpoint folded into the bound count below: the count is the
@@ -539,60 +549,79 @@ object Dedup {
     // self-union would race both branches into computing the expensive
     // candidate DAG before the cache fills.
     val p = Hints.checkpoint(pairs, eager = false)
-    // Measured bound on label-state rows: every member appears in ≥1 pair,
+    // Measured bound on node-sized state: every member appears in ≥1 pair,
     // so |members| ≤ 2·|pairs|. One cheap count over the checkpointed leaf
-    // decides broadcast-vs-shuffle for EVERY round's state join — under
-    // the threshold the hint papers over the checkpoint's missing size
-    // statistics (a few hundred rows would otherwise shuffle-join); above
-    // it the hint is dropped and each round is the standard shuffled
-    // label-propagation join, no driver-memory cliff at corpus scale.
+    // decides broadcast-vs-shuffle for every round's min-table join —
+    // under the threshold the hint papers over the checkpoint's missing
+    // size statistics; above it the hint is dropped and each round is a
+    // standard shuffled join, no driver-memory cliff at corpus scale.
     val memberBound = 2L * p.count()
     def hint(df: DataFrame): DataFrame =
       Hints.hintIfSmall(df, memberBound, maxBroadcastRows)
-    val edges = p.union(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-    def step(l: DataFrame): DataFrame = {
-      val fromNeighbors = edges
-        .join(hint(l), edges("b_id") === l("id"))
-        .groupBy(col("a_id").as("nid"))
-        .agg(min(col("lbl")).as("nlbl"))
-      l.join(hint(fromNeighbors), l("id") === col("nid"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+    // large-star: neighborhood minimum over the SYMMETRIC view, larger
+    // neighbors re-point at it. Output stays canonical (dst < src).
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy(col("u").as("n")).agg(min(col("v")).as("mn"))
+      sym.join(hint(m), col("u") === col("n"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("mn"), col("n")).as("v"))
+      // no distinct here: duplicate edges only feed small-star's min
+      // aggregate (partial-agg absorbs them); its trailing distinct is
+      // the one dedup shuffle per round
     }
-    var labels = p.select(explode(array(col("a_id"), col("b_id"))).as("id"))
+    // small-star: per-node minimum over SMALLER neighbors only; they and
+    // the node itself re-point at it (the node keeps its link so the
+    // component never disconnects).
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy(col("u").as("n")).agg(min(col("v")).as("mn"))
+      val j = e.join(hint(m), col("u") === col("n"))
+      j.filter(col("v") =!= col("mn"))
+        .select(col("v").as("u"), col("mn").as("v"))
+        .union(j.select(col("u"), col("mn").as("v")))
+        .distinct()
+    }
+    val nodes = p.select(explode(array(col("a_id"), col("b_id"))).as("id"))
       .distinct()
-      .withColumn("lbl", col("id"))
-    for (_ <- 1 to rounds) labels = step(labels)
-    // Materialize the propagated state ONCE (it is pairs-member-sized, so
-    // the checkpoint is safe at any scale): the convergence check below
-    // and the caller's final action would otherwise each re-execute the
-    // whole propagation chain.
-    labels = Hints.checkpoint(labels, eager = true)
-    // Convergence guard: `rounds` fixed rounds suffice only for components
-    // with diameter ≤ rounds; a longer chain would silently emit labels
-    // that diverge from the oracle's transitive closure. One cheap
-    // read-only check (labels disagree across any edge?) — the common
-    // clique-like case pays a single tiny count job and no plan growth.
-    // Only an actual long chain enters the extension loop, which
-    // checkpoints per round (bounded plan) up to maxRounds, then fails
-    // fast rather than returning a wrong fixed point.
+    // Labels under the star-so-far: min out-neighbor, self for centers.
+    def labelsFrom(e: DataFrame): DataFrame = {
+      val m = e.groupBy(col("u").as("n")).agg(min(col("v")).as("mn"))
+      nodes.join(hint(m), nodes("id") === col("n"), "left")
+        .select(col("id"), coalesce(col("mn"), col("id")).as("lbl"))
+    }
     def unconverged(l: DataFrame): Boolean = {
       val la = l.select(col("id").as("a_id"), col("lbl").as("la"))
       val lb = l.select(col("id").as("b_id"), col("lbl").as("lb"))
       p.join(hint(la), "a_id").join(hint(lb), "b_id")
         .filter(col("la") =!= col("lb")).limit(1).count() > 0
     }
-    var r = rounds
-    var dirty = unconverged(labels)
+    var edges = p.filter(col("a_id") =!= col("b_id"))
+      .select(greatest(col("a_id"), col("b_id")).as("u"),
+        least(col("a_id"), col("b_id")).as("v"))
+      .distinct()
+    var r = 0
+    var dirty = true
     while (dirty && r < maxRounds) {
-      labels = Hints.checkpoint(step(labels), eager = true)
+      // one checkpoint per round: largeStar∘smallStar references `edges`
+      // three times (two group-bys + the join sides), so an uncheckpointed
+      // loop would triple the plan per round; the edge list only shrinks
+      // past round 1, so the barrier is cheap exactly when it repeats.
+      // The convergence check derives labels LAZILY off the cached edge
+      // leaf (two cheap scans) — labels are materialized once, below,
+      // only after the fixpoint is reached.
+      edges = Hints.checkpoint(smallStar(largeStar(edges)), eager = true)
       r += 1
-      dirty = unconverged(labels)
+      dirty = unconverged(labelsFrom(edges))
     }
     if (dirty)
       throw new IllegalStateException(
-        s"clusterLabels: component diameter exceeds maxRounds=$maxRounds; " +
-          "raise maxRounds for this edge set")
-    labels
+        s"clusterLabels: star contraction did not converge in maxRounds=$maxRounds " +
+          "rounds; raise maxRounds for this edge set")
+    // Materialize the converged labels ONCE (node-sized, safe at any
+    // scale): this is the shared leaf the label memo serves to
+    // q_dedup_repr / q_dedup_split and the caller's final action.
+    Hints.checkpoint(labelsFrom(edges), eager = true)
   }
 
   /** Session-scoped memo of the checkpointed cluster-label leaf, shared

@@ -406,17 +406,30 @@ object Graph {
     * code; measured cores at sf0.001/0.01/0.1: 200/1535/3 of
     * 200/1880/5922 nodes in 1/4/6 rounds).
     *
-    * Iteration discipline = [[graphBfs]]'s: checkpointed symmetrized
-    * edge leaf (reused every round), per-round eager checkpoint of the
-    * node-sized alive set (each round references it twice — semi-join on
-    * BOTH endpoints — so lineage would fan out 2^rounds), measured
-    * broadcast bound via Hints.hintIfSmall, convergence probed by
-    * count(alive) stabilizing (one count per round; the previous round's
-    * count is carried in a driver var, not recounted). maxRounds = 8
-    * fail-fast: the peel's worst case is O(n) rounds (a path graph), so
-    * an unconverged corpus must fail loudly, not run forever — the
-    * DuckDB oracle unrolls exactly 8 peels and relies on fixpoint
-    * idempotence for the tail. Output: (node, in_core, core_deg). */
+    * Iteration discipline: DELTA-FRONTIER peel, not full re-aggregation.
+    * Rounds 1–8 shipped the textbook loop — every round semi-joined the
+    * full edge leaf against the alive set on BOTH endpoints and
+    * re-counted every survivor's degree, so each of the ~6 rounds paid
+    * the whole graph again even when only a handful of nodes had died.
+    * This version keeps a materialized DEGREE table instead: each round
+    * (a) filters it for the doomed frontier (deg < k — empty = converged,
+    * no separate alive-count job), (b) joins ONLY the doomed nodes
+    * against the static checkpointed edge leaf to produce per-neighbor
+    * decrements, and (c) anti-joins the doomed out and applies the
+    * decrements — node-sized work proportional to the FRONTIER's
+    * neighborhood, which collapses after round 1. Dead-targeting
+    * decrements vanish in the anti-join, so an edge whose endpoints die
+    * in different rounds is never double-counted, and the edge leaf is
+    * NEVER rewritten — one eager materialization, reused read-only every
+    * round (the BFS-style frontier pattern). Per-round eager checkpoint
+    * of the degree table (referenced three times next round) keeps the
+    * plan bounded; broadcast bound via Hints.hintIfSmall is measured.
+    * maxRounds = 8 fail-fast: the peel's worst case is O(n) rounds (a
+    * path graph), so an unconverged corpus must fail loudly, not run
+    * forever — the DuckDB oracle unrolls exactly 8 peels and relies on
+    * fixpoint idempotence for the tail (the fixpoint is unique, so the
+    * round-by-round schedule is free to differ).
+    * Output: (node, in_core, core_deg). */
   def graphKcore(s: SparkSession, d: String, k: Int = 2,
       maxRounds: Int = 8): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
@@ -429,36 +442,40 @@ object Graph {
         .filter(col("sup") >= 2)
         .select(col("a_pk"), col("b_pk")),
       eager = false)
-    val edges = e0.union(
-      e0.select(col("b_pk").as("a_pk"), col("a_pk").as("b_pk")))
     val nodeBound = 2L * e0.count()
     def hint(df: DataFrame): DataFrame = Hints.hintIfSmall(df, nodeBound)
-    def survivors(aliveSet: DataFrame): DataFrame = edges
-      .join(hint(aliveSet.select(col("node").as("sn"))), col("a_pk") === col("sn"))
-      .join(hint(aliveSet.select(col("node").as("dn"))), col("b_pk") === col("dn"))
-      .groupBy(col("a_pk")).agg(count(lit(1)).as("deg"))
-    var alive = Hints.checkpoint(
-      edges.select(col("a_pk").as("node")).distinct(), eager = true)
-    var nAlive = alive.count()
-    var converged = false
+    val edges = Hints.checkpoint(
+      e0.union(e0.select(col("b_pk").as("a_pk"), col("a_pk").as("b_pk"))),
+      eager = true)
+    val allNodes = edges.select(col("a_pk").as("node")).distinct()
+    // live degree table: starts as the full degree census, thereafter
+    // only shrinks (doomed rows out) and decrements (dead neighbors off)
+    var deg = Hints.checkpoint(
+      edges.groupBy(col("a_pk").as("node")).agg(count(lit(1)).as("deg")),
+      eager = true)
     var round = 0
+    var converged = false
     while (!converged) {
       round += 1
       if (round > maxRounds) throw new IllegalStateException(
-        s"k-core peel did not converge in $maxRounds rounds (n=$nAlive)")
-      val next = Hints.checkpoint(
-        survivors(alive).filter(col("deg") >= k)
-          .select(col("a_pk").as("node")),
-        eager = true)
-      val nNext = next.count()
-      converged = nNext == nAlive
-      nAlive = nNext
-      alive = next
+        s"k-core peel did not converge in $maxRounds rounds")
+      val doomed = deg.filter(col("deg") < k).select(col("node"))
+      if (doomed.limit(1).count() == 0) converged = true
+      else {
+        val dec = edges
+          .join(hint(doomed.select(col("node").as("dn"))),
+            col("b_pk") === col("dn"))
+          .groupBy(col("a_pk").as("node")).agg(count(lit(1)).as("ndec"))
+        deg = Hints.checkpoint(
+          deg.join(hint(doomed), Seq("node"), "left_anti")
+            .join(hint(dec), Seq("node"), "left")
+            .select(col("node"),
+              (col("deg") - coalesce(col("ndec"), lit(0L))).as("deg")),
+          eager = true)
+      }
     }
-    val coreDeg = survivors(alive)
-      .select(col("a_pk").as("node"), col("deg").as("core_deg"))
-    edges.select(col("a_pk").as("node")).distinct()
-      .join(coreDeg, Seq("node"), "left")
+    allNodes
+      .join(deg.select(col("node"), col("deg").as("core_deg")), Seq("node"), "left")
       .select(col("node"),
         when(col("core_deg").isNull, 0L).otherwise(1L).as("in_core"),
         coalesce(col("core_deg"), lit(0L)).as("core_deg"))

@@ -68,10 +68,12 @@ object Hints {
         // the conf value changes mid-session (the previous guard only
         // set it when empty, silently ignoring a changed conf).
         // getCheckpointDir returns the resolved URI (scheme-qualified),
-        // so compare by suffix-resolution: only call setCheckpointDir
-        // when the configured path isn't the one already in effect.
+        // so compare the normalized Path URIs: only call setCheckpointDir
+        // when the configured path isn't the one already in effect. (A
+        // bare endsWith suffix match is wrong — 'ckpt' would spuriously
+        // match 'file:/tmp/my-ckpt' and skip the re-point.)
         val cur = s.sparkContext.getCheckpointDir
-        if (!cur.exists(c => c == p || c.endsWith(p) ||
+        if (!cur.exists(c => c == p ||
             new org.apache.hadoop.fs.Path(c).toUri.getPath ==
               new org.apache.hadoop.fs.Path(p).toUri.getPath))
           s.sparkContext.setCheckpointDir(p)

@@ -202,7 +202,7 @@ object Relational {
     * here and embedded as the same literal CASE in both engines (the
     * shared-constant discipline of the langid profiles / Benford table).
     * P(X > 7) ≈ 1e-5 collapses into count 8. */
-  private[operators] val poissonCumMicro: Seq[Long] = {
+  private[graft] val poissonCumMicro: Seq[Long] = {
     val e1 = math.exp(-1.0)
     var fact = 1.0
     var cum = 0.0

@@ -17,10 +17,38 @@ object Text {
 
   private def toks = split(col("text"), " ")
 
+  /** Session-scoped memo of the tokenized-corpus leaf shared by the text
+    * family (the [[Dedup.labelMemo]] pattern applied to tokenization). */
+  private val tokLeafMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** One row per whitespace token of every document — (doc_id, lang,
+    * source, pos, tok), lazily cached and shared across every text query
+    * whose first step is "explode the tokens". Before this leaf, ~15
+    * queries each paid their own scan + split + explode of the same
+    * corpus; tokenize-once is the difference between reading a 100 TB
+    * corpus once and reading it 15 times. persist (MEMORY_AND_DISK_SER),
+    * NOT checkpoint: persist is lazy, so query CONSTRUCTION stays
+    * job-free (the PlanQualitySpec laziness pin) and the first consumer's
+    * action populates the cache — honest accounting, the same discipline
+    * as the dedup label leaf. Serialized blocks evict to disk under
+    * pressure, so the leaf never pins unified memory the consumers'
+    * hash aggregates need. Keyed by the documents file's (mtime, length)
+    * fingerprint, so a fixture regeneration invalidates the entry
+    * instead of serving stale tokens. */
+  private[graft] def tokenLeaf(s: SparkSession, d: String): DataFrame =
+    tokLeafMemo.computeIfAbsent(
+      System.identityHashCode(s.sparkContext) + ":" + d + "@" +
+        Tables.pathFingerprint(s, s"$d/documents.parquet"),
+      _ => Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"), col("source"),
+          posexplode(toks).as(Seq("pos", "tok")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+
   /** Tokenize + explode + top-20 word frequencies (generator surface). */
   def textTokens(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(explode(toks).as("word"))
+    tokenLeaf(s, d)
+      .select(col("tok").as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word").asc)
@@ -356,8 +384,8 @@ object Text {
     * AQE promotes one when the vocabulary actually fits. */
   def textSalient(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = Tables.spread(Tables.documents(s, d))
-      .select(col("doc_id"), explode(toks).as("tok"))
+    val tf = tokenLeaf(s, d)
+      .select(col("doc_id"), col("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -436,8 +464,8 @@ object Text {
     * token stream (token = shuffle key; posting lists partition by term
     * at any scale). */
   def textInvindex(s: SparkSession, d: String): DataFrame =
-    Tables.spread(Tables.documents(s, d))
-      .select(col("doc_id"), explode(toks).as("tok"))
+    tokenLeaf(s, d)
+      .select(col("doc_id"), col("tok"))
       .groupBy(col("tok"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
       .groupBy(col("tok"))
@@ -642,8 +670,7 @@ object Text {
     * 100 TB vocabulary won't fit), no floats anywhere, so the score — and
     * any threshold cut on it — hash-compares across engines. */
   def textRarity(s: SparkSession, d: String): DataFrame = {
-    val occ = Tables.spread(Tables.documents(s, d))
-      .select(col("doc_id"), explode(toks).as("tok"))
+    val occ = tokenLeaf(s, d).select(col("doc_id"), col("tok"))
     val dfs = occ.select(col("doc_id"), col("tok")).distinct()
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
     occ.join(dfs, "tok")
@@ -672,8 +699,8 @@ object Text {
   def textEntropy(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ln = lnMicro.toDF("k", "lm")
-    val counts = Tables.spread(Tables.documents(s, d))
-      .select(col("doc_id"), explode(toks).as("tok"))
+    val counts = tokenLeaf(s, d)
+      .select(col("doc_id"), col("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("c"))
     val totals = counts.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
@@ -699,8 +726,8 @@ object Text {
     * bit-parity row-for-row between the two plans. */
   def textEntropyNative(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExprs.register(s)
-    val counts = Tables.spread(Tables.documents(s, d))
-      .select(col("doc_id"), explode(toks).as("tok"))
+    val counts = tokenLeaf(s, d)
+      .select(col("doc_id"), col("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("c"))
     val totals = counts.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
@@ -922,8 +949,7 @@ object Text {
     * per-term top-5 window. */
   def textBm25(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val occ = Tables.spread(Tables.documents(s, d))
-      .select(col("doc_id"), explode(toks).as("tok"))
+    val occ = tokenLeaf(s, d).select(col("doc_id"), col("tok"))
     val tf = occ.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val dl = occ.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
@@ -1134,8 +1160,8 @@ object Text {
     * key — count-distinct's expand handles the type count, no set is
     * ever collected. */
   def textTtr(s: SparkSession, d: String): DataFrame =
-    Tables.spread(Tables.documents(s, d))
-      .select(col("source"), explode(toks).as("tok"))
+    tokenLeaf(s, d)
+      .select(col("source"), col("tok"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_tokens"),
         countDistinct(col("tok")).as("n_types"))
@@ -1153,8 +1179,8 @@ object Text {
     * corpus-sized work is one (source, token) count. The monitoring
     * metric behind "did source X drift from the mixture this week". */
   def textSrcdrift(s: SparkSession, d: String): DataFrame = {
-    val tokCounts = Tables.spread(Tables.documents(s, d))
-      .select(col("source"), explode(toks).as("tok"))
+    val tokCounts = tokenLeaf(s, d)
+      .select(col("source"), col("tok"))
       .groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("c"))
     val srcTotals = tokCounts.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
@@ -1205,8 +1231,7 @@ object Text {
     * doc) distinct aggregate feeds everything — posting-list-sized,
     * like q_text_invindex. */
   def textVocabPrune(s: SparkSession, d: String): DataFrame = {
-    val postings = Tables.spread(Tables.documents(s, d))
-      .select(col("doc_id"), explode(toks).as("tok"))
+    val postings = tokenLeaf(s, d).select(col("doc_id"), col("tok"))
     val stats = postings.groupBy(col("tok"))
       .agg(countDistinct(col("doc_id")).as("df"),
         count(lit(1)).as("cf"))
@@ -1232,8 +1257,8 @@ object Text {
     * mass and distinct-token fan-in audit the collision profile. One
     * explode + one hash agg; the md5 stays a narrow codegen'd map. */
   def textHashtrick(s: SparkSession, d: String): DataFrame =
-    Tables.spread(Tables.documents(s, d))
-      .select(explode(toks).as("tok"))
+    tokenLeaf(s, d)
+      .select(col("tok"))
       .withColumn("bucket",
         ((expr("instr('0123456789abcdef', substring(md5(tok), 31, 1))") - 1).cast("long") * 16L +
          (expr("instr('0123456789abcdef', substring(md5(tok), 32, 1))") - 1).cast("long")) % 64L)
@@ -1263,8 +1288,8 @@ object Text {
     * two-pass trick as q_win_ntile_approx. */
   def textZipf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    Tables.spread(Tables.documents(s, d))
-      .select(explode(toks).as("tok"))
+    tokenLeaf(s, d)
+      .select(col("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
       .withColumn("rank", row_number().over(
         Window.orderBy(col("freq").desc, col("tok").asc)).cast("long"))
@@ -1348,8 +1373,8 @@ object Text {
     * [[textClf]] (keep/drop counting) and [[textBudget]] (selection
     * under a token budget): (doc_id, source, score, n_toks). */
   private def clfDocScores(s: SparkSession, d: String): DataFrame =
-    Tables.spread(Tables.documents(s, d))
-      .select(col("doc_id"), col("source"), explode(toks).as("tok"))
+    tokenLeaf(s, d)
+      .select(col("doc_id"), col("source"), col("tok"))
       .withColumn("hx", md5(col("tok")))
       .withColumn("bucket",
         ((expr("instr('0123456789abcdef', substring(hx, 31, 1))") - 1).cast("long") * 16L +
@@ -1512,8 +1537,8 @@ object Text {
   def textRake(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("p"))
-    val tok = Tables.spread(Tables.documents(s, d))
-      .select(col("doc_id"), posexplode(toks).as(Seq("p", "tok")))
+    val tok = tokenLeaf(s, d)
+      .select(col("doc_id"), col("pos").as("p"), col("tok"))
       .withColumn("stop", when(col("tok").isin("the", "a"), 1L).otherwise(0L))
       .withColumn("pid", sum(col("stop")).over(w))
       .filter(col("stop") === 0)

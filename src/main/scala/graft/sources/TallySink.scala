@@ -145,6 +145,20 @@ class TallyStreamingWrite(schema: StructType, path: String)
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val tallies = messages.collect { case t: TallyCommit if t.rows > 0 => t }
+    // Deterministic names make replay idempotent only for partitions the
+    // replay REGENERATES. If the replayed epoch has fewer partitions than
+    // the first attempt (shuffle.partitions changed across a restart, or a
+    // partition went empty), the first attempt's extra part-e<epoch>-p*.tsv
+    // files would survive and duplicate rows for manifest-blind readers.
+    // Sweep this epoch's part files that are NOT in the committed set,
+    // BEFORE the manifest rename, so a manifest's existence always implies
+    // the directory holds exactly its file list for that epoch.
+    val committed = tallies.map(_.file).toSet
+    val epochPrefix = f"part-e$epochId%06d-p"
+    Option(new File(path).listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.getName.startsWith(epochPrefix) &&
+        f.getName.endsWith(".tsv") && !committed.contains(f.getName))
+      .foreach(_.delete())
     val manifest = new File(path, f"_tally.e$epochId%06d")
     val tmp = new File(path, f"._tally.e$epochId%06d.inprogress")
     val w = new BufferedWriter(new FileWriter(tmp))

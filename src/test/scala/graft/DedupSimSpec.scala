@@ -94,23 +94,24 @@ class DedupSimSpec extends SparkSpec {
     assert(!cands.exists { case (a, b) => Set(a, b).exists(_ >= 6L) })
   }
 
-  test("clusterLabels: diameter-6 chain converges via the extension rounds") {
+  test("clusterLabels: diameter-6 chain converges in O(log n) star rounds") {
     import spark.implicits._
-    // 7-node path graph: min-label needs 6 propagation rounds — more than
-    // the 3 fixed ones, so the convergence check must detect and extend.
+    // 7-node path graph: min-label propagation would need 6 rounds; star
+    // contraction folds it in ~3 — and must still reach the true minimum.
     val pairs = (1L to 6L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     val lbl = operators.Dedup.clusterLabels(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 7L).forall(lbl(_) == 1L), s"chain: $lbl")
   }
 
-  test("clusterLabels: fails fast when diameter exceeds maxRounds") {
+  test("clusterLabels: fails fast when the round budget is too small") {
     import spark.implicits._
-    val pairs = (1L to 6L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    // a 33-node path needs more than 2 contraction rounds
+    val pairs = (1L to 32L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     val e = intercept[IllegalStateException] {
-      operators.Dedup.clusterLabels(pairs, rounds = 1, maxRounds = 2).collect()
+      operators.Dedup.clusterLabels(pairs, maxRounds = 2).collect()
     }
-    assert(e.getMessage.contains("diameter"))
+    assert(e.getMessage.contains("maxRounds"))
   }
 
   test("clusterLabels: chains converge to the component minimum, islands stay apart") {

@@ -342,7 +342,8 @@ class Round15OpsSpec extends SparkSpec {
       .select(least(col("c_nationkey"), col("s_nationkey")).as("u"),
         greatest(col("c_nationkey"), col("s_nationkey")).as("v"))
       .filter(col("u") < col("v")).distinct().collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+      // nationkey is INT in the fixture; widen instead of assuming LONG
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
     val edges = tri.flatMap(p => Seq(p, p.swap))
     val deg = edges.groupBy(_._1).map { case (n, g) => n -> g.length.toLong }
     val xy = edges.map { case (a, b2) => (deg(a), deg(b2)) }
