@@ -25,6 +25,11 @@ case class WavMeta(doc_id: Long, valid: Long, channels: Option[Long],
   sample_rate: Option[Long], byte_rate: Option[Long],
   data_len: Option[Long], dur_micro: Option[Long])
 
+/** Walked PNG-style chunk-directory summary; None when the walk fails
+  * (bad signature, truncated chunk, trailing garbage). */
+case class ChunkMeta(doc_id: Long, valid: Long, n_chunks: Option[Long],
+  total_payload: Option[Long], last_type: Option[String])
+
 /** Multimodal column plumbing (driver-ordered extension).
   *
   * Real pipelines decode media with native libs inside a partition-wise
@@ -148,6 +153,70 @@ object Multimodal {
     }
   }
 
+  /** The 8-byte PNG signature (public spec): 0x89 'PNG' CR LF SUB LF. */
+  private val PngSig: Array[Byte] =
+    Array(0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a.toByte, '\n')
+
+  private val ChunkTypes = Array("IHDR", "IDAT", "IEND")
+
+  /** Assemble a PNG-style CHUNK DIRECTORY — the other canonical binary
+    * shape after WAV's fixed header: a signature followed by a chain of
+    * [length u32 BIG-endian][4-char type][payload] chunks that a reader
+    * must WALK, not index. Chunk count = 1 + doc_id % 3, payload lengths
+    * 8 + (doc_id + i) % 8, types cycling IHDR/IDAT/IEND — all derived
+    * from doc_id so the walk is oracle-checkable. Docs where
+    * doc_id % 89 == 0 get a corrupted signature byte. */
+  def buildChunks(docId: Long): Array[Byte] = {
+    val n = (1 + docId % 3).toInt
+    val lens = (0 until n).map(i => (8 + (docId + i) % 8).toInt)
+    val bb = java.nio.ByteBuffer.allocate(8 + lens.map(_ + 8).sum)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put(PngSig)
+    if (docId % 89 == 0) bb.put(3, 'X'.toByte)
+    (0 until n).foreach { i =>
+      bb.putInt(lens(i))
+      bb.put(ChunkTypes(((docId + i) % 3).toInt).getBytes("US-ASCII"))
+      var j = 0
+      while (j < lens(i)) { bb.put(('a' + ((i + j) % 26)).toByte); j += 1 }
+    }
+    bb.array()
+  }
+
+  /** Walk a PNG-style chunk directory from raw bytes: validate the
+    * signature, then repeatedly decode a big-endian u32 length + 4-char
+    * type and hop over the payload. The walk must land EXACTLY on the
+    * end of the buffer with ≥1 chunk — truncation, trailing garbage, or
+    * a bad signature all degrade to a (valid=0, all-null) row, never a
+    * task failure. */
+  def parseChunks(docId: Long, b: Array[Byte]): ChunkMeta = {
+    def u32be(o: Int): Long = ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    val sigOk = b.length >= 8 && PngSig.indices.forall(i => b(i) == PngSig(i))
+    if (!sigOk) ChunkMeta(docId, 0L, None, None, None)
+    else {
+      var off = 8
+      var n = 0L
+      var payload = 0L
+      var last: String = null
+      var bad = false
+      while (!bad && off < b.length) {
+        if (off + 8 > b.length) bad = true
+        else {
+          val len = u32be(off)
+          if (off + 8 + len > b.length) bad = true
+          else {
+            last = new String(b, off + 4, 4, "US-ASCII")
+            payload += len
+            n += 1
+            off += 8 + len.toInt
+          }
+        }
+      }
+      if (bad || n == 0) ChunkMeta(docId, 0L, None, None, None)
+      else ChunkMeta(docId, 1L, Some(n), Some(payload), Some(last))
+    }
+  }
+
   /** Partition-wise frame sampling: one payload row → nFrames frame rows. */
   def sampleFrames(spark: SparkSession, media: DataFrame,
       nFrames: Int = 3, width: Int = 16): DataFrame = {
@@ -255,7 +324,21 @@ object Multimodal {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Chunk-directory round trip: build the PNG-style chain per document,
+    * walk it back big-endian in the same typed partition-wise pass. The
+    * ~1% corrupted-signature slice exercises the rejection path; the
+    * oracle replays the chunk arithmetic from doc_id, so a match
+    * certifies the big-endian walk end-to-end. */
+  def mmChunks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => parseChunks(id, buildChunks(id))))
+      .toDF()
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_chunks"   -> mmChunks,
     "q_mm_dedup"    -> mmDedup,
     "q_mm_binary"   -> mmBinary,
     "q_mm_features" -> mmFeatures,
@@ -275,6 +358,28 @@ object Multimodal {
     // note above); Spark's side must recover the SAME numbers by parsing
     // the little-endian bytes, so a match certifies the byte layout and
     // the decode together. The % 97 slice must parse as invalid.
+    // Chunk arithmetic replay: i ranges over 0..n_chunks-1 via a range
+    // join; total payload = Σ (8 + (doc_id + i) % 8); last type = the
+    // IHDR/IDAT/IEND cycle at i = n_chunks - 1. The % 89 slice must walk
+    // as invalid.
+    "q_mm_chunks" ->
+      """WITH c AS (
+        |  SELECT d.doc_id, t.i
+        |  FROM documents d, range(0, 3) t(i)
+        |  WHERE t.i < 1 + d.doc_id % 3),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |         CAST(sum(8 + (doc_id + i) % 8) AS BIGINT) AS total_payload,
+        |         (['IHDR', 'IDAT', 'IEND'])[CAST((doc_id + max(i)) % 3 AS INTEGER) + 1]
+        |           AS last_type
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id,
+        |       CAST(CASE WHEN doc_id % 89 = 0 THEN 0 ELSE 1 END AS BIGINT) AS valid,
+        |       CASE WHEN doc_id % 89 = 0 THEN NULL ELSE n_chunks END AS n_chunks,
+        |       CASE WHEN doc_id % 89 = 0 THEN NULL ELSE total_payload END AS total_payload,
+        |       CASE WHEN doc_id % 89 = 0 THEN NULL ELSE last_type END AS last_type
+        |FROM agg
+        |ORDER BY doc_id ASC""".stripMargin,
     "q_mm_wavhdr" ->
       """SELECT doc_id,
         |       CAST(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 1 END AS BIGINT) AS valid,

@@ -837,7 +837,48 @@ object Analytics {
       .orderBy(col("class").asc)
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance, per source vs the REST of
+    * the corpus, on the document length distribution — the drift test a
+    * corpus-monitoring pipeline runs per ingest source. Exact integer
+    * arithmetic: D = max_x |F_src(x) − F_rest(x)| with both ECDFs
+    * cross-multiplied onto the common denominator n_src·n_rest, so
+    * ks_num/ks_den is the exact rational statistic and ks_micro its
+    * truncated micro quotient — hash-exact across engines (a float ECDF
+    * would not be). Scale shape: the evaluation grid is sources ×
+    * distinct lengths (source-count × value-domain bounded, never
+    * corpus-sized), the cumulative counts are per-source windows over
+    * that grid, and the corpus-sized work is one (source, length) hash
+    * count. */
+  def statsKs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("n_chars").as("x"))
+    val cnt = docs.groupBy(col("source"), col("x")).agg(count(lit(1)).as("c"))
+    val xs = docs.select(col("x")).distinct()
+    val perX = docs.groupBy(col("x")).agg(count(lit(1)).as("ct"))
+    val srcs = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val nTot = docs.agg(count(lit(1)).as("n_tot"))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("x").asc)
+    srcs.crossJoin(xs)
+      .join(cnt, Seq("source", "x"), "left")
+      .join(perX, Seq("x"))
+      .na.fill(0, Seq("c"))
+      .withColumn("cum_src", sum(col("c")).over(wSrc))
+      .withColumn("cum_all", sum(col("ct")).over(wSrc))
+      .crossJoin(broadcast(nTot))
+      .withColumn("n_rest", col("n_tot") - col("n_src"))
+      .withColumn("dev", abs(col("cum_src") * col("n_rest") -
+        (col("cum_all") - col("cum_src")) * col("n_src")))
+      .groupBy(col("source"), col("n_src"), col("n_rest"))
+      .agg(max(col("dev")).as("ks_num"))
+      .withColumn("ks_den", col("n_src") * col("n_rest"))
+      .withColumn("ks_micro", expr("ks_num * 1000000 div ks_den"))
+      .select(col("source"), col("n_src"), col("n_rest"),
+        col("ks_num"), col("ks_den"), col("ks_micro"))
+      .orderBy(col("source").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_ks"    -> statsKs,
     "q_dq_snapdiff"     -> dqSnapdiff,
     "q_layout_runs"     -> layoutRuns,
     "q_dq_kanon"        -> dqKanon,
@@ -1201,6 +1242,40 @@ object Analytics {
        |FROM (SELECT md5($keySql) AS h FROM $table)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Same grid construction: per-source and pooled counts per distinct
+    // length, per-source cumulative windows, cross-multiplied ECDF
+    // deviation, max per source. Integer `//` equals Spark's `div` on
+    // the non-negative operands here.
+    "q_stats_ks" ->
+      """WITH docs AS (SELECT source, n_chars AS x FROM documents),
+        |cnt AS (SELECT source, x, count(*) AS c FROM docs GROUP BY 1, 2),
+        |xs AS (SELECT DISTINCT x FROM docs),
+        |perx AS (SELECT x, count(*) AS ct FROM docs GROUP BY 1),
+        |srcs AS (SELECT source, count(*) AS n_src FROM docs GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_tot FROM docs),
+        |g AS (
+        |  SELECT s.source, s.n_src, xs.x, coalesce(c.c, 0) AS c, p.ct
+        |  FROM srcs s CROSS JOIN xs
+        |  LEFT JOIN cnt c ON s.source = c.source AND xs.x = c.x
+        |  JOIN perx p ON xs.x = p.x),
+        |cum AS (
+        |  SELECT source, n_src, x,
+        |         sum(c) OVER (PARTITION BY source ORDER BY x) AS cum_src,
+        |         sum(ct) OVER (PARTITION BY source ORDER BY x) AS cum_all
+        |  FROM g),
+        |dev AS (
+        |  SELECT source, n_src, (SELECT n_tot FROM tot) - n_src AS n_rest,
+        |         abs(cum_src * ((SELECT n_tot FROM tot) - n_src)
+        |             - (cum_all - cum_src) * n_src) AS dev
+        |  FROM cum)
+        |SELECT source, CAST(n_src AS BIGINT) AS n_src,
+        |       CAST(n_rest AS BIGINT) AS n_rest,
+        |       CAST(max(dev) AS BIGINT) AS ks_num,
+        |       CAST(n_src * n_rest AS BIGINT) AS ks_den,
+        |       CAST(max(dev) * 1000000 // (n_src * n_rest) AS BIGINT) AS ks_micro
+        |FROM dev
+        |GROUP BY source, n_src, n_rest
+        |ORDER BY source ASC""".stripMargin,
     "q_dq_fingerprint" -> (Seq(
       fpLegSql("customer", "customer", "CAST(c_custkey AS VARCHAR)"),
       fpLegSql("documents", "documents", "CAST(doc_id AS VARCHAR)"),

@@ -349,7 +349,27 @@ object Graph {
           .otherwise(lit(0.0)).as("r"))
   }
 
+  /** Connected-components census of the co-purchase graph: component
+    * size histogram (csize → component count, node mass). Labels come
+    * from [[Dedup.clusterLabels]] — the SAME large-star/small-star
+    * contraction the dedup family uses, exercised here on a graph whose
+    * giant component is deeper than clique-like near-dup clusters, so
+    * the O(log n) round bound is doing real work. Oracle: recursive-CTE
+    * min-label transitive closure over the same support-≥2 edges, then
+    * the same double rollup. */
+  def graphCc(s: SparkSession, d: String): DataFrame =
+    Dedup.clusterLabels(
+        copurchaseEdges(s, d)
+          .select(col("a_pk").as("a_id"), col("b_pk").as("b_id")))
+      .groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize"))
+      .agg(count(lit(1)).as("n_comps"))
+      .select(col("csize"), col("n_comps"),
+        (col("csize") * col("n_comps")).as("n_nodes"))
+      .orderBy(col("csize").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_cc" -> graphCc,
     "q_graph_degree" -> graphDegree,
     "q_graph_clustco" -> graphClustco,
     "q_graph_assort" -> graphAssort,
@@ -406,76 +426,93 @@ object Graph {
     * code; measured cores at sf0.001/0.01/0.1: 200/1535/3 of
     * 200/1880/5922 nodes in 1/4/6 rounds).
     *
-    * Iteration discipline: DELTA-FRONTIER peel, not full re-aggregation.
-    * Rounds 1–8 shipped the textbook loop — every round semi-joined the
-    * full edge leaf against the alive set on BOTH endpoints and
-    * re-counted every survivor's degree, so each of the ~6 rounds paid
-    * the whole graph again even when only a handful of nodes had died.
-    * This version keeps a materialized DEGREE table instead: each round
-    * (a) filters it for the doomed frontier (deg < k — empty = converged,
-    * no separate alive-count job), (b) joins ONLY the doomed nodes
-    * against the static checkpointed edge leaf to produce per-neighbor
-    * decrements, and (c) anti-joins the doomed out and applies the
-    * decrements — node-sized work proportional to the FRONTIER's
-    * neighborhood, which collapses after round 1. Dead-targeting
-    * decrements vanish in the anti-join, so an edge whose endpoints die
-    * in different rounds is never double-counted, and the edge leaf is
-    * NEVER rewritten — one eager materialization, reused read-only every
-    * round (the BFS-style frontier pattern). Per-round eager checkpoint
-    * of the degree table (referenced three times next round) keeps the
-    * plan bounded; broadcast bound via Hints.hintIfSmall is measured.
-    * maxRounds = 8 fail-fast: the peel's worst case is O(n) rounds (a
-    * path graph), so an unconverged corpus must fail loudly, not run
-    * forever — the DuckDB oracle unrolls exactly 8 peels and relies on
-    * fixpoint idempotence for the tail (the fixpoint is unique, so the
-    * round-by-round schedule is free to differ).
+    * Iteration discipline (round-9 A/B, all three variants measured at
+    * BOTH sf0.1 and the 100× replica): synchronous full re-aggregation
+    * over the cached edge leaf, with the round's count fused into the
+    * lazy checkpoint. A DELTA-FRONTIER peel (materialized degree table,
+    * doomed nodes decrement only their neighbors) was implemented,
+    * measured, and REJECTED: 57.1 s at 100× vs 42.6 s for this loop —
+    * in THIS graph nearly every node peels (core 3 of 5 922 at sf0.1),
+    * so the "frontier" is most of the graph and the per-round anti-join
+    * + decrement bookkeeping costs more than simply re-counting the
+    * shrinking survivor set; delta peels win only when the core retains
+    * most nodes. The round-8 self-join edge derivation was also
+    * measured and replaced (44.8 s vs 42.6 s at 100×, 4.2 s vs 3.2 s at
+    * sf0.1) by the generator derivation in [[copurchaseEdges]].
+    * Per-round state is the node-sized alive set, lazily checkpointed
+    * with the convergence count as its materializing action (one
+    * barrier per round); broadcast bound via Hints.hintIfSmall is
+    * measured. maxRounds = 8 fail-fast: the peel's worst case is O(n)
+    * rounds (a path graph), so an unconverged corpus must fail loudly,
+    * not run forever — the DuckDB oracle unrolls exactly 8 peels and
+    * relies on fixpoint idempotence for the tail (the fixpoint is
+    * unique, so the round-by-round schedule is free to differ).
     * Output: (node, in_core, core_deg). */
+  /** Support-≥2 part co-purchase edges (a_pk < b_pk), derived via the
+    * per-order pair GENERATOR (graphDegree's shape), not a fact⋈fact
+    * self-join: collect_set dedups parts within an order, the
+    * sorted-array transform emits each unordered pair exactly once per
+    * order, so a plain count per pair IS the distinct-order support —
+    * one wide agg + one generator + one hash agg, versus the old
+    * self-join + countDistinct expand (measured ~1.5 s slower at sf0.1
+    * and join-shaped at 100 TB where the generator stays a narrow map
+    * over the grouped scan). Shared by [[graphKcore]] and [[graphCc]]. */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), " +
+          "y -> struct(x AS pa, y AS pb))))")).as("p"))
+      .groupBy(col("p.pa").as("a_pk"), col("p.pb").as("b_pk"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+      .select(col("a_pk"), col("b_pk"))
+
   def graphKcore(s: SparkSession, d: String, k: Int = 2,
       maxRounds: Int = 8): DataFrame = {
-    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-    val e0 = Hints.checkpoint(
-      li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("a_pk"), col("b.l_partkey").as("b_pk"))
-        .agg(countDistinct(col("a.l_orderkey")).as("sup"))
-        .filter(col("sup") >= 2)
-        .select(col("a_pk"), col("b_pk")),
-      eager = false)
+    val e0 = Hints.checkpoint(copurchaseEdges(s, d), eager = false)
     val nodeBound = 2L * e0.count()
     def hint(df: DataFrame): DataFrame = Hints.hintIfSmall(df, nodeBound)
+    // LAZY checkpoint: the initial degree census below is the first
+    // action through `edges`, so one job materializes both leaves.
     val edges = Hints.checkpoint(
       e0.union(e0.select(col("b_pk").as("a_pk"), col("a_pk").as("b_pk"))),
-      eager = true)
+      eager = false)
     val allNodes = edges.select(col("a_pk").as("node")).distinct()
-    // live degree table: starts as the full degree census, thereafter
-    // only shrinks (doomed rows out) and decrements (dead neighbors off)
-    var deg = Hints.checkpoint(
-      edges.groupBy(col("a_pk").as("node")).agg(count(lit(1)).as("deg")),
-      eager = true)
+    // alive-restricted degree census: the synchronous peel's one
+    // corpus-shaped step (two semi-shaped joins + a hash agg over the
+    // static cached edge leaf)
+    def survivors(aliveSet: DataFrame): DataFrame = edges
+      .join(hint(aliveSet.select(col("node").as("sn"))), col("a_pk") === col("sn"))
+      .join(hint(aliveSet.select(col("node").as("dn"))), col("b_pk") === col("dn"))
+      .groupBy(col("a_pk")).agg(count(lit(1)).as("deg"))
+    // ONE action per round: the count both materializes the lazily
+    // checkpointed alive set and decides convergence (the alive count
+    // strictly decreases while any node is peeled, exactly stable at
+    // the fixpoint) — no separate emptiness probe, no second barrier.
+    var alive = Hints.checkpoint(allNodes, eager = false)
+    var nAlive = alive.count()
     var round = 0
     var converged = false
     while (!converged) {
       round += 1
       if (round > maxRounds) throw new IllegalStateException(
         s"k-core peel did not converge in $maxRounds rounds")
-      val doomed = deg.filter(col("deg") < k).select(col("node"))
-      if (doomed.limit(1).count() == 0) converged = true
-      else {
-        val dec = edges
-          .join(hint(doomed.select(col("node").as("dn"))),
-            col("b_pk") === col("dn"))
-          .groupBy(col("a_pk").as("node")).agg(count(lit(1)).as("ndec"))
-        deg = Hints.checkpoint(
-          deg.join(hint(doomed), Seq("node"), "left_anti")
-            .join(hint(dec), Seq("node"), "left")
-            .select(col("node"),
-              (col("deg") - coalesce(col("ndec"), lit(0L))).as("deg")),
-          eager = true)
-      }
+      val next = Hints.checkpoint(
+        survivors(alive).filter(col("deg") >= k)
+          .select(col("a_pk").as("node")),
+        eager = false)
+      val nNext = next.count()
+      converged = nNext == nAlive
+      nAlive = nNext
+      alive = next
     }
+    val coreDeg = survivors(alive)
+      .select(col("a_pk").as("node"), col("deg").as("core_deg"))
     allNodes
-      .join(deg.select(col("node"), col("deg").as("core_deg")), Seq("node"), "left")
+      .join(coreDeg, Seq("node"), "left")
       .select(col("node"),
         when(col("core_deg").isNull, 0L).otherwise(1L).as("in_core"),
         coalesce(col("core_deg"), lit(0L)).as("core_deg"))
@@ -483,6 +520,32 @@ object Graph {
   }
 
   val oracle: Map[String, String] = Map(
+    // Min-label transitive closure over the same support-≥2 co-purchase
+    // edge set (the sup CTE replays the generator derivation as the
+    // equivalent self-join + distinct-order HAVING), then component
+    // sizes → size histogram.
+    "q_graph_cc" ->
+      """WITH RECURSIVE sup AS MATERIALIZED (
+        |  SELECT a.l_partkey AS a_pk, b.l_partkey AS b_pk
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+        |ed AS MATERIALIZED (
+        |  SELECT a_pk, b_pk FROM sup
+        |  UNION ALL SELECT b_pk, a_pk FROM sup),
+        |reach(id, lbl) AS (
+        |  SELECT DISTINCT a_pk, a_pk FROM ed
+        |  UNION
+        |  SELECT e.a_pk, r.lbl FROM ed e JOIN reach r ON e.b_pk = r.id),
+        |cl AS (
+        |  SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+        |cs AS (
+        |  SELECT lbl, CAST(count(*) AS BIGINT) AS csize FROM cl GROUP BY lbl)
+        |SELECT csize,
+        |       CAST(count(*) AS BIGINT) AS n_comps,
+        |       CAST(csize * count(*) AS BIGINT) AS n_nodes
+        |FROM cs GROUP BY csize
+        |ORDER BY csize ASC""".stripMargin,
     "q_graph_kcore" -> {
       // every a_i is referenced TWICE by a_{i+1} (both join endpoints):
       // default CTE inlining would expand the chain 2^8-fold, so each
