@@ -877,7 +877,49 @@ object Analytics {
       .orderBy(col("source").asc)
   }
 
+  /** Population Stability Index per source vs the whole corpus — the
+    * standard model-monitoring drift score, PSI = Σ_b (p_b − q_b)·
+    * ln(p_b/q_b), over octave length bands (band = bit-length of
+    * n_chars — the shared bin() idiom, value-domain bounded). Add-one
+    * smoothing keeps empty bands finite. Everything is integer and
+    * cross-engine exact: probabilities as floor-div PPM, the log ratio
+    * as a difference of [[Text.withLgMicro]] shared-table micro-nat
+    * logs, floored to milli-nats through a +30 000 000 shift (so the
+    * floor is taken on a positive value — Spark `div` truncates toward
+    * zero where DuckDB `//` floors, and they only agree on
+    * non-negatives; the shift makes every division non-negative by
+    * construction, including the final clamped sum). Work shape: one
+    * corpus-sized (source, band) count, then a sources × bands grid of
+    * pure arithmetic + four broadcast ln-table joins. */
+  def dqPsi(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), expr("length(bin(n_chars))").as("band"))
+    val sb = docs.groupBy(col("source"), col("band")).agg(count(lit(1)).as("c_sb"))
+    val cb = docs.groupBy(col("band")).agg(count(lit(1)).as("c_cb"))
+    val srcs = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val tot = docs.agg(count(lit(1)).as("n_c"),
+      countDistinct(col("band")).as("bc"))
+    val grid = srcs.crossJoin(cb)
+      .join(sb, Seq("source", "band"), "left")
+      .na.fill(0, Seq("c_sb"))
+      .crossJoin(broadcast(tot))
+    val lg = Seq(("c_sb + 1", "lg_a"), ("n_s + bc", "lg_big_a"),
+        ("c_cb + 1", "lg_e"), ("n_c + bc", "lg_big_e"))
+      .foldLeft(grid) { case (df, (nSql, out)) => Text.withLgMicro(df, nSql, out) }
+    lg
+      .withColumn("p_ppm", expr("(c_sb + 1) * 1000000 div (n_s + bc)"))
+      .withColumn("q_ppm", expr("(c_cb + 1) * 1000000 div (n_c + bc)"))
+      .withColumn("l_milli", expr(
+        "(lg_a - lg_big_a - lg_e + lg_big_e + 30000000) div 1000 - 30000"))
+      .groupBy(col("source"), col("n_s").as("n_docs"), col("bc").as("n_bands"))
+      .agg(sum(expr("(p_ppm - q_ppm) * l_milli")).as("raw"))
+      .withColumn("psi_micro", expr("greatest(raw, 0) div 1000"))
+      .select(col("source"), col("n_docs"), col("n_bands"), col("psi_micro"))
+      .orderBy(col("source").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_psi"      -> dqPsi,
     "q_stats_ks"    -> statsKs,
     "q_dq_snapdiff"     -> dqSnapdiff,
     "q_layout_runs"     -> layoutRuns,
@@ -1242,6 +1284,42 @@ object Analytics {
        |FROM (SELECT md5($keySql) AS h FROM $table)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // PSI replay: same octave bands, same add-one PPM probabilities,
+    // same shared-ln-table micro-nat log ratio floored to milli-nats
+    // through the +30e6 shift (floor == trunc on non-negatives only).
+    "q_dq_psi" -> {
+      val values = Text.lnMicro.map { case (k, lm) => s"($k, $lm)" }
+        .mkString(", ")
+      s"""WITH ln(k, lm) AS (SELECT * FROM (VALUES $values) t(k, lm)),
+         |docs AS (SELECT source, length(bin(n_chars)) AS band FROM documents),
+         |sb AS (SELECT source, band, count(*) AS c_sb FROM docs GROUP BY 1, 2),
+         |cb AS (SELECT band, count(*) AS c_cb FROM docs GROUP BY 1),
+         |srcs AS (SELECT source, count(*) AS n_s FROM docs GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_c, count(DISTINCT band) AS bc FROM docs),
+         |grid AS (
+         |  SELECT s.source, s.n_s, c.band, c.c_cb,
+         |         coalesce(b.c_sb, 0) AS c_sb, t.n_c, t.bc
+         |  FROM srcs s CROSS JOIN cb c
+         |  LEFT JOIN sb b ON s.source = b.source AND c.band = b.band
+         |  CROSS JOIN tot t),
+         |term AS (
+         |  SELECT source, n_s, bc,
+         |         (c_sb + 1) * 1000000 // (n_s + bc) AS p_ppm,
+         |         (c_cb + 1) * 1000000 // (n_c + bc) AS q_ppm,
+         |         ((${Text.lgMicroSql("c_sb + 1", "l1")})
+         |          - (${Text.lgMicroSql("n_s + bc", "l2")})
+         |          - (${Text.lgMicroSql("c_cb + 1", "l3")})
+         |          + (${Text.lgMicroSql("n_c + bc", "l4")})
+         |          + 30000000) // 1000 - 30000 AS l_milli
+         |  FROM grid)
+         |SELECT source, CAST(n_s AS BIGINT) AS n_docs,
+         |       CAST(bc AS BIGINT) AS n_bands,
+         |       CAST(greatest(sum((p_ppm - q_ppm) * l_milli), 0) // 1000
+         |            AS BIGINT) AS psi_micro
+         |FROM term
+         |GROUP BY source, n_s, bc
+         |ORDER BY source ASC""".stripMargin
+    },
     // Same grid construction: per-source and pooled counts per distinct
     // length, per-source cumulative windows, cross-multiplied ECDF
     // deviation, max per source. Integer `//` equals Spark's `div` on

@@ -349,6 +349,40 @@ object Graph {
           .otherwise(lit(0.0)).as("r"))
   }
 
+  /** Neighborhood-Jaccard link prediction over the customer↔supplier
+    * bipartite graph — the set-overlap complement of [[graphAdamic]]'s
+    * rarity-weighted score (Liben-Nowell & Kleinberg 2003's classic
+    * predictor family): for customer pairs sharing ≥1 supplier,
+    * J = |N(a)∩N(b)| / |N(a)∪N(b)| with the union via
+    * inclusion-exclusion from two degree lookups — the intersection is
+    * the only pair-scale aggregate, degrees ride a broadcast. Integer
+    * micro ratio (inter·1e6 div uni), so the top-20 cut is hash-exact.
+    * Same probe slice as adamic (o_custkey % 100 = 0) so the pair space
+    * stays sample-bounded by construction, never all-customers². */
+  def graphNbrJaccard(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_custkey") % 100 === 0)
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .distinct()
+    val degC = e.groupBy(col("ck")).agg(count(lit(1)).as("deg"))
+    val a = e.select(col("ck").as("a_ck"), col("sk"))
+    val b = e.select(col("ck").as("b_ck"), col("sk"))
+    a.join(b, Seq("sk"))
+      .filter(col("a_ck") < col("b_ck"))
+      .groupBy(col("a_ck"), col("b_ck"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(degC.select(col("ck").as("a_ck"), col("deg").as("da"))), "a_ck")
+      .join(broadcast(degC.select(col("ck").as("b_ck"), col("deg").as("db"))), "b_ck")
+      .withColumn("uni", col("da") + col("db") - col("inter"))
+      .withColumn("jacc_micro", expr("inter * 1000000 div uni"))
+      .select(col("a_ck"), col("b_ck"), col("inter"), col("uni"),
+        col("jacc_micro"))
+      .orderBy(col("jacc_micro").desc, col("a_ck").asc, col("b_ck").asc)
+      .limit(20)
+  }
+
   /** Connected-components census of the co-purchase graph: component
     * size histogram (csize → component count, node mass). Labels come
     * from [[Dedup.clusterLabels]] — the SAME large-star/small-star
@@ -369,6 +403,7 @@ object Graph {
       .orderBy(col("csize").asc)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_nbr_jaccard" -> graphNbrJaccard,
     "q_graph_cc" -> graphCc,
     "q_graph_degree" -> graphDegree,
     "q_graph_clustco" -> graphClustco,
@@ -520,6 +555,24 @@ object Graph {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_graph_nbr_jaccard" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_custkey % 100 = 0),
+        |degs AS (SELECT ck, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY ck),
+        |p AS (
+        |  SELECT a.ck AS a_ck, b.ck AS b_ck, CAST(count(*) AS BIGINT) AS inter
+        |  FROM e a JOIN e b ON a.sk = b.sk AND a.ck < b.ck
+        |  GROUP BY 1, 2)
+        |SELECT p.a_ck, p.b_ck, p.inter,
+        |       da.deg + db.deg - p.inter AS uni,
+        |       CAST(p.inter * 1000000 // (da.deg + db.deg - p.inter) AS BIGINT)
+        |         AS jacc_micro
+        |FROM p JOIN degs da ON p.a_ck = da.ck
+        |       JOIN degs db ON p.b_ck = db.ck
+        |ORDER BY jacc_micro DESC, a_ck ASC, b_ck ASC
+        |LIMIT 20""".stripMargin,
     // Min-label transitive closure over the same support-≥2 co-purchase
     // edge set (the sup CTE replays the generator derivation as the
     // equivalent self-join + distinct-order HAVING), then component

@@ -927,8 +927,31 @@ object Sim {
       .orderBy(col("dim").asc)
   }
 
+  /** Apply the learned PCA transform at corpus scale: project every
+    * embedding onto [[embPcaPower]]'s dominant component — the map-only
+    * broadcast-model shape every "score the corpus with a trained
+    * artifact" job has (the model is dims-sized, the corpus arbitrarily
+    * large, no shuffle at all beyond the loadings' own derivation).
+    * The projection is the raw integer dot product Σ qx·lv (milli-unit
+    * vector × micro-unit loading = nano units) — division-free, so no
+    * floor-vs-truncate hazard on its sign. Oracle shares the power-
+    * iteration CTE verbatim. */
+  def embProject(s: SparkSession, d: String): DataFrame = {
+    val v = embPcaPower(s, d)
+      .select(col("dim").cast("int").as("j"), col("loading_micro").as("lv"))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5D) AS BIGINT))"))
+        .as(Seq("j", "qx")))
+      .join(broadcast(v), "j")
+      .groupBy(col("vec_id"))
+      .agg(sum(col("qx") * col("lv")).as("proj_nano"))
+      .orderBy(col("vec_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_emb_pca_power" -> ((s, d) => embPcaPower(s, d)),
+    "q_emb_project" -> embProject,
     "q_sim_mmr"     -> simMmr,
     "q_emb_coreset" -> simCoreset,
     "q_sim_recall"     -> simRecall,
@@ -1097,51 +1120,73 @@ object Sim {
        |             z -> (z[1] - z[2]) * (z[1] - z[2]))),
        |           (acc, x) -> acc + x)""".stripMargin
 
+  /** Shared DuckDB CTE for the power-iteration family: quantized
+    * vectors (WITH vec_id), the Gram matrix `a`, and three MATERIALIZED
+    * unrolled rounds ending at the loading vector `v3` — used verbatim
+    * by both q_emb_pca_power and q_emb_project so the two oracles can
+    * never drift. */
+  private def pcaPowerOracleCte: String = {
+    def round(k: Int): String = {
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"""u$k AS MATERIALIZED (
+         |  SELECT a.i, CAST(sum(a.a * v.v) AS BIGINT) AS u
+         |  FROM a JOIN $prev v ON a.j = v.dim GROUP BY a.i),
+         |v$k AS MATERIALIZED (
+         |  SELECT i AS dim,
+         |         CAST((u * 1000) // greatest(
+         |           (SELECT max(abs(u)) FROM u$k) // 1000, 1) AS BIGINT)
+         |           AS v
+         |  FROM u$k)""".stripMargin
+    }
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+       |                AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |c1 AS (
+       |  SELECT unnest(list_transform(range(1, len(qv) + 1),
+       |           k -> struct_pack(i := k - 1, xi := qv[k]))) AS s, qv
+       |  FROM q),
+       |cells AS (
+       |  SELECT s.i AS i,
+       |         unnest(list_transform(range(1, len(qv) + 1),
+       |           k -> struct_pack(j := k - 1, p := s.xi * qv[k]))) AS s2
+       |  FROM c1),
+       |a AS MATERIALIZED (
+       |  SELECT i, s2.j AS j,
+       |         CAST(sum(s2.p) // (SELECT count(*) FROM embeddings)
+       |           AS BIGINT) AS a
+       |  FROM cells GROUP BY 1, 2),
+       |v0 AS (SELECT i AS dim, CAST(1000000 AS BIGINT) AS v
+       |       FROM a WHERE j = 0),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     // 3 unrolled power-iteration rounds; a and every u_k are referenced
     // more than once (max-fold + multiply) -> MATERIALIZED per the
     // k-core CTE-inlining lesson. Spark's 0-based posexplode index is
     // mirrored by k - 1.
-    "q_emb_pca_power" -> {
-      def round(k: Int): String = {
-        val prev = if (k == 1) "v0" else s"v${k - 1}"
-        s"""u$k AS MATERIALIZED (
-           |  SELECT a.i, CAST(sum(a.a * v.v) AS BIGINT) AS u
-           |  FROM a JOIN $prev v ON a.j = v.dim GROUP BY a.i),
-           |v$k AS MATERIALIZED (
-           |  SELECT i AS dim,
-           |         CAST((u * 1000) // greatest(
-           |           (SELECT max(abs(u)) FROM u$k) // 1000, 1) AS BIGINT)
-           |           AS v
-           |  FROM u$k)""".stripMargin
-      }
-      s"""WITH q AS (
-         |  SELECT list_transform(embedding,
-         |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
-         |                AS BIGINT)) AS qv
-         |  FROM embeddings),
-         |c1 AS (
-         |  SELECT unnest(list_transform(range(1, len(qv) + 1),
-         |           k -> struct_pack(i := k - 1, xi := qv[k]))) AS s, qv
-         |  FROM q),
-         |cells AS (
-         |  SELECT s.i AS i,
-         |         unnest(list_transform(range(1, len(qv) + 1),
-         |           k -> struct_pack(j := k - 1, p := s.xi * qv[k]))) AS s2
-         |  FROM c1),
-         |a AS MATERIALIZED (
-         |  SELECT i, s2.j AS j,
-         |         CAST(sum(s2.p) // (SELECT count(*) FROM embeddings)
-         |           AS BIGINT) AS a
-         |  FROM cells GROUP BY 1, 2),
-         |v0 AS (SELECT i AS dim, CAST(1000000 AS BIGINT) AS v
-         |       FROM a WHERE j = 0),
-         |${round(1)},
-         |${round(2)},
-         |${round(3)}
+    "q_emb_pca_power" ->
+      s"""$pcaPowerOracleCte
          |SELECT CAST(dim AS BIGINT) AS dim, v AS loading_micro
-         |FROM v3 ORDER BY dim ASC""".stripMargin
-    },
+         |FROM v3 ORDER BY dim ASC""".stripMargin,
+    // Shared power-iteration CTE (identical loadings), then one grouped
+    // dot product per vector against v3 — the projection is division-
+    // free (raw Σ qx·lv nano units), so no floor-vs-trunc hazard.
+    "q_emb_project" ->
+      s"""$pcaPowerOracleCte,
+         |qq AS (
+         |  SELECT vec_id,
+         |         unnest(list_transform(range(1, len(qv) + 1),
+         |           k -> struct_pack(j := k - 1, qx := qv[k]))) AS s
+         |  FROM q)
+         |SELECT qq.vec_id, CAST(sum(qq.s.qx * v.v) AS BIGINT) AS proj_nano
+         |FROM qq JOIN v3 v ON qq.s.j = v.dim
+         |GROUP BY qq.vec_id
+         |ORDER BY vec_id ASC""".stripMargin,
     // Farthest-point rounds unrolled exactly like the MMR chain: each
     // p_i is the max-of-min-distance argmax under (mind2 desc, id asc).
     "q_emb_coreset" ->

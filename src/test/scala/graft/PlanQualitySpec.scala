@@ -590,8 +590,9 @@ class PlanQualitySpec extends SparkSpec {
       // power iteration: the unrolled rounds reference the checkpointed
       // Gram-matrix leaf twice per round, so the (lazy) checkpoint is
       // load-bearing — and AQE materializes its shuffle stage at
-      // construction, same family as the loops above
-      "q_emb_pca_power")
+      // construction, same family as the loops above (q_emb_project
+      // embeds the same power iteration to derive its loadings)
+      "q_emb_pca_power", "q_emb_project")
     val sentinels = new java.util.concurrent.atomic.AtomicInteger(0)
     val others = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {

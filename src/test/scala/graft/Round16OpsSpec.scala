@@ -124,6 +124,85 @@ class Round16OpsSpec extends SparkSpec {
     assert(m.parseChunks(7L, good.take(8)).valid == 0L)
   }
 
+  // ---- q_graph_nbr_jaccard --------------------------------------------
+
+  test("graph nbr jaccard: top-20 equals a local set-overlap replay") {
+    val rows = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_suppkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val orderCust = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = rows.flatMap { case (ok, sk) =>
+      orderCust.get(ok).filter(_ % 100 == 0).map(ck => (ck, sk))
+    }.distinct
+    val nbrs = e.groupBy(_._1).map { case (ck, g) => ck -> g.map(_._2).toSet }
+    val cks = nbrs.keys.toSeq.sorted
+    val expect = (for {
+      i <- cks.indices; j <- (i + 1) until cks.size
+      inter = (nbrs(cks(i)) & nbrs(cks(j))).size.toLong if inter > 0
+    } yield {
+      val uni = (nbrs(cks(i)) | nbrs(cks(j))).size.toLong
+      (cks(i), cks(j), inter, uni, inter * 1000000L / uni)
+    }).sortBy(t => (-t._5, t._1, t._2)).take(20)
+    val got = operators.Graph.graphNbrJaccard(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect, s"jaccard: got ${got.take(5)} expect ${expect.take(5)}")
+  }
+
+  // ---- q_dq_psi --------------------------------------------------------
+
+  test("dq psi: per-source drift equals a local integer replay") {
+    val rows = Tables.documents(spark, sf0001)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def band(n: Long): Long = java.lang.Long.toBinaryString(n).length.toLong
+    val banded = rows.map { case (src, n) => (src, band(n)) }
+    val bands = banded.map(_._2).distinct.sorted
+    val bc = bands.size.toLong
+    val nC = banded.length.toLong
+    val cb = banded.groupBy(_._2).map { case (b, g) => b -> g.size.toLong }
+    val expect = banded.groupBy(_._1).map { case (src, g) =>
+      val nS = g.size.toLong
+      val csb = g.groupBy(_._2).map { case (b, h) => b -> h.size.toLong }
+      val raw = bands.map { b =>
+        val a = csb.getOrElse(b, 0L) + 1
+        val e = cb(b) + 1
+        val p = a * 1000000L / (nS + bc)
+        val q = e * 1000000L / (nC + bc)
+        val l = IntLg.lg(a) - IntLg.lg(nS + bc) - IntLg.lg(e) + IntLg.lg(nC + bc)
+        val lm = (l + 30000000L) / 1000L - 30000L
+        (p - q) * lm
+      }.sum
+      (src, nS, bc, math.max(raw, 0L) / 1000L)
+    }.toSeq.sortBy(_._1)
+    val got = operators.Analytics.dqPsi(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect, s"psi: got ${got.take(3)} expect ${expect.take(3)}")
+    // PSI is non-negative by construction and the corpus-vs-itself
+    // smoothed score is small for same-shaped sources
+    assert(got.forall(_._4 >= 0))
+  }
+
+  // ---- q_emb_project ---------------------------------------------------
+
+  test("emb project: projections equal the loadings-weighted dot product") {
+    val loadings = operators.Sim.embPcaPower(spark, sf0001).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val expect = vecs.map { case (id, xs) =>
+      id -> xs.zipWithIndex.map { case (x, j) =>
+        math.floor(x.toDouble * 1000 + 0.5).toLong * loadings(j)
+      }.sum
+    }.sortBy(_._1).toSeq
+    val got = operators.Sim.embProject(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == expect, s"proj: got ${got.take(3)} expect ${expect.take(3)}")
+  }
+
   // ---- q_stats_ks ----------------------------------------------------
 
   test("stats ks: per-source statistic equals a local ECDF replay") {
