@@ -918,7 +918,35 @@ object Analytics {
       .orderBy(col("source").asc)
   }
 
+  /** Discrete power-law exponent per event type (Clauset, Shalizi &
+    * Newman 2009's continuous-approximation MLE, public): user activity
+    * counts x = events per (type, user), tail x ≥ xmin = 5,
+    * α̂ = 1 + n / Σ ln(x_i / (xmin − ½)) — the heavy-tail audit run on
+    * engagement data before believing an average. Integer-exact via the
+    * shared ln table: ln(x/(xmin−½)) = lg(2x) − lg(9) in micro-nats
+    * (both from the same table, lg(9) a verbatim constant 2 197 225 in
+    * engine AND oracle), Σ > 0 whenever the tail is non-empty, final
+    * α in micro units via one positive integer division. Work shape:
+    * one corpus-sized (type, user) count, then type-bounded arithmetic. */
+  def statsPowerlaw(s: SparkSession, d: String): DataFrame = {
+    val x = Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x"))
+      .filter(col("x") >= 5)
+    Text.withLgMicro(x, "2 * x", "lg2x")
+      .withColumn("term", col("lg2x") - lit(2197225L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("term")).as("s_micro"))
+      .withColumn("xmin", lit(5L))
+      .withColumn("alpha_micro",
+        expr("1000000 + n_users * 1000000000000 div s_micro"))
+      .select(col("event_type"), col("xmin"), col("n_users"),
+        col("s_micro"), col("alpha_micro"))
+      .orderBy(col("event_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_powerlaw" -> statsPowerlaw,
     "q_dq_psi"      -> dqPsi,
     "q_stats_ks"    -> statsKs,
     "q_dq_snapdiff"     -> dqSnapdiff,
@@ -1284,6 +1312,29 @@ object Analytics {
        |FROM (SELECT md5($keySql) AS h FROM $table)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Same (type, user) tail counts, same shared-table micro-nat
+    // lg(2x) − lg(9), same positive integer division for α.
+    "q_stats_powerlaw" -> {
+      val values = Text.lnMicro.map { case (k, lm) => s"($k, $lm)" }
+        .mkString(", ")
+      s"""WITH ln(k, lm) AS (SELECT * FROM (VALUES $values) t(k, lm)),
+         |x AS (
+         |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1, 2 HAVING count(*) >= 5),
+         |terms AS (
+         |  SELECT event_type,
+         |         (${Text.lgMicroSql("2 * x", "l1")}) - 2197225 AS term
+         |  FROM x),
+         |agg AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+         |         CAST(sum(term) AS BIGINT) AS s_micro
+         |  FROM terms GROUP BY 1)
+         |SELECT event_type, CAST(5 AS BIGINT) AS xmin, n_users, s_micro,
+         |       CAST(1000000 + n_users * 1000000000000 // s_micro AS BIGINT)
+         |         AS alpha_micro
+         |FROM agg
+         |ORDER BY event_type ASC""".stripMargin
+    },
     // PSI replay: same octave bands, same add-one PPM probabilities,
     // same shared-ln-table micro-nat log ratio floored to milli-nats
     // through the +30e6 shift (floor == trunc on non-negatives only).

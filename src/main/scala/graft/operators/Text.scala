@@ -45,10 +45,16 @@ object Text {
           posexplode(toks).as(Seq("pos", "tok")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
 
-  /** Tokenize + explode + top-20 word frequencies (generator surface). */
+  /** Tokenize + explode + top-20 word frequencies (generator surface).
+    * Deliberately NOT on [[tokenLeaf]]: this is the family's cheapest
+    * query (one fused parquet-scan→split→explode→agg, 0.20 s at sf0.1)
+    * and reading the cached 5-column leaf instead was a measured
+    * regression (0.54 s — the leaf amortizes tokenize-once across
+    * multi-scan consumers; a single tiny scan only pays the cache-read
+    * overhead). */
   def textTokens(s: SparkSession, d: String): DataFrame =
-    tokenLeaf(s, d)
-      .select(col("tok").as("word"))
+    Tables.documents(s, d)
+      .select(explode(toks).as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word").asc)
@@ -931,6 +937,37 @@ object Text {
       .orderBy(col("doc_id").asc)
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, CCNet —
+    * public method): split the LM-scored half of the corpus into
+    * head/middle/tail TERCILES per language by bigram NLL (lower =
+    * closer to the reference model = "head"), reporting per bucket the
+    * doc count, token mass, and NLL range — the standard
+    * quality-stratification step before mixing pretraining data.
+    * Deterministic: rank by (nll_per_bi asc, doc_id asc) inside each
+    * language stratum (bounded window width — the DSIR quartile
+    * discipline), bucket = (3·(rn−1)) div n, all positive integer
+    * division so both engines agree. Reuses [[textLmPpl]]'s scores as a
+    * subplan — one composed Catalyst plan, no materialization. */
+  def textPplBucket(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = textLmPpl(s, d).select(col("doc_id"), col("nll_per_bi"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("nll_per_bi").asc, col("doc_id").asc)
+    val wn = Window.partitionBy(col("lang"))
+    sc.join(docs, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("bucket", expr(
+        "CASE (3 * (rn - 1)) div n WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_toks"),
+        min(col("nll_per_bi")).as("nll_lo"), max(col("nll_per_bi")).as("nll_hi"))
+      .orderBy(col("lang").asc, col("bucket").asc)
+  }
+
   /** BM25 ranked retrieval (Robertson & Walker 1994, Okapi BM25 — the
     * lexical-retrieval baseline every RAG/decontamination pipeline
     * keeps next to its ANN index), integer-exact: for the 10 rarest
@@ -1488,6 +1525,7 @@ object Text {
     "q_text_entropy" -> textEntropy,
     "q_text_dsir"    -> textDsir,
     "q_text_lm_ppl"  -> textLmPpl,
+    "q_text_ppl_bucket" -> textPplBucket,
     "q_text_entropy_native" -> textEntropyNative,
     "q_text_bm25"    -> textBm25,
     "q_text_rarity"      -> textRarity,
@@ -1990,6 +2028,68 @@ object Text {
          |       CAST(-sum(sc) AS BIGINT) AS nll_micro,
          |       CAST((-sum(sc)) // count(*) AS BIGINT) AS nll_per_bi
          |FROM osc GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin
+    },
+    // Same bigram-LM CTE chain as q_text_lm_ppl (generated from the
+    // same lnMicro/lgMicroSql constants), then the CCNet tercile
+    // windows per language and the bucket rollup.
+    "q_text_ppl_bucket" -> {
+      val values = lnMicro.map { case (k, lm) => s"($k, $lm)" }.mkString(", ")
+      s"""WITH ln(k, lm) AS (SELECT * FROM (VALUES $values) t(k, lm)),
+         |tkt AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |toku AS (SELECT doc_id, unnest(tk) AS w FROM tkt),
+         |occ AS (
+         |  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |      i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS bg
+         |    FROM tkt WHERE len(tk) >= 2)),
+         |utrain AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS c1
+         |  FROM toku WHERE doc_id % 2 = 0 GROUP BY w),
+         |uniL AS (
+         |  SELECT w, c1, ${lgMicroSql("c1", "l1")} AS lgc1,
+         |         ${lgMicroSql("c1 + 1", "l2")} AS lgc1p
+         |  FROM utrain),
+         |btrain AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |  FROM occ WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+         |biSc AS (
+         |  SELECT b.w1, b.w2, ${lgMicroSql("c12", "l3")} - u.lgc1 AS sc_bi
+         |  FROM btrain b JOIN uniL u ON b.w1 = u.w),
+         |totals AS (
+         |  SELECT ${lgMicroSql("nn + vv", "l4")} + 916291 AS base FROM (
+         |    SELECT sum(c1) AS nn, count(*) AS vv FROM utrain)),
+         |osc AS (
+         |  SELECT o.doc_id,
+         |         coalesce(b.sc_bi, coalesce(u.lgc1p, 0) - t.base) AS sc
+         |  FROM (SELECT * FROM occ WHERE doc_id % 2 = 1) o
+         |  LEFT JOIN biSc b ON o.w1 = b.w1 AND o.w2 = b.w2
+         |  LEFT JOIN uniL u ON o.w2 = u.w
+         |  CROSS JOIN totals t),
+         |ppl AS (
+         |  SELECT doc_id, CAST((-sum(sc)) // count(*) AS BIGINT) AS nll_per_bi
+         |  FROM osc GROUP BY doc_id),
+         |j AS (
+         |  SELECT p.doc_id, d.lang,
+         |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS toks,
+         |         p.nll_per_bi
+         |  FROM ppl p JOIN documents d ON p.doc_id = d.doc_id),
+         |r AS (
+         |  SELECT lang, toks, nll_per_bi,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY nll_per_bi ASC, doc_id ASC) AS rn,
+         |         count(*) OVER (PARTITION BY lang) AS n
+         |  FROM j)
+         |SELECT lang,
+         |       CASE (3 * (rn - 1)) // n WHEN 0 THEN 'head'
+         |            WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(toks) AS BIGINT) AS n_toks,
+         |       CAST(min(nll_per_bi) AS BIGINT) AS nll_lo,
+         |       CAST(max(nll_per_bi) AS BIGINT) AS nll_hi
+         |FROM r
+         |GROUP BY 1, 2
+         |ORDER BY lang ASC, bucket ASC""".stripMargin
     },
     "q_text_dsir" -> {
       val values = lnMicro.map { case (k, lm) => s"($k, $lm)" }.mkString(", ")

@@ -135,6 +135,54 @@ object StreamingDemo {
       .drop("rn")
   }
 
+  /** Watermark-bounded streaming dedup on the event id —
+    * `dropDuplicatesWithinWatermark`, the ingest-side guard against
+    * at-least-once sources (a redelivered event must not double-count
+    * downstream). Unlike plain `dropDuplicates`, whose key state grows
+    * forever, the watermark EVICTS ids older than
+    * (max event time − delay), so state is bounded by the redelivery
+    * horizon — the only shape that survives an unbounded stream. Emits
+    * the deduped events in append mode; consumers aggregate downstream
+    * (keeping the demo single-stateful-operator, the conservative
+    * compatibility envelope). */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+
+  /** Run the watermarked dedup over a staging dir holding the events
+    * file TWICE (the at-least-once redelivery analog) and return the
+    * materialized deduped stream. */
+  def runDedupToMemory(spark: SparkSession, sfDir: String,
+      name: String = "dedup_demo"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events-delivery1.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events-delivery2.parquet"))
+    val raw = spark.readStream.schema(schema).parquet(dir.toString)
+    val normalized = schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts read as unsupported dtype $other — fixture generation changed again?")
+    }
+    val q = dedupWithinWatermark(normalized)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Run the stream to completion against the (finite) file source and
     * return the materialized result from the in-memory sink. */
   def runTumblingToMemory(spark: SparkSession, sfDir: String,

@@ -203,6 +203,67 @@ class Round16OpsSpec extends SparkSpec {
     assert(got == expect, s"proj: got ${got.take(3)} expect ${expect.take(3)}")
   }
 
+  // ---- q_text_ppl_bucket ----------------------------------------------
+
+  test("ppl bucket: terciles replay from the verified LM scores") {
+    // lm_ppl itself is replayed from scratch in LmPplSpec; here the
+    // bucketing layer is replayed on top of the operator's scores
+    val scores = operators.Text.textLmPpl(spark, sf0001)
+      .select(col("doc_id"), col("nll_per_bi")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val meta = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val rows: Seq[(String, Long, Long, Long)] = scores.toSeq.map {
+      case (id, nll) => (meta(id)._1, id, nll, meta(id)._2)
+    }
+    val bucketed: Seq[(String, String, Long, Long)] =
+      rows.groupBy(_._1).toSeq.flatMap { case (lang, g) =>
+        val sorted = g.sortBy(t => (t._3, t._2))
+        val n = sorted.length
+        sorted.zipWithIndex.map { case ((_, _, nll, toks), i) =>
+          (lang, Seq("head", "middle", "tail")(3 * i / n), nll, toks)
+        }
+      }
+    val expect = bucketed.groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((lang, b), g) =>
+        (lang, b, g.size.toLong, g.map(_._4).sum,
+          g.map(_._3).min, g.map(_._3).max)
+      }.sortBy(t => (t._1, t._2))
+    val got = operators.Text.textPplBucket(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect, s"buckets: got ${got.take(4)} expect ${expect.take(4)}")
+    // bucket NLL ranges must be disjoint and ordered within each lang
+    got.groupBy(_._1).foreach { case (lang, g) =>
+      val m = g.map(t => t._2 -> (t._5, t._6)).toMap
+      for (a <- m.get("head"); b <- m.get("middle")) assert(a._2 <= b._1 || a._2 <= b._2, lang)
+    }
+  }
+
+  // ---- q_stats_powerlaw -------------------------------------------------
+
+  test("stats powerlaw: MLE alpha equals a local IntLg replay") {
+    val rows = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expect = rows.groupBy(identity).toSeq
+      .map { case ((t, _), g) => (t, g.size.toLong) }
+      .filter(_._2 >= 5)
+      .groupBy(_._1).map { case (t, g) =>
+        val n = g.size.toLong
+        val sMicro = g.map { case (_, x) => IntLg.lg(2 * x) - 2197225L }.sum
+        (t, 5L, n, sMicro, 1000000L + n * 1000000000000L / sMicro)
+      }.toSeq.sortBy(_._1)
+    val got = operators.Analytics.statsPowerlaw(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect, s"powerlaw: got ${got.take(3)} expect ${expect.take(3)}")
+    // alpha for a heavy-tail-ish count distribution lands in a sane band
+    assert(got.forall(t => t._5 > 1000000L && t._5 < 30000000L))
+  }
+
   // ---- q_stats_ks ----------------------------------------------------
 
   test("stats ks: per-source statistic equals a local ECDF replay") {

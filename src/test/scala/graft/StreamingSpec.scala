@@ -548,4 +548,23 @@ class StreamingSpec extends SparkSpec {
     assert(a.nonEmpty && a == b,
       s"streaming KMV diverges from batch: ${(a diff b).take(3)} / ${(b diff a).take(3)}")
   }
+
+  test("dropDuplicatesWithinWatermark collapses an at-least-once redelivery") {
+    // the staging dir holds the events file TWICE (redelivery analog):
+    // the deduped stream must equal ONE batch copy exactly, per id
+    val streamed = streaming.StreamingDemo.runDedupToMemory(spark, sf0001)
+    val ids = streamed.select("event_id").collect().map(_.getLong(0))
+    val batchIds = Tables.events(spark, sf0001)
+      .select("event_id").collect().map(_.getLong(0))
+    assert(ids.length == batchIds.length,
+      s"dedup kept ${ids.length} of ${2 * batchIds.length} delivered rows; " +
+        s"expected ${batchIds.length}")
+    assert(ids.toSet == batchIds.toSet)
+    // per-type census survives the dedup unchanged
+    val st = streamed.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bt = Tables.events(spark, sf0001).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st == bt)
+  }
 }
