@@ -586,7 +586,7 @@ class PlanQualitySpec extends SparkSpec {
       // iterative fixed-point: checkpointed rounds + data-dependent
       // convergence checks run inside fn by construction
       "q_dedup_clusters", "q_dedup_repr", "q_dedup_split", "q_geo_dbscan",
-      "q_graph_bfs", "q_graph_pagerank", "q_graph_kcore",
+      "q_graph_bfs", "q_graph_pagerank", "q_graph_kcore", "q_graph_cc",
       // power iteration: the unrolled rounds reference the checkpointed
       // Gram-matrix leaf twice per round, so the (lazy) checkpoint is
       // load-bearing — and AQE materializes its shuffle stage at
