@@ -603,14 +603,18 @@ object Dedup {
     var r = 0
     var dirty = true
     while (dirty && r < maxRounds) {
-      // one checkpoint per round: largeStar∘smallStar references `edges`
-      // three times (two group-bys + the join sides), so an uncheckpointed
-      // loop would triple the plan per round; the edge list only shrinks
-      // past round 1, so the barrier is cheap exactly when it repeats.
-      // The convergence check derives labels LAZILY off the cached edge
-      // leaf (two cheap scans) — labels are materialized once, below,
-      // only after the fixpoint is reached.
-      edges = Hints.checkpoint(smallStar(largeStar(edges)), eager = true)
+      // ONE action per round: the contraction is LAZILY checkpointed and
+      // the convergence count is its materializing action (largeStar∘
+      // smallStar references `edges` three times, so an uncheckpointed
+      // loop would triple the plan per round). The check's two label
+      // branches may race the not-yet-full cache and recompute parts of
+      // ONE contraction round (bounded: the previous round's leaf and
+      // the pair list are already cached) — measured, that bounded
+      // recompute is far cheaper than the eager barrier it replaces:
+      // sf0.1 5.3 s → 3.9 s (q_dedup_clusters), 100× 61.4 s → 42.7 s,
+      // and q_graph_cc's giant-component census 108.6 s → 41.8 s at
+      // 100× — barrier count dominates exactly when rounds repeat.
+      edges = Hints.checkpoint(smallStar(largeStar(edges)), eager = false)
       r += 1
       dirty = unconverged(labelsFrom(edges))
     }
