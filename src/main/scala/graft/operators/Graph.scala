@@ -160,14 +160,18 @@ object Graph {
     // distributed BFS round, algebra unchanged.
     val nodeBound = 2L * e0.count()
     def hint(df: DataFrame): DataFrame = Hints.hintIfSmall(df, nodeBound)
-    // Per-level checkpoint of the (tiny, node-sized) frontier: each level
-    // references the previous one twice (frontier join + visited
-    // anti-join), so the lazy plan holds 2^maxHop copies of the per-level
-    // subtrees — and every copy re-runs that level's distinct SHUFFLE and
-    // broadcast builds. Truncating each level's lineage costs maxHop
-    // small job barriers and measured ~2× faster at sf0.1 than letting
-    // the plan fan out (the opposite trade from clusterLabels, whose
-    // extension rounds are rare: BFS always runs all its levels).
+    // Per-level LAZY checkpoint of the (tiny, node-sized) frontier: each
+    // level references the previous one twice (frontier join + visited
+    // anti-join), so an UNcheckpointed plan would hold 2^maxHop copies
+    // of the per-level subtrees and re-run every level's distinct
+    // shuffle per copy (measured ~2× slower at sf0.1). Round 9 then
+    // measured lazy vs EAGER truncation: lazy wins — the single final
+    // action executes all levels as one stage DAG (shuffle outputs
+    // reused across the two consumers inside the job, caches filling as
+    // stages complete) instead of paying maxHop barrier jobs: parity at
+    // sf0.1 (2.85 vs 2.96 s) and 95.0 s vs 111.8 s at 100× (ratio
+    // 33.3× → 27.2×) — the same barrier-fusion economics as the
+    // star-contraction loop.
     var visited = Seq("c1").toDF("node").withColumn("hop", lit(0L))
     var frontier = visited.select(col("node"))
     for (h <- 1 to maxHop) {
@@ -179,7 +183,7 @@ object Graph {
           .join(hint(visited.select(col("node").as("vn"))),
             col("node") === col("vn"), "left_anti")
           .withColumn("hop", lit(h.toLong)),
-        eager = true)
+        eager = false)
       visited = visited.union(next)
       frontier = next.select(col("node"))
     }
