@@ -192,6 +192,21 @@ object Graph {
       .orderBy(col("hop").asc)
   }
 
+  /** Footer-metadata upper bound on the mod-100 probe slice's degree
+    * table for the three link-prediction queries (common / adamic /
+    * nbr_jaccard): distinct probe customers ≤ ⌈|customer|/100⌉ because
+    * custkeys are dense 0..N−1 (TestdataInvariantsSpec pins density), so
+    * exactly every 100th key passes `% 100 = 0`. Round 7's PageRank OOM
+    * and the round-9 verdict both flagged unconditional `broadcast()` of
+    * data-derived tables as THE scale-killer class: the probe slice is
+    * 1% of customers — bounded relative to the corpus but absolutely
+    * unbounded (10⁹ customers → 10⁷-row broadcast build per join). The
+    * bound is a pure driver-side footer read (no job at plan build), and
+    * per [[Hints.hintIfSmall]]'s contract an overshoot only costs a
+    * shuffle, never an OOM. */
+  private def probeDegBound(s: SparkSession, d: String): Long =
+    Tables.rowCount(s, d, "customer") / 100 + 1
+
   /** Common-neighbor link prediction on a DETERMINISTIC customer
     * subsample (custkey % 100 = 0): customer pairs ranked by shared
     * suppliers, with set sizes for a Jaccard-style score as exact
@@ -201,7 +216,9 @@ object Graph {
     * key-sampled block, then scored); the modulus makes the sample
     * oracle-reproducible where rand() sampling is not. Top-20 pairs by
     * (common desc, pair id). */
-  def graphCommon(s: SparkSession, d: String): DataFrame = {
+  def graphCommon(s: SparkSession, d: String,
+      maxBc: Long = Hints.MaxBroadcastRows): DataFrame = {
+    val degBound = probeDegBound(s, d)
     val e = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
@@ -215,8 +232,10 @@ object Graph {
       .filter(col("a_ck") < col("b_ck"))
       .groupBy(col("a_ck"), col("b_ck"))
       .agg(count(lit(1)).as("common"))
-      .join(broadcast(deg.select(col("ck").as("a_ck"), col("deg").as("deg_a"))), "a_ck")
-      .join(broadcast(deg.select(col("ck").as("b_ck"), col("deg").as("deg_b"))), "b_ck")
+      .join(Hints.hintIfSmall(
+        deg.select(col("ck").as("a_ck"), col("deg").as("deg_a")), degBound, maxBc), "a_ck")
+      .join(Hints.hintIfSmall(
+        deg.select(col("ck").as("b_ck"), col("deg").as("deg_b")), degBound, maxBc), "b_ck")
       .select(col("a_ck"), col("b_ck"), col("common"), col("deg_a"), col("deg_b"))
       .orderBy(col("common").desc, col("a_ck").asc, col("b_ck").asc)
       .limit(20)
@@ -363,7 +382,9 @@ object Graph {
     * micro ratio (inter·1e6 div uni), so the top-20 cut is hash-exact.
     * Same probe slice as adamic (o_custkey % 100 = 0) so the pair space
     * stays sample-bounded by construction, never all-customers². */
-  def graphNbrJaccard(s: SparkSession, d: String): DataFrame = {
+  def graphNbrJaccard(s: SparkSession, d: String,
+      maxBc: Long = Hints.MaxBroadcastRows): DataFrame = {
+    val degBound = probeDegBound(s, d)
     val e = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
@@ -377,8 +398,10 @@ object Graph {
       .filter(col("a_ck") < col("b_ck"))
       .groupBy(col("a_ck"), col("b_ck"))
       .agg(count(lit(1)).as("inter"))
-      .join(broadcast(degC.select(col("ck").as("a_ck"), col("deg").as("da"))), "a_ck")
-      .join(broadcast(degC.select(col("ck").as("b_ck"), col("deg").as("db"))), "b_ck")
+      .join(Hints.hintIfSmall(
+        degC.select(col("ck").as("a_ck"), col("deg").as("da")), degBound, maxBc), "a_ck")
+      .join(Hints.hintIfSmall(
+        degC.select(col("ck").as("b_ck"), col("deg").as("db")), degBound, maxBc), "b_ck")
       .withColumn("uni", col("da") + col("db") - col("inter"))
       .withColumn("jacc_micro", expr("inter * 1000000 div uni"))
       .select(col("a_ck"), col("b_ck"), col("inter"), col("uni"),
@@ -407,7 +430,7 @@ object Graph {
       .orderBy(col("csize").asc)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_graph_nbr_jaccard" -> graphNbrJaccard,
+    "q_graph_nbr_jaccard" -> ((s, d) => graphNbrJaccard(s, d)),
     "q_graph_cc" -> graphCc,
     "q_graph_degree" -> graphDegree,
     "q_graph_clustco" -> graphClustco,
@@ -415,8 +438,8 @@ object Graph {
     "q_graph_triangles" -> graphTriangles,
     "q_graph_pagerank" -> graphPagerank,
     "q_graph_bfs" -> ((s, d) => graphBfs(s, d)),
-    "q_graph_common" -> graphCommon,
-    "q_graph_adamic" -> graphAdamic,
+    "q_graph_common" -> ((s, d) => graphCommon(s, d)),
+    "q_graph_adamic" -> ((s, d) => graphAdamic(s, d)),
     "q_graph_kcore"  -> ((s, d) => graphKcore(s, d))
   )
 
@@ -433,7 +456,14 @@ object Graph {
     * never produce an a<b pair anyway, so the filter is
     * semantics-preserving on both engines. Same bounded pair discipline
     * as q_graph_common (custkey mod-100 probe set). */
-  def graphAdamic(s: SparkSession, d: String): DataFrame = {
+  def graphAdamic(s: SparkSession, d: String,
+      maxBc: Long = Hints.MaxBroadcastRows): DataFrame = {
+    // aaW is supplier-degree-table-sized: ≤ |supplier| rows is a TRUE
+    // bound (one row per distinct suppkey, no density assumption), read
+    // from footer metadata like [[probeDegBound]]. Same guarded-hint
+    // rationale — at corpus scale the supplier dimension can exceed the
+    // 500k-row broadcast budget and the join must degrade to a shuffle.
+    val supBound = Tables.rowCount(s, d, "supplier")
     val e = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
@@ -448,7 +478,7 @@ object Graph {
     val b = e.select(col("ck").as("b_ck"), col("sk"))
     a.join(b, Seq("sk"))
       .filter(col("a_ck") < col("b_ck"))
-      .join(broadcast(aaW), "sk")
+      .join(Hints.hintIfSmall(aaW, supBound, maxBc), "sk")
       .groupBy(col("a_ck"), col("b_ck"))
       .agg(count(lit(1)).as("common"), sum(col("aa_w")).as("aa_micro"))
       .orderBy(col("aa_micro").desc, col("a_ck").asc, col("b_ck").asc)

@@ -480,6 +480,43 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("link-prediction degree broadcasts are bound-guarded: hint drops above the budget, results unchanged") {
+    // Round-9 verdict item 1: the three link-prediction queries hinted
+    // their probe-slice degree tables broadcast UNCONDITIONALLY — the
+    // round-7 PageRank OOM class (data-derived build side, no size
+    // guard). They now ride Hints.hintIfSmall with a footer-derived
+    // bound; this pin drives the maxBc escape hatch to 0 and asserts
+    // (a) the guarded plan broadcasts NOTHING once the budget is
+    // exceeded — the exact degradation a 10⁹-customer corpus needs —
+    // and (b) both variants return identical rows.
+    import graft.operators.{Graph, Hints}
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1") // isolate the hint from stats-driven broadcast
+      for ((label, q) <- Seq[(String, Long => org.apache.spark.sql.DataFrame)](
+          ("common", bc => Graph.graphCommon(spark, sf0001, bc)),
+          ("adamic", bc => Graph.graphAdamic(spark, sf0001, bc)),
+          ("nbr_jaccard", bc => Graph.graphNbrJaccard(spark, sf0001, bc)))) {
+        val hinted = q(Hints.MaxBroadcastRows)
+        val ph = hinted.queryExecution.sparkPlan.toString
+        assert(ph.contains("BroadcastHashJoin"),
+          s"$label: under-budget degree table lost its broadcast:\n$ph")
+        val guarded = q(0L)
+        val pg = guarded.queryExecution.sparkPlan.toString
+        // adamic's aa-weight table rides withLgMicro, whose CONSTANT
+        // 128-row ln-table broadcast is bounded by construction and must
+        // survive; only the degree/weight joins (keyed sk / a_ck / b_ck)
+        // must degrade to shuffles above the budget.
+        val degBc = "BroadcastHashJoin \\[(?:sk|a_ck|b_ck)#".r
+        assert(degBc.findFirstIn(pg).isEmpty,
+          s"$label: over-budget degree table must shuffle-join:\n$pg")
+        assert(hinted.collect().toSeq == guarded.collect().toSeq,
+          s"$label: guarded variant diverged")
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
   test("clusterLabels shuffle variant (hint threshold 0) matches the broadcast variant") {
     import spark.implicits._
     // two clique-like clusters plus a diameter-3 chain (1-2-3-4) that

@@ -19,6 +19,22 @@ class TestdataInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("custkeys are dense 0..N-1 (licenses Graph.probeDegBound's /100 slice bound)") {
+    // The link-prediction queries bound their mod-100 probe-slice degree
+    // broadcast at |customer|/100 + 1 footer rows; that bound is only an
+    // upper bound because custkeys are dense from 0, so exactly every
+    // 100th key passes `% 100 = 0`. Pin density, and pin the derived
+    // claim directly against the bound the operators use.
+    val c = Tables(spark, sf0001, "customer")
+    val n = Tables.rowCount(spark, sf0001, "customer")
+    val r = c.agg(min(col("c_custkey")), max(col("c_custkey")),
+      countDistinct(col("c_custkey"))).head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == n - 1 && r.getLong(2) == n,
+      s"custkey domain not dense 0..${n - 1}: $r")
+    val slice = c.filter(col("c_custkey") % 100 === 0).count()
+    assert(slice <= n / 100 + 1, s"probe slice $slice exceeds bound ${n / 100 + 1}")
+  }
+
   test("rowCount sums part-file footers for directory tables") {
     val dir = java.nio.file.Files.createTempDirectory("graft-rc").toString
     try {
