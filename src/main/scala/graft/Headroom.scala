@@ -113,7 +113,12 @@ object Headroom {
     // fast with the remedy instead of letting the rediscovery cost recur.
     if (reps >= 100) {
       val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
-      require(heapGb >= 20.0,
+      // 23.0, not 24.0: Runtime.maxMemory reports the usable heap after
+      // JVM reservation slack (a -Xmx24g JVM reports ~23.x GB), so a
+      // literal 24.0 would reject the exact remedy the message names.
+      // Anything below that IS the regime this guard fails fast on —
+      // a 20–23 GB heap must not silently pass into it.
+      require(heapGb >= 23.0,
         f"100x headroom runs need a 24g driver heap (have $heapGb%.1fg): " +
           "rerun with SPARK_DRIVER_MEM=24g (see BASELINE.md round-8 notes)")
     }

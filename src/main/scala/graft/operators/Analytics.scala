@@ -871,7 +871,11 @@ object Analytics {
       .groupBy(col("source"), col("n_src"), col("n_rest"))
       .agg(max(col("dev")).as("ks_num"))
       .withColumn("ks_den", col("n_src") * col("n_rest"))
-      .withColumn("ks_micro", expr("ks_num * 1000000 div ks_den"))
+      // greatest(…,1): a single-source corpus has n_rest = 0 → ks_den = 0,
+      // where Spark div yields NULL but DuckDB // raises — guard BOTH
+      // engines identically (ks_num is 0 too in that case, so the
+      // statistic degrades to 0, not to a divergent schema).
+      .withColumn("ks_micro", expr("ks_num * 1000000 div greatest(ks_den, 1)"))
       .select(col("source"), col("n_src"), col("n_rest"),
         col("ks_num"), col("ks_den"), col("ks_micro"))
       .orderBy(col("source").asc)
@@ -1401,7 +1405,7 @@ object Analytics {
         |       CAST(n_rest AS BIGINT) AS n_rest,
         |       CAST(max(dev) AS BIGINT) AS ks_num,
         |       CAST(n_src * n_rest AS BIGINT) AS ks_den,
-        |       CAST(max(dev) * 1000000 // (n_src * n_rest) AS BIGINT) AS ks_micro
+        |       CAST(max(dev) * 1000000 // greatest(n_src * n_rest, 1) AS BIGINT) AS ks_micro
         |FROM dev
         |GROUP BY source, n_src, n_rest
         |ORDER BY source ASC""".stripMargin,

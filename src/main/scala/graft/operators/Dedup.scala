@@ -670,7 +670,7 @@ object Dedup {
     * exact, stable under corpus growth — adding documents never moves
     * an existing cluster's assignment. */
   def dedupSplit(s: SparkSession, d: String): DataFrame = {
-    val cl = labelMemo.computeIfAbsent(labelKey(s, d), _ => buildLabels(s, d))
+    val cl = Hints.memoInsert(labelMemo, labelKey(s, d), buildLabels(s, d))
       .select(col("id").as("doc_id"), col("lbl").as("canon_id"))
     val g = Tables.documents(s, d).select(col("doc_id"))
       .join(cl, Seq("doc_id"), "left")
@@ -705,7 +705,7 @@ object Dedup {
 
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     val labels = buildLabels(s, d)
-    labelMemo.put(labelKey(s, d), labels)
+    Hints.memoPut(labelMemo, labelKey(s, d), labels)
     labels
       .select(col("id").as("doc_id"), col("lbl").as("canon_id"))
       .orderBy(col("doc_id").asc)
@@ -722,7 +722,7 @@ object Dedup {
     * q_dedup_clusters materializes, consumed here instead of re-run. */
   def dedupRepr(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
-    val cl = labelMemo.computeIfAbsent(labelKey(s, d), _ => buildLabels(s, d))
+    val cl = Hints.memoInsert(labelMemo, labelKey(s, d), buildLabels(s, d))
       .select(col("id").as("doc_id"), col("lbl").as("canon_id"))
     val wFull = org.apache.spark.sql.expressions.Window
       .partitionBy(col("canon_id"))

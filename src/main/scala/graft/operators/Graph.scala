@@ -30,7 +30,8 @@ object Graph {
   /** (node, pr_micro, deg) after `rounds` iterations; node ids are
     * 'c<custkey>' / 's<suppkey>' strings so both halves share one rank
     * column. */
-  def pagerank(s: SparkSession, d: String, rounds: Int = 2): DataFrame = {
+  def pagerank(s: SparkSession, d: String, rounds: Int = 2,
+      maxBc: Long = Hints.MaxBroadcastRows): DataFrame = {
     // Checkpoint the DIRECTED edge list, then symmetrize: a checkpoint of
     // the union would execute the fact⋈fact join + distinct twice (once
     // per union branch); over the cached leaf the swap projection is free.
@@ -42,6 +43,15 @@ object Graph {
           concat(lit("s"), col("l_suppkey")).as("dst"))
         .distinct(),
       eager = true)
+    // Round-10 locality A/B (all measured same-session on the 100×
+    // replica, 24g): pre-partitioning this symmetrized list by src and
+    // checkpointing THAT — so each round's join reuses the LogicalRDD's
+    // recorded partitioning exchange-free — LOST both ways (135.6 s with
+    // SMJ rounds, 136.8 s with shuffled-hash rounds, vs 95.0 s baseline):
+    // the extra 120M-row construction shuffle plus caching the DOUBLED
+    // list (instead of projecting it per use from the 60M-row e0 cache)
+    // costs more than the per-round exchanges it saves. The winning
+    // change was the state-side shuffled-hash build below (70.7 s).
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     // deg is referenced once per power-iteration round plus the final
     // readout; node-sized, so one checkpoint beats re-running its grouped
@@ -63,7 +73,19 @@ object Graph {
     // broadcast) each round degrades to the standard shuffled PageRank
     // join — algebra unchanged, no hand-edited hints.
     val nodeBound = deg.count()
-    def hint(df: DataFrame): DataFrame = Hints.hintIfSmall(df, nodeBound)
+    // Above the broadcast budget the state join must not fall back to
+    // SortMergeJoin: SMJ re-SORTS the full edge side every round (the
+    // dominant per-round cost at 100× — sorting 120M cached rows twice),
+    // while a shuffled-hash build on the NODE-SIZED state side streams
+    // the edge list sort-free. Measured on the 100× replica: 95.0 s SMJ
+    // → 70.7 s shuffled-hash (ratio 25.9× → 13.9×). The build side is
+    // bounded by the node count (rank/deg rows are a ~30-byte fixed
+    // shape), so the per-partition hash relation is executor-safe at any
+    // corpus scale where nodes-per-partition fits memory — the same
+    // bound the old shuffled SMJ's per-partition sort buffer already
+    // assumed.
+    def hint(df: DataFrame): DataFrame =
+      if (nodeBound <= maxBc) broadcast(df) else df.hint("SHUFFLE_HASH")
     var rank = deg.select(col("node"), lit(1000000L).as("pr"))
     for (_ <- 1 to rounds) {
       val st = deg.join(rank, "node")

@@ -101,4 +101,52 @@ object Hints {
   def hintIfSmall(df: DataFrame, rows: Long,
       maxRows: Long = MaxBroadcastRows): DataFrame =
     if (rows >= 0 && rows <= maxRows) broadcast(df) else df
+
+  /** Shared-leaf memo maintenance for the session-scoped caches
+    * (Text.tokenLeaf, Dedup.labelMemo). Keys are
+    * `<scId>:<dir>@<fixture-fingerprint>`; a fixture REGENERATION
+    * changes only the fingerprint, so without eviction the superseded
+    * entry keeps its persisted/checkpointed DataFrame referenced for
+    * the session lifetime — leaked cache blocks on a long-lived
+    * session. On inserting a key, drop every entry with the same
+    * `<scId>:<dir>` prefix but a different fingerprint and unpersist
+    * its DataFrame (non-blocking; for checkpointed leaves the map
+    * removal is what makes the RDD blocks collectable). */
+  def memoInsert(memo: java.util.concurrent.ConcurrentHashMap[String, DataFrame],
+      key: String, build: => DataFrame): DataFrame = {
+    val df = memo.computeIfAbsent(key, _ => build)
+    evictStale(memo, key)
+    df
+  }
+
+  /** [[memoInsert]]'s overwrite twin for callers that always REBUILD
+    * (Dedup.dedupClusters' honest-bench accounting): displaces the same
+    * key too, unpersisting the displaced leaf. */
+  def memoPut(memo: java.util.concurrent.ConcurrentHashMap[String, DataFrame],
+      key: String, df: DataFrame): Unit = {
+    val old = memo.put(key, df)
+    if (old != null && (old ne df)) unpersistQuietly(old)
+    evictStale(memo, key)
+  }
+
+  private def evictStale(
+      memo: java.util.concurrent.ConcurrentHashMap[String, DataFrame],
+      key: String): Unit = {
+    val at = key.lastIndexOf('@')
+    if (at > 0) {
+      val prefix = key.substring(0, at + 1)
+      val it = memo.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey != key && e.getKey.startsWith(prefix)) {
+          unpersistQuietly(e.getValue)
+          it.remove()
+        }
+      }
+    }
+  }
+
+  private def unpersistQuietly(df: DataFrame): Unit =
+    try df.unpersist(blocking = false)
+    catch { case _: Exception => () }
 }

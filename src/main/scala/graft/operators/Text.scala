@@ -22,6 +22,40 @@ object Text {
   private val tokLeafMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Session-scoped memo of the positional n-gram leaves (one entry per
+    * gram width n) — [[tokenLeaf]]'s pattern one level up. */
+  private val gramLeafMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** One row per n-gram WINDOW position of every document — (doc_id,
+    * n_toks, p, g) with p the 1-based window start and g the
+    * space-joined gram. The 5-gram stream feeds the exact-substring-
+    * dedup family (q_text_ngram_dup / q_text_dupspans / q_text_spancut)
+    * and the bigram stream the novelty curve — each previously re-paid
+    * its own scan + split + slice-transform + posexplode of the same
+    * corpus; at 100 TB the gram derivation IS those queries' dominant
+    * cost, so derive-once is the same economics as [[tokenLeaf]].
+    * Same discipline too: lazy persist (MEMORY_AND_DISK_SER) so
+    * construction stays job-free, keyed by (fixture fingerprint, n)
+    * with stale-entry eviction via Hints.memoInsert. Built from the
+    * document scan directly (the token ARRAY is needed per row — the
+    * exploded [[tokenLeaf]] would have to re-group to rebuild windows,
+    * a shuffle the split() scan doesn't pay). */
+  private[graft] def gramLeaf(s: SparkSession, d: String, n: Int): DataFrame =
+    Hints.memoInsert(gramLeafMemo,
+      System.identityHashCode(s.sparkContext) + ":" + d + "#" + n + "@" +
+        Tables.pathFingerprint(s, s"$d/documents.parquet"),
+      Tables.spread(Tables.documents(s, d))
+        .withColumn("toks", toks)
+        .filter(size(col("toks")) >= n)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+          posexplode(expr(
+            s"transform(sequence(1, size(toks) - ${n - 1}), " +
+              s"i -> concat_ws(' ', slice(toks, i, $n)))")))
+        .select(col("doc_id"), col("n_toks"), (col("pos") + 1).as("p"),
+          col("col").as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+
   /** One row per whitespace token of every document — (doc_id, lang,
     * source, pos, tok), lazily cached and shared across every text query
     * whose first step is "explode the tokens". Before this leaf, ~15
@@ -35,12 +69,14 @@ object Text {
     * pressure, so the leaf never pins unified memory the consumers'
     * hash aggregates need. Keyed by the documents file's (mtime, length)
     * fingerprint, so a fixture regeneration invalidates the entry
-    * instead of serving stale tokens. */
+    * instead of serving stale tokens (Hints.memoInsert evicts and
+    * unpersists the superseded entry so regenerations don't leak cached
+    * blocks across a long-lived session). */
   private[graft] def tokenLeaf(s: SparkSession, d: String): DataFrame =
-    tokLeafMemo.computeIfAbsent(
+    Hints.memoInsert(tokLeafMemo,
       System.identityHashCode(s.sparkContext) + ":" + d + "@" +
         Tables.pathFingerprint(s, s"$d/documents.parquet"),
-      _ => Tables.spread(Tables.documents(s, d))
+      Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"), col("lang"), col("source"),
           posexplode(toks).as(Seq("pos", "tok")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
@@ -512,12 +548,6 @@ object Text {
       .orderBy(col("lang").asc)
   }
 
-  private val shingle5 =
-    """array_distinct(CASE WHEN size(toks) >= 5 THEN
-      |  transform(sequence(1, size(toks) - 4),
-      |    i -> concat_ws(' ', slice(toks, i, 5)))
-      |ELSE slice(toks, 1, 0) END)""".stripMargin
-
   /** Cross-document n-gram duplication (the exact-substring-dedup signal
     * at 5-gram granularity): for each doc, the fraction of its DISTINCT
     * 5-grams that also occur in at least one other doc. Two grouped
@@ -527,15 +557,18 @@ object Text {
     * permille is integer-derived (no float division). Docs shorter than
     * 5 tokens have no 5-grams and drop out on both engines. */
   def textNgramDup(s: SparkSession, d: String): DataFrame = {
-    val grams = Tables.spread(Tables.documents(s, d))
-      .withColumn("toks", toks)
-      .select(col("doc_id"), explode(expr(shingle5)).as("g"))
+    // Shared-leaf form (round-10 A/B): df = DISTINCT docs per gram and
+    // the per-doc rollup = distinct-gram counts, both straight off the
+    // positional leaf — no materialized per-doc-distinct intermediate
+    // (a pre-`distinct()` variant re-paid its shuffle for each of the
+    // two consumers and measured slower than the original at 100×).
+    val grams = gramLeaf(s, d, 5)
     val dfs = grams.groupBy(col("g"))
-      .agg(count(lit(1)).as("df"))
+      .agg(countDistinct(col("doc_id")).as("df"))
     grams.join(dfs, "g")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .agg(countDistinct(col("g")).as("n_grams"),
+        countDistinct(when(col("df") >= 2, col("g"))).as("n_dup"))
       .withColumn("dup_permille",
         expr("n_dup * 1000 div n_grams"))
       .filter(col("n_dup") > 0)
@@ -705,8 +738,8 @@ object Text {
   def textEntropy(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ln = lnMicro.toDF("k", "lm")
-    val counts = tokenLeaf(s, d)
-      .select(col("doc_id"), col("tok"))
+    val counts = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), explode(toks).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("c"))
     val totals = counts.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
@@ -1025,6 +1058,13 @@ object Text {
     * corpus scale a unigram count table is always small relative to the
     * corpus. */
   def textColloc(s: SparkSession, d: String): DataFrame = {
+    // Measured and REVERTED from the shared-leaf rewire (round-10 A/B):
+    // colloc needs only COUNTS, and the original one-scan in-row
+    // generation with map-side partial aggregation beats streaming two
+    // materialized leaves through the cache — 5.75 s vs 11.96 s at 100×
+    // (same session, warm leaves). The leaf pays off when consumers
+    // re-reference the gram STREAM (novelty, dupspans); a pure count
+    // rollup is cheaper straight off the scan.
     val tk = Tables.spread(Tables.documents(s, d)).withColumn("toks", toks)
     val uni = tk.select(explode(col("toks")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("n"))
@@ -1136,14 +1176,10 @@ object Text {
     * DISTINCT docs — a phrase repeated only within one doc is repetition
     * (q_text_repetition's signal), not cross-document duplication. */
   private def dupGramPositions(s: SparkSession, d: String): DataFrame = {
-    val grams = Tables.spread(Tables.documents(s, d))
-      .withColumn("toks", toks)
-      .filter(size(col("toks")) >= 5)
-      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
-        posexplode(expr(
-          "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))")))
-      .select(col("doc_id"), col("n_toks"), (col("pos") + 1).as("p"),
-        col("col").as("g"))
+    // The positional 5-gram stream IS the shared leaf's shape — both
+    // audit (dupspans) and apply (spancut) now pay the gram derivation
+    // once per session instead of once per consumer per reference.
+    val grams = gramLeaf(s, d, 5)
     val dfs = grams.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("n_docs_g"))
       .filter(col("n_docs_g") >= 2)
@@ -1216,8 +1252,8 @@ object Text {
     * corpus-sized work is one (source, token) count. The monitoring
     * metric behind "did source X drift from the mixture this week". */
   def textSrcdrift(s: SparkSession, d: String): DataFrame = {
-    val tokCounts = tokenLeaf(s, d)
-      .select(col("source"), col("tok"))
+    val tokCounts = Tables.spread(Tables.documents(s, d))
+      .select(col("source"), explode(toks).as("tok"))
       .groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("c"))
     val srcTotals = tokCounts.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
@@ -1365,15 +1401,10 @@ object Text {
     * min → rejoin (both shuffles keyed by shingle, the natural key);
     * the decile bound is a 1-row broadcast. */
   def textNovelty(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.spread(Tables.documents(s, d))
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("sh", expr(
-        "array_distinct(CASE WHEN size(toks) >= 2 THEN " +
-          "transform(sequence(1, size(toks) - 1), " +
-          "i -> concat_ws(' ', slice(toks, i, 2))) " +
-          "ELSE slice(toks, 1, 0) END)"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), explode(col("sh")).as("g"))
+    // Distinct per-doc bigrams from the shared positional leaf (n = 2);
+    // `sh` feeds both the per-shingle min and the rejoin, so the leaf
+    // turns two scan+transform passes into cache reads.
+    val sh = gramLeaf(s, d, 2).select(col("doc_id"), col("g")).distinct()
     val first = sh.groupBy(col("g")).agg(min(col("doc_id")).as("fs"))
     val perDoc = sh.join(first, "g")
       .groupBy(col("doc_id"))

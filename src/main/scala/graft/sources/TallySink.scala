@@ -155,10 +155,12 @@ class TallyStreamingWrite(schema: StructType, path: String)
     // the directory holds exactly its file list for that epoch.
     val committed = tallies.map(_.file).toSet
     val epochPrefix = f"part-e$epochId%06d-p"
-    Option(new File(path).listFiles()).getOrElse(Array.empty[File])
-      .filter(f => f.getName.startsWith(epochPrefix) &&
-        f.getName.endsWith(".tsv") && !committed.contains(f.getName))
-      .foreach(_.delete())
+    def sweepUncommitted(): Unit =
+      Option(new File(path).listFiles()).getOrElse(Array.empty[File])
+        .filter(f => f.getName.startsWith(epochPrefix) &&
+          f.getName.endsWith(".tsv") && !committed.contains(f.getName))
+        .foreach(_.delete())
+    sweepUncommitted()
     val manifest = new File(path, f"_tally.e$epochId%06d")
     val tmp = new File(path, f"._tally.e$epochId%06d.inprogress")
     val w = new BufferedWriter(new FileWriter(tmp))
@@ -170,7 +172,17 @@ class TallyStreamingWrite(schema: StructType, path: String)
     java.nio.file.Files.move(tmp.toPath, manifest.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    ()
+    // STRAGGLER WINDOW: the pre-rename sweep is not atomic with respect
+    // to a zombie task from a PRIOR attempt of this same epoch — its
+    // task-level rename to the deterministic final name can land after
+    // the sweep and recreate an uncommitted part file. Re-sweep after
+    // the manifest rename to close the common case (zombies that beat
+    // the rename); a zombie landing after THIS sweep can still violate
+    // the 'manifest implies exact file list' invariant for directory-
+    // union readers, which is why the manifest embeds its file list:
+    // a manifest-respecting reader (read only `file=` entries) is
+    // correct under any straggler interleaving.
+    sweepUncommitted()
   }
 
   override def abort(epochId: Long,
