@@ -474,22 +474,36 @@ object Analytics {
     * support·n_orders·10⁶ div (supp_a·supp_b) compares the exact
     * rational (lift is monotone in it). Pair supports, item supports and
     * the order count all derive from ONE [[orderParts]] stage (one
-    * shuffle of the fact); items broadcast back twice, the order count
-    * rides a 1-row broadcast — the query stays one lazy plan with no
-    * driver-side action. Support floor ≥ 3 applies the standard
-    * small-sample guard. */
-  def basketLift(s: SparkSession, d: String): DataFrame = {
+    * shuffle of the fact); the order count rides a 1-row broadcast — the
+    * query stays one lazy plan with no driver-side action. Support floor
+    * ≥ 3 applies the standard small-sample guard.
+    *
+    * The item-support table has one row per distinct ordered part —
+    * bounded by the PART DIMENSION, which grows with the corpus (2k rows
+    * at sf0.1, 2M at 100×). The round-10 full-surface 100× sweep caught
+    * the old unconditional double `broadcast(itemSupp)` as the suite's
+    * one super-linear row (16.2× cost for 10× more data — every task
+    * deserializing a 2M-row relation twice); above the budget both supp
+    * joins now degrade to SHUFFLE_HASH with the bounded supp table as
+    * build side, the filtered pair stream probing sort-free. */
+  def basketLift(s: SparkSession, d: String,
+      maxBc: Long = Hints.MaxBroadcastRows): DataFrame = {
     val op = orderParts(s, d)
     val itemSupp = op.select(explode(col("ps")).as("l_partkey"))
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("supp"))
     val nOrders = op.agg(count(lit(1)).as("n_orders"))
+    // footer-metadata bound, job-free: itemSupp keys ⊆ part keys
+    val supBound = Tables.rowCount(s, d, "part")
+    def hintSupp(df: DataFrame): DataFrame =
+      if (supBound >= 0 && supBound <= maxBc) broadcast(df)
+      else df.hint("SHUFFLE_HASH")
     orderPairs(s, d)
       .groupBy(col("a_part"), col("b_part"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 3)
-      .join(broadcast(itemSupp.select(col("l_partkey").as("a_part"),
+      .join(hintSupp(itemSupp.select(col("l_partkey").as("a_part"),
         col("supp").as("supp_a"))), "a_part")
-      .join(broadcast(itemSupp.select(col("l_partkey").as("b_part"),
+      .join(hintSupp(itemSupp.select(col("l_partkey").as("b_part"),
         col("supp").as("supp_b"))), "b_part")
       .crossJoin(broadcast(nOrders))
       .withColumn("lift_ppm",
@@ -965,7 +979,7 @@ object Analytics {
     "q_tpch_q10"        -> tpchQ10,
     "q_tpch_q6"         -> tpchQ6,
     "q_basket_pairs"    -> basketPairs,
-    "q_basket_lift"     -> basketLift,
+    "q_basket_lift"     -> ((s, d) => basketLift(s, d)),
     "q_orders_backlog"  -> ordersBacklog,
     "q_supplier_score"  -> supplierScorecard,
     "q_orders_season"   -> ordersSeasonality,

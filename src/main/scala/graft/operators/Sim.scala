@@ -769,7 +769,16 @@ object Sim {
     * pipelines are deterministic so the whole evaluation is oracled.
     * Truth stays feasible because the query set is bounded (broadcast
     * queries × corpus is linear — the same contract as q_sim_topk). */
-  def simRecall(s: SparkSession, d: String): DataFrame = {
+  def simRecall(s: SparkSession, d: String): DataFrame =
+    recallAt5(s, d, simIvfSearch(s, d).select(col("q_id"), col("c_id")))
+
+  /** Recall@5 of ANY approximate (q_id, c_id) result set against the
+    * same brute-force truth — factored out of [[simRecall]] so the
+    * scale harness ([[graft.RecallProbe]]) can evaluate probe-2 (and
+    * future index variants) against the identical truth without
+    * duplicating it. `q_sim_recall`'s plan is unchanged: it is exactly
+    * this with the probe-1 search as the approx side. */
+  def recallAt5(s: SparkSession, d: String, approx: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id").asc)
     val truth = pairs(s, d, _.filter(col("vec_id") < 10),
@@ -777,7 +786,6 @@ object Sim {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("q_id"), col("c_id"))
-    val approx = simIvfSearch(s, d).select(col("q_id"), col("c_id"))
     val hits = truth.join(approx, Seq("q_id", "c_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
     truth.select(col("q_id")).distinct()

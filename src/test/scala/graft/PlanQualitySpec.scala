@@ -517,6 +517,36 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("basket-lift item-support broadcasts are bound-guarded: shuffle-hash above the budget, results unchanged") {
+    // Round-10 full-surface 100× sweep finding: the one super-linear row
+    // (16.2× cost for 10× more data) was basketLift's unconditional
+    // DOUBLE broadcast of the item-support table — one row per distinct
+    // ordered part, i.e. bounded by the part DIMENSION, which grows with
+    // the corpus (2M rows at 100×). Same class as the link-prediction
+    // guard above; this pin drives maxBc to 0 and asserts the supp joins
+    // degrade to shuffled-hash (never a part-dimension broadcast) while
+    // the 1-row n_orders fold keeps its nested-loop broadcast, with
+    // identical rows both ways.
+    import graft.operators.{Analytics, Hints}
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val hinted = Analytics.basketLift(spark, sf0001, Hints.MaxBroadcastRows)
+      val ph = hinted.queryExecution.sparkPlan.toString
+      assert(ph.contains("BroadcastHashJoin"),
+        s"under-budget supp table lost its broadcast:\n$ph")
+      val guarded = Analytics.basketLift(spark, sf0001, 0L)
+      val pg = guarded.queryExecution.sparkPlan.toString
+      assert(!pg.contains("BroadcastHashJoin"),
+        s"over-budget supp table must not broadcast-hash-join:\n$pg")
+      assert(pg.contains("ShuffledHashJoin"),
+        s"over-budget supp join should hash-build, not sort, the bounded side:\n$pg")
+      assert(hinted.collect().toSeq == guarded.collect().toSeq,
+        "guarded basket-lift variant diverged")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("clusterLabels shuffle variant (hint threshold 0) matches the broadcast variant") {
     import spark.implicits._
     // two clique-like clusters plus a diameter-3 chain (1-2-3-4) that

@@ -394,6 +394,27 @@ class Round7OpsSpec extends SparkSpec {
     assert(rows.values.sum > 0)
   }
 
+  test("ann recall evaluator: probe-2 dominates probe-1; exhaustive candidates hit 5/5") {
+    def recall(ap: org.apache.spark.sql.DataFrame) =
+      operators.Sim.recallAt5(spark, sf0001, ap.select("q_id", "c_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p1 = recall(operators.Sim.simIvfSearch(spark, sf0001))
+    val p2 = recall(operators.Sim.simIvfProbe2(spark, sf0001))
+    assert(p1.keySet == p2.keySet)
+    // candidate-superset monotonicity: probe-2's candidate set contains
+    // probe-1's (the home list is probe rank 1 of 2), and any candidate
+    // displacing a truth row from an approx top-5 outranks it globally,
+    // so is itself truth — per-query recall can only go up
+    p1.keys.foreach(q => assert(p2(q) >= p1(q), s"query $q: ${p2(q)} < ${p1(q)}"))
+    // fixed point: an index returning every candidate scores 5/5 —
+    // pins the evaluator itself (truth derivation + hit join)
+    val e = Tables.embeddings(spark, sf0001)
+    val all = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"))
+      .crossJoin(e.select(col("vec_id").as("c_id")))
+      .filter(col("q_id") =!= col("c_id"))
+    assert(recall(all).values.forall(_ == 5L))
+  }
+
   test("winnowing: fingerprint counts equal a local rightmost-min replay") {
     val rows = operators.Text.textWinnow(spark, sf0001).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
