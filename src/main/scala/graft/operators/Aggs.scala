@@ -109,7 +109,7 @@ object Aggs {
   def udafWavg(s: SparkSession, d: String): DataFrame = {
     val wavg = udaf(graft.functions.WeightedAvg)
     val li = Tables.lineitem(s, d)
-    val p  = broadcast(Tables.part(s, d))
+    val p  = Hints.bcOrHash(Tables.part(s, d), Tables.rowCount(s, d, "part"))
     li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 2)
@@ -477,7 +477,7 @@ object Aggs {
     val li = Tables.lineitem(s, d)
       .withColumn("cents", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
       .withColumn("qty", expr("CAST(l_quantity AS BIGINT)"))
-    val p = broadcast(Tables.part(s, d))
+    val p = Hints.bcOrHash(Tables.part(s, d), Tables.rowCount(s, d, "part"))
     li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(expr("wavg_cents(cents, qty)").as("wavg_cents"),

@@ -103,7 +103,8 @@ object Analytics {
     val o = Tables.orders(s, d).filter(col("o_orderdate") < cut)
     val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(Hints.bcOrHash(c, Tables.rowCount(s, d, "customer")),
+        o("o_custkey") === c("c_custkey"))
       .withColumn("rev_micros", revMicros)
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
@@ -137,7 +138,8 @@ object Analytics {
       .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
         col("l_discount"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+      .join(Hints.bcOrHash(su, Tables.rowCount(s, d, "supplier")),
+        l("l_suppkey") === su("s_suppkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .filter(col("c_nationkey") === col("s_nationkey"))
       .withColumn("rev_micros", revMicros)
@@ -169,7 +171,8 @@ object Analytics {
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
-      .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+      .join(Hints.bcOrHash(su, Tables.rowCount(s, d, "supplier")),
+        l("l_suppkey") === su("s_suppkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
       .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
       .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
@@ -247,6 +250,12 @@ object Analytics {
       .filter(col("sum_qty") > 300)
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
+    // `big` is DATA-DEPENDENT (orders with >300 total quantity — a
+    // highly selective aggregate, not a dimension), so no job-free
+    // footer bound exists; the only honest static bound (|orders|)
+    // would spuriously kill the broadcast at scale where the filtered
+    // set is still tiny. Left as the classic Q18 broadcast; at true
+    // corpus scale AQE's runtime size check is the right arbiter.
     o.join(broadcast(big), o("o_orderkey") === big("l_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
@@ -270,7 +279,8 @@ object Analytics {
       .select(col("l_partkey"), col("l_shipdate"), col("l_extendedprice"),
         col("l_discount"))
     val p = Tables.part(s, d).select(col("p_partkey"), col("p_type"))
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+    l.join(Hints.bcOrHash(p, Tables.rowCount(s, d, "part")),
+        l("l_partkey") === p("p_partkey"))
       .withColumn("rev_micros", revMicros)
       .withColumn("month", date_format(col("l_shipdate"), "yyyy-MM"))
       .groupBy(col("month"))
@@ -304,7 +314,8 @@ object Analytics {
       col("p_size").between(16, 30) && col("l_quantity").between(8, 26)
     val arm3 = col("p_brand") === "Brand#24" &&
       col("p_size").between(31, 50) && col("l_quantity").between(18, 36)
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+    l.join(Hints.bcOrHash(p, Tables.rowCount(s, d, "part")),
+        l("l_partkey") === p("p_partkey"))
       .filter(arm1 || arm2 || arm3)
       .withColumn("arm",
         when(arm1, 1L).when(arm2, 2L).otherwise(3L))
@@ -326,7 +337,8 @@ object Analytics {
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
     val p = Tables.part(s, d)
       .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(Hints.bcOrHash(p, Tables.rowCount(s, d, "part")),
+        li("l_partkey") === p("p_partkey"))
       .withColumn("real_cents",
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
       .withColumn("list_cents",
@@ -425,7 +437,8 @@ object Analytics {
     val su = Tables.supplier(s, d)
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
     val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
-    li.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+    li.join(Hints.bcOrHash(su, Tables.rowCount(s, d, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_name"), col("n_name"), col("n_lines"),
         col("n_returned"), col("return_pm"), col("returned_micros"))
@@ -545,7 +558,8 @@ object Analytics {
         col("l_discount"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
-      .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+      .join(Hints.bcOrHash(su, Tables.rowCount(s, d, "supplier")),
+        l("l_suppkey") === su("s_suppkey"))
       .withColumn("rev_micros", revMicros)
       .withColumn("o_year", year(col("o_orderdate")).cast("long"))
       .groupBy(col("o_year"))
@@ -1227,7 +1241,8 @@ object Analytics {
     val p = Tables.part(s, d).filter(col("p_brand") === "Brand#3")
       .select(col("p_partkey"))
     val li = Tables.lineitem(s, d)
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Hints.bcOrHash(p, Tables.rowCount(s, d, "part")),
+        col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"),
         expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))

@@ -35,6 +35,22 @@ object Hints {
     * join, which is the correct plan for it anyway. */
   val MaxBroadcastRows: Long = 500L * 1000
 
+  /** Separate, higher budget for RAW DIMENSION SCANS (part / customer /
+    * supplier and cheap projections/filters of them). Two-tier policy,
+    * measured round 10 at 100×: a SHUFFLE-DERIVED state table (degree
+    * counts, item supports, label state) pays a full shuffle + driver
+    * collect before it can ship, and guarding it at [[MaxBroadcastRows]]
+    * measured as pure win (q_basket_lift 66.8→33.1 s); a raw dim scan
+    * broadcasts from a parallel file read of fixed-width (≲100 B) rows,
+    * and force-degrading it at 500 k measured as pure LOSS (the 11
+    * part/customer-joining queries: 29.0→38.6 s at 100×, q_tpch_q17
+    * 1.3→4.4 s — the fact-side exchange costs far more than shipping a
+    * 2 M-row dim). 4 M rows ≈ ≤400 MB serialized — inside every
+    * production broadcast budget, while a 10⁹-row dimension (the true
+    * OOM regime) is 250× over the line and degrades to a shuffled-hash
+    * join with the dim as build side. */
+  val DimMaxBroadcastRows: Long = 4L * 1000 * 1000
+
   /** Lineage-truncation point for the iterative family (PageRank/BFS
     * edge leaves, label-propagation state): `localCheckpoint` by
     * default — fastest, and correct at local[*] — but local checkpoint
@@ -101,6 +117,23 @@ object Hints {
   def hintIfSmall(df: DataFrame, rows: Long,
       maxRows: Long = MaxBroadcastRows): DataFrame =
     if (rows >= 0 && rows <= maxRows) broadcast(df) else df
+
+  /** [[hintIfSmall]]'s dimension-join variant: above the budget the side
+    * degrades to a SHUFFLE_HASH hint instead of falling bare — the
+    * bounded dimension stays the hash BUILD side and the fact side
+    * streams sort-free, the closest shuffle-plan analogue of the
+    * broadcast it replaces (the q_graph_pagerank / q_basket_lift
+    * finding: the SMJ fallback re-sorts the fact side for no reason).
+    * Round-10 hygiene pass: every `broadcast()` of a table that GROWS
+    * with the corpus — the part/customer/supplier dimensions and tables
+    * derived from them — rides this with a job-free parquet-footer
+    * bound (Tables.rowCount) against the [[DimMaxBroadcastRows]] budget
+    * (see there for the measured two-tier rationale). Region/nation
+    * (≤25 rows), seeded codebooks, k-bounded cut/threshold tables and
+    * 1-row folds stay unconditional: bounded by construction. */
+  def bcOrHash(df: DataFrame, rows: Long,
+      maxRows: Long = DimMaxBroadcastRows): DataFrame =
+    if (rows >= 0 && rows <= maxRows) broadcast(df) else df.hint("SHUFFLE_HASH")
 
   /** Shared-leaf memo maintenance for the session-scoped caches
     * (Text.tokenLeaf, Dedup.labelMemo). Keys are

@@ -153,7 +153,8 @@ object Joins {
     * nation (completes coverage of the supplier dimension). */
   def joinSupplier(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
-    val su = broadcast(Tables.supplier(s, d))
+    val su = Hints.bcOrHash(Tables.supplier(s, d),
+      Tables.rowCount(s, d, "supplier"))
     val n  = broadcast(Tables.nation(s, d))
     li.join(su, li("l_suppkey") === su("s_suppkey"))
       .join(n, su("s_nationkey") === n("n_nationkey"))

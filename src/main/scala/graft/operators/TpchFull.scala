@@ -84,8 +84,10 @@ object TpchFull {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
     val cost = unitCostMilli(s, d)
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(Hints.bcOrHash(p, Tables.rowCount(s, d, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Hints.bcOrHash(su, Tables.rowCount(s, d, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
     cost
       .withColumn("min_cost",
         min(col("cost_milli")).over(Window.partitionBy(col("p_partkey"))))
@@ -132,8 +134,10 @@ object TpchFull {
       .select(col("s_suppkey"), col("n_name"))
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
     Tables.lineitem(s, d)
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(Hints.bcOrHash(p, Tables.rowCount(s, d, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Hints.bcOrHash(sn, Tables.rowCount(s, d, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
       .join(o, col("l_orderkey") === o("o_orderkey"))
       .withColumn("profit_micros",
         revMicros - expr("CAST(round(p_retailprice * 100) AS BIGINT)")
@@ -156,7 +160,8 @@ object TpchFull {
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"))
     val byPart = Tables.lineitem(s, d)
-      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .join(Hints.bcOrHash(su, Tables.rowCount(s, d, "supplier")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey"))
       .agg(sum(revMicros).as("value_micros"))
     val total = byPart.agg(sum(col("value_micros")).as("total_micros"))
@@ -206,9 +211,10 @@ object TpchFull {
       .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
     Tables.lineitem(s, d)
       .select(col("l_partkey"), col("l_suppkey")).distinct()
-      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
-        "left_anti")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Hints.bcOrHash(badSupp, Tables.rowCount(s, d, "supplier")),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(Hints.bcOrHash(p, Tables.rowCount(s, d, "part")),
+        col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
@@ -226,7 +232,8 @@ object TpchFull {
     val sp = Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= "1997-01-01" &&
         col("l_shipdate") < "1998-01-01")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(Hints.bcOrHash(p, Tables.rowCount(s, d, "part")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(sum(qtyInt).as("qty"))
     val dominant = sp
@@ -240,8 +247,8 @@ object TpchFull {
       .select(col("n_nationkey"), col("n_name"))
     Tables.supplier(s, d)
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(dominant), col("s_suppkey") === col("l_suppkey"),
-        "left_semi")
+      .join(Hints.bcOrHash(dominant, Tables.rowCount(s, d, "supplier")),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select(col("s_name"), col("n_name"))
       .orderBy(col("s_name").asc)
   }
@@ -282,7 +289,8 @@ object TpchFull {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
     waiting
-      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(Hints.bcOrHash(su, Tables.rowCount(s, d, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"), col("n_name"))
       .agg(countDistinct(col("l_orderkey")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name").asc)

@@ -480,6 +480,32 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("bcOrHash broadcasts under the dim budget and shuffle-hash-joins above it") {
+    import graft.operators.Hints
+    // The round-10 dimension-broadcast guard: under DimMaxBroadcastRows
+    // the dim broadcasts exactly as before; above it the join must
+    // degrade to ShuffledHashJoin (dim as hash build — sort-free fact
+    // probe), NEVER to a bare SortMergeJoin and never stay a broadcast.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val fact = spark.range(1000).toDF("id")
+      val dim = spark.range(100).toDF("id").localCheckpoint(true)
+      val under = fact.join(Hints.bcOrHash(dim, rows = 100), "id")
+      assert(under.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+        s"under-budget dim lost its broadcast:\n${under.queryExecution.sparkPlan}")
+      val over = fact.join(Hints.bcOrHash(dim, rows = 100, maxRows = 99), "id")
+      val p = over.queryExecution.sparkPlan.toString
+      assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+        s"over-budget dim must not broadcast:\n$p")
+      assert(p.contains("ShuffledHashJoin"),
+        s"over-budget dim should hash-build, not sort:\n$p")
+      assert(under.collect().map(_.getLong(0)).sorted.toSeq ==
+        over.collect().map(_.getLong(0)).sorted.toSeq)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("link-prediction degree broadcasts are bound-guarded: hint drops above the budget, results unchanged") {
     // Round-9 verdict item 1: the three link-prediction queries hinted
     // their probe-slice degree tables broadcast UNCONDITIONALLY — the
