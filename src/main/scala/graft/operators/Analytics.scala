@@ -1057,25 +1057,49 @@ object Analytics {
     * reference (exchange reuse dedupes the scan) and never widens
     * beyond (group, key, cents). */
   def statsMad(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.orders(s, d)
-      .select(col("o_orderpriority").as("pri"), col("o_orderkey").as("ok"),
+    // Round-10 rewrite to the VALUE-DOMAIN histogram median (the drift
+    // suite's grid discipline). The old form ranked per-priority ROWS
+    // with row_number windows — 5 priority partitions ⇒ 5 single-task
+    // sorts of the entire fact at any scale (the one window shape that
+    // cannot parallelize) — and then re-scanned the fact for the
+    // deviation stage. Both medians only ever USED the picked VALUE
+    // (the ok tiebreak never changes it: the (n+1)/2-th smallest cents
+    // is the smallest cents whose cumulative count reaches (n+1) div 2),
+    // so they compute exactly over the (pri, cents)→count histogram —
+    // bounded by the price DOMAIN, not the corpus — and the deviation
+    // histogram derives from the price histogram by algebra, no second
+    // fact scan. One fact pass, one partial-agg shuffle; the cumulative
+    // windows sort distinct VALUES per priority. Measured at 100×
+    // (same-session solo A/B): 23.2 → 2.8 s (ratio 22.2× → 2.05×).
+    // sf0.1 TimeOne min 1.09 → 1.50 s — the honest price of the extra
+    // histogram joins at a scale where prices are near-distinct (the
+    // histogram ≈ the row set); kept because the fact-sort removal is
+    // 8× at 100× and grows with scale. Results hash-identical
+    // (oracle 1/1 at sf0.01).
+    val counts = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("pri"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
-    val med = base
-      .withColumn("rn", row_number().over(Window.partitionBy(col("pri"))
-        .orderBy(col("cents").asc, col("ok").asc)))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("pri"))))
-      .filter(col("rn") === expr("(n + 1) div 2"))
-      .select(col("pri"), col("cents").as("med_cents"), col("n"))
-    val dev = base.join(med, "pri")
+      .groupBy(col("pri"), col("cents")).agg(count(lit(1)).as("c"))
+    val n = counts.groupBy(col("pri")).agg(sum(col("c")).as("n"))
+    val med = counts
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("pri")).orderBy(col("cents").asc)))
+      .join(n, "pri")
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy(col("pri")).agg(min(col("cents")).as("med_cents"))
+    val devCounts = counts.join(med, "pri")
       .withColumn("dev", abs(col("cents") - col("med_cents")))
-    val mad = dev
-      .withColumn("rn2", row_number().over(Window.partitionBy(col("pri"))
-        .orderBy(col("dev").asc, col("ok").asc)))
-      .filter(col("rn2") === expr("(n + 1) div 2"))
-      .select(col("pri").as("pri2"), col("dev").as("mad_cents"))
-    dev.join(mad, col("pri") === col("pri2"))
+      .groupBy(col("pri"), col("med_cents"), col("dev"))
+      .agg(sum(col("c")).as("c"))
+    val mad = devCounts
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("pri")).orderBy(col("dev").asc)))
+      .join(n, "pri")
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy(col("pri")).agg(min(col("dev")).as("mad_cents"))
+    devCounts.join(mad, "pri").join(n, "pri")
       .groupBy(col("pri"), col("n"), col("med_cents"), col("mad_cents"))
-      .agg(sum(when(col("dev") > lit(3L) * col("mad_cents"), 1L)
+      .agg(sum(when(col("dev") > lit(3L) * col("mad_cents"), col("c"))
         .otherwise(0L)).as("n_outliers"))
       .select(col("pri"), col("n"), col("med_cents"), col("mad_cents"),
         col("n_outliers"))
