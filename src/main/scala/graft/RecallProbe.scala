@@ -42,8 +42,14 @@ object RecallProbe {
       val nVec = spark.read.parquet(s"$d/embeddings.parquet").count()
       def recallOf(approx: org.apache.spark.sql.DataFrame): (Double, Long) = {
         val rows = operators.Sim.recallAt5(spark, d, approx).collect()
-        val tot = rows.map(_.getAs[Long]("recall_at_5")).sum
-        (tot.toDouble / (5.0 * rows.length), rows.map(_.getAs[Long]("recall_at_5")).min)
+        // A fixture too small to yield truth/query rows (<10 embeddings
+        // or missing q_id rows) must not NaN/crash the sweep mid-run.
+        if (rows.isEmpty) (0.0, 0L)
+        else {
+          val tot = rows.map(_.getAs[Long]("recall_at_5")).sum
+          (tot.toDouble / (5.0 * rows.length),
+            rows.map(_.getAs[Long]("recall_at_5")).min)
+        }
       }
       val (r1, r1min) = recallOf(
         operators.Sim.simIvfSearch(spark, d).select("q_id", "c_id"))
@@ -52,8 +58,10 @@ object RecallProbe {
       val kg = SparkEntry.queries("q_sim_knn_graph_ann")(spark, d).collect()
       val (mut, edges) = (kg.map(_.getAs[Long]("n_mutual")).sum,
         kg.map(_.getAs[Long]("n_edges")).sum)
-      val pmRange = (kg.map(_.getAs[Long]("recip_pm")).min,
-        kg.map(_.getAs[Long]("recip_pm")).max)
+      val pmRange =
+        if (kg.isEmpty) (0L, 0L)
+        else (kg.map(_.getAs[Long]("recip_pm")).min,
+          kg.map(_.getAs[Long]("recip_pm")).max)
       println(
         f"""{"dir":"$d","n_vec":$nVec,"recall5_probe1":$r1%.3f,"recall5_probe1_min":$r1min,"recall5_probe2":$r2%.3f,"recall5_probe2_min":$r2min,"kg_recip_pm":${mut * 1000 / math.max(edges, 1L)},"kg_recip_pm_label_min":${pmRange._1},"kg_recip_pm_label_max":${pmRange._2},"kg_edges":$edges}""")
     }

@@ -473,9 +473,13 @@ object Dedup {
     // corpus size since the saved pass is corpus-linear).
     val bkt = minhashBuckets(docs, 2, 32, 2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // Variant tag BEFORE the '@': Hints.evictStale treats everything
+    // after the last '@' as the fingerprint, so a tag appended AFTER it
+    // would make the two sweepSigMemo variants cross-evict each other's
+    // still-current leaf (same prefix, "different fingerprint").
     Hints.memoPut(sweepSigMemo,
-      System.identityHashCode(s.sparkContext) + ":" + d + "@" +
-        Tables.pathFingerprint(s, s"$d/documents.parquet") + ":incr-bkt",
+      System.identityHashCode(s.sparkContext) + ":" + d + ":incr-bkt@" +
+        Tables.pathFingerprint(s, s"$d/documents.parquet"),
       bkt)
     val n = bkt.filter(col("doc_id") % 10 === 7)
       .select(col("doc_id").as("new_id"), col("sig").as("nsig"),
@@ -908,9 +912,10 @@ object Dedup {
     // for a re-referenced stream whose base-scale derivation is cheap.
     val sigs = minhashMd5Sigs(Tables.documents(s, d))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // Tag before '@' — see the dedupIncr note (evictStale contract).
     Hints.memoPut(sweepSigMemo,
-      System.identityHashCode(s.sparkContext) + ":" + d + "@" +
-        Tables.pathFingerprint(s, s"$d/documents.parquet") + ":sweep-sigs",
+      System.identityHashCode(s.sparkContext) + ":" + d + ":sweep-sigs@" +
+        Tables.pathFingerprint(s, s"$d/documents.parquet"),
       sigs)
     def cfg(r: Int): DataFrame = {
       val bands = (0 until MdPerms / r).map { b =>
