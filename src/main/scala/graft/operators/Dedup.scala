@@ -487,6 +487,18 @@ object Dedup {
     val c = bkt.filter(col("doc_id") % 10 =!= 7)
       .select(col("doc_id").as("old_id"), col("sig").as("osig"),
         col("band_id").as("band_o"), col("bucket").as("bucket_o"))
+    incrBestMatch(s, docs, n, c)
+  }
+
+  /** Shared tail of the two incremental-dedup forms ([[dedupIncr]]
+    * recomputes the corpus side; [[dedupIncrStored]] reads it from the
+    * stored signature state): delta-buckets × corpus-buckets candidate
+    * join on (band, bucket), signature-estimate prefilter, exact-Jaccard
+    * verify against the document texts, ONE best-match row per
+    * duplicated new doc. Results are identical by construction — the
+    * parity MemoEvictionSpec/IncrStateSpec pin. */
+  private def incrBestMatch(s: SparkSession, docs: DataFrame,
+      n: DataFrame, c: DataFrame): DataFrame = {
     val cand = n.join(c,
         col("band_id") === col("band_o") && col("bucket") === col("bucket_o"))
       .withColumn("est", expr(
@@ -514,6 +526,62 @@ object Dedup {
       .select(col("new_id"), col("old_id").as("match_id"),
         col("inter"), col("uni"), col("jac"))
       .orderBy(col("new_id").asc)
+  }
+
+  /** Deterministic location of the STORED corpus signature/bucket state
+    * for fixture `d`: keyed by the documents fingerprint, so a
+    * regenerated fixture gets fresh state and an unchanged one reuses
+    * what an earlier run (even a different JVM) wrote — state survives
+    * the session, which is the point. */
+  def sigStatePath(s: SparkSession, d: String): String = {
+    val key = d + "@" + Tables.pathFingerprint(s, s"$d/documents.parquet")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${sys.props("java.io.tmpdir")}/graft-sigstate-$md"
+  }
+
+  /** The INGEST-TIME signature job: computes the corpus side's minhash
+    * signatures + LSH buckets once and stores them as a parquet
+    * artifact, clustered by (band_id, bucket) so a later delta join
+    * scans co-located collision groups. At 100 TB this is the table a
+    * catalog serves (bucketBy into a warehouse table; parquet +
+    * repartition here keeps the artifact engine-neutral), and it is
+    * written once per corpus version — never per ingest batch. The
+    * parquet committer's _SUCCESS marker is the visibility gate: a
+    * crashed partial write leaves no marker and is rewritten whole
+    * (the TallySink two-phase discipline, via the built-in committer). */
+  def writeSigState(s: SparkSession, d: String, path: String): Unit =
+    minhashBuckets(Tables.documents(s, d).filter(col("doc_id") % 10 =!= 7),
+        2, 32, 2)
+      .repartition(s.sessionState.conf.numShufflePartitions,
+        col("band_id"), col("bucket"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Incremental near-dup from STORED state — [[dedupIncr]]'s production
+    * form (round-11, VERDICT r10 item 2): the corpus-side signatures are
+    * READ from the persisted artifact instead of recomputed, so a run
+    * against an already-signatured corpus does O(delta) signature work
+    * plus the bucket join. First touch of a corpus version writes the
+    * state (the one-time ingest job — an eager storage-layout
+    * construction, exempt in PlanQualitySpec like q_join_bucketed);
+    * every later run, across sessions, reuses it via the fingerprint
+    * check. Delta signatures are computed fresh per batch (minhash is
+    * per-doc, so filtering docs before signing ≡ signing then filtering
+    * — the recompute parity IncrStateSpec pins). Same output contract
+    * and oracle as q_dedup_incr. */
+  def dedupIncrStored(s: SparkSession, d: String): DataFrame = {
+    val path = sigStatePath(s, d)
+    val marker = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) writeSigState(s, d, path)
+    val docs = Tables.documents(s, d)
+    val n = minhashBuckets(docs.filter(col("doc_id") % 10 === 7), 2, 32, 2)
+      .select(col("doc_id").as("new_id"), col("sig").as("nsig"),
+        col("band_id"), col("bucket"))
+    val c = s.read.parquet(path)
+      .select(col("doc_id").as("old_id"), col("sig").as("osig"),
+        col("band_id").as("band_o"), col("bucket").as("bucket_o"))
+    incrBestMatch(s, docs, n, c)
   }
 
   /** Duplicate-cluster resolution — the step that turns near-dup PAIRS
@@ -1112,6 +1180,7 @@ object Dedup {
     "q_dedup_minhash"  -> dedupMinhash,
     "q_dedup_neardup"  -> dedupNeardup,
     "q_dedup_incr"     -> dedupIncr,
+    "q_dedup_incr_stored" -> dedupIncrStored,
     "q_dedup_clusters" -> dedupClusters,
     "q_dedup_split"    -> dedupSplit,
     "q_dedup_repr"     -> dedupRepr,
@@ -1222,7 +1291,7 @@ object Dedup {
   /** Shared WHERE fragment: the audit sample over documents. */
   private val docGuard = auditSampleSql("documents", "doc_id")
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "q_dedup_lsh_sweep" ->
       (s"""WITH ${mdSigsCte()}
         |${SweepRows.map(sweepLegSql).mkString("", "\nUNION ALL\n", "")}
@@ -1354,7 +1423,9 @@ object Dedup {
     // Delta-vs-corpus all-pairs is the ORACLE only — the engine is the
     // LSH candidate join; recall ≈ 1 banding licenses the compare as in
     // q_dedup_neardup. Best match per new doc: max jac (a ratio of the
-    // same integers both engines divide), match_id tiebreak.
+    // same integers both engines divide), match_id tiebreak. The
+    // stored-state form shares this oracle verbatim (entry below the
+    // map) — identical results are its contract.
     "q_dedup_incr" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk
@@ -1538,4 +1609,11 @@ object Dedup {
         |GROUP BY bucket
         |ORDER BY bucket ASC""").stripMargin
   )
+
+  // The stored-state incremental form's contract IS q_dedup_incr's
+  // result — the only difference is WHERE the corpus signatures come
+  // from (persisted artifact vs recompute), which the all-pairs oracle
+  // is blind to by design — so it shares that oracle verbatim.
+  val oracle: Map[String, String] =
+    oracleBase + ("q_dedup_incr_stored" -> oracleBase("q_dedup_incr"))
 }
