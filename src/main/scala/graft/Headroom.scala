@@ -142,6 +142,7 @@ object Headroom {
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
+    operators.Hints.evictAllMemos()
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
     val failedQ = scala.collection.mutable.ArrayBuffer.empty[String]
     names.foreach { n =>
@@ -155,6 +156,14 @@ object Headroom {
         if (!all)
           println(f"""{"query":"$n","src_s":$s%.3f,"scaled_s":$b%.3f,"ratio":${b / s}%.2f}""")
       } catch { case _: Throwable => failedQ += n }
+      // Cold-cache isolation between queries (round 11): drop every
+      // memoized leaf a query persisted so the NEXT query measures from
+      // the state its solo run would see — closes the documented
+      // in-sweep-vs-solo gap (see Hints.evictAllMemos) and stops
+      // leaf-persisting neighbors from inflating each other's numbers
+      // via executor memory pressure. Within-query reps stay warm:
+      // that is the same min-of-2 protocol the solo A/Bs run.
+      operators.Hints.evictAllMemos()
     }
     if (all) {
       val lines = results.map { case (n, s, b) =>

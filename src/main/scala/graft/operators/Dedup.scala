@@ -731,14 +731,14 @@ object Dedup {
     * [[dedupRepr]] CONSUMES the shared leaf (building it only when it
     * runs standalone) and pays just its own join + window — the apply
     * step's real marginal cost. */
-  private val labelMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val labelMemo = Hints.registerMemo(
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
 
   /** Leak-guard registry for [[dedupLshSweep]]'s per-construction
     * signature leaf (see memoPut there — rebuild always, unpersist the
     * displaced entry). */
-  private val sweepSigMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val sweepSigMemo = Hints.registerMemo(
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
 
   private def labelKey(s: SparkSession, d: String): String =
     System.identityHashCode(s.sparkContext) + ":" + d + "@" +

@@ -177,11 +177,17 @@ object Graph {
     // Frontier/visited are node-count-sized; node count ≤ 2·|edges|, so one
     // cheap count over the checkpointed directed edge leaf bounds them for
     // the whole traversal. Under the threshold the hints paper over the
-    // checkpoints' missing statistics; above it every level is two shuffled
-    // joins (frontier expand + visited anti-join) — the standard
-    // distributed BFS round, algebra unchanged.
+    // checkpoints' missing statistics; above it (round 11) the
+    // frontier/visited side degrades to a SHUFFLE_HASH build instead of
+    // falling bare: the SMJ fallback re-sorted the 120M-row edge side at
+    // EVERY level — the same waste q_graph_pagerank's round-10 A/B
+    // measured on its rounds (95.0→70.7 s there). Measured solo at 100×,
+    // same session: 76.5 → 41.5 s (ratio 31.2× → 16.8×); sf0.1 2.46 →
+    // 2.47 s (broadcast regime — the hint never fires under the budget).
+    // Algebra unchanged.
     val nodeBound = 2L * e0.count()
-    def hint(df: DataFrame): DataFrame = Hints.hintIfSmall(df, nodeBound)
+    def hint(df: DataFrame): DataFrame =
+      Hints.bcOrHash(df, nodeBound, Hints.MaxBroadcastRows)
     // Per-level LAZY checkpoint of the (tiny, node-sized) frontier: each
     // level references the previous one twice (frontier join + visited
     // anti-join), so an UNcheckpointed plan would hold 2^maxHop copies

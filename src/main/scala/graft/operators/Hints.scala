@@ -182,4 +182,33 @@ object Hints {
   private def unpersistQuietly(df: DataFrame): Unit =
     try df.unpersist(blocking = false)
     catch { case _: Exception => () }
+
+  /** Registry of every session-scoped leaf memo (tokenLeaf, gramLeaf,
+    * labelMemo, sweepSigMemo register at module init), so measurement
+    * harnesses can drop ALL cached leaves between queries. Query paths
+    * never call this — eviction there stays per-key via [[memoInsert]]/
+    * [[memoPut]]. */
+  private val allMemos =
+    new java.util.concurrent.CopyOnWriteArrayList[
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  def registerMemo(
+      m: java.util.concurrent.ConcurrentHashMap[String, DataFrame])
+      : java.util.concurrent.ConcurrentHashMap[String, DataFrame] = {
+    allMemos.add(m); m
+  }
+
+  /** Unpersist and forget every memoized leaf. Used by graft.Headroom's
+    * ALL/ONLY sweeps between queries so each measurement starts from the
+    * cold-cache state a SOLO run would see: round 10 documented an
+    * in-sweep-vs-solo gap of up to ~1.6× (basket_pairs 43.1 vs 26.4 s at
+    * 100×, same day) caused by leaf-persisting neighbors holding
+    * executor memory — with eviction the sweep numbers are primary
+    * evidence, not conservative upper bounds. Memo removal is also what
+    * makes checkpointed leaves' RDD blocks collectable. */
+  def evictAllMemos(): Unit =
+    allMemos.forEach { m =>
+      m.values().forEach(df => unpersistQuietly(df))
+      m.clear()
+    }
 }

@@ -19,13 +19,13 @@ object Text {
 
   /** Session-scoped memo of the tokenized-corpus leaf shared by the text
     * family (the [[Dedup.labelMemo]] pattern applied to tokenization). */
-  private val tokLeafMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val tokLeafMemo = Hints.registerMemo(
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
 
   /** Session-scoped memo of the positional n-gram leaves (one entry per
     * gram width n) — [[tokenLeaf]]'s pattern one level up. */
-  private val gramLeafMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val gramLeafMemo = Hints.registerMemo(
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
 
   /** One row per n-gram WINDOW position of every document — (doc_id,
     * n_toks, p, g) with p the 1-based window start and g the
