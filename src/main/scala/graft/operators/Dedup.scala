@@ -640,11 +640,18 @@ object Dedup {
     // so |members| ≤ 2·|pairs|. One cheap count over the checkpointed leaf
     // decides broadcast-vs-shuffle for every round's min-table join —
     // under the threshold the hint papers over the checkpoint's missing
-    // size statistics; above it the hint is dropped and each round is a
-    // standard shuffled join, no driver-memory cliff at corpus scale.
+    // size statistics; above it (round 11) the node-sized min table
+    // degrades to a SHUFFLE_HASH build instead of falling bare, so the
+    // star-contraction rounds stop re-sorting the edge side — the same
+    // family fix as graphBfs/graphKcore/graphPagerank. Measured solo at
+    // 100× (same session): every labeler consumer stays under the budget
+    // there, so the A/B is a wash as expected (q_dedup_clusters 39.9 →
+    // 39.2 s, q_graph_cc 36.6 → 35.2 s — broadcast regime both ways);
+    // the behavior change binds only in the regime where the old plan
+    // was the per-round SMJ re-sort.
     val memberBound = 2L * p.count()
     def hint(df: DataFrame): DataFrame =
-      Hints.hintIfSmall(df, memberBound, maxBroadcastRows)
+      Hints.bcOrHash(df, memberBound, maxBroadcastRows)
     // large-star: neighborhood minimum over the SYMMETRIC view, larger
     // neighbors re-point at it. Output stays canonical (dst < src).
     def largeStar(e: DataFrame): DataFrame = {

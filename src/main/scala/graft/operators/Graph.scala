@@ -230,8 +230,12 @@ object Graph {
     * 1% of customers — bounded relative to the corpus but absolutely
     * unbounded (10⁹ customers → 10⁷-row broadcast build per join). The
     * bound is a pure driver-side footer read (no job at plan build), and
-    * per [[Hints.hintIfSmall]]'s contract an overshoot only costs a
-    * shuffle, never an OOM. */
+    * per [[Hints.bcOrHash]]'s contract an overshoot costs a shuffled-hash
+    * join (round 11 — build on the degree side, never an SMJ re-sort of
+    * the wedge-pair stream; the family rule from the BFS/k-core/PageRank
+    * A/Bs), never an OOM. Through 100× the bound stays under the budget
+    * (1.5M customers → 15k probe rows), so every measured number is
+    * broadcast-regime and unchanged. */
   private def probeDegBound(s: SparkSession, d: String): Long =
     Tables.rowCount(s, d, "customer") / 100 + 1
 
@@ -260,9 +264,9 @@ object Graph {
       .filter(col("a_ck") < col("b_ck"))
       .groupBy(col("a_ck"), col("b_ck"))
       .agg(count(lit(1)).as("common"))
-      .join(Hints.hintIfSmall(
+      .join(Hints.bcOrHash(
         deg.select(col("ck").as("a_ck"), col("deg").as("deg_a")), degBound, maxBc), "a_ck")
-      .join(Hints.hintIfSmall(
+      .join(Hints.bcOrHash(
         deg.select(col("ck").as("b_ck"), col("deg").as("deg_b")), degBound, maxBc), "b_ck")
       .select(col("a_ck"), col("b_ck"), col("common"), col("deg_a"), col("deg_b"))
       .orderBy(col("common").desc, col("a_ck").asc, col("b_ck").asc)
@@ -426,9 +430,9 @@ object Graph {
       .filter(col("a_ck") < col("b_ck"))
       .groupBy(col("a_ck"), col("b_ck"))
       .agg(count(lit(1)).as("inter"))
-      .join(Hints.hintIfSmall(
+      .join(Hints.bcOrHash(
         degC.select(col("ck").as("a_ck"), col("deg").as("da")), degBound, maxBc), "a_ck")
-      .join(Hints.hintIfSmall(
+      .join(Hints.bcOrHash(
         degC.select(col("ck").as("b_ck"), col("deg").as("db")), degBound, maxBc), "b_ck")
       .withColumn("uni", col("da") + col("db") - col("inter"))
       .withColumn("jacc_micro", expr("inter * 1000000 div uni"))
@@ -506,7 +510,7 @@ object Graph {
     val b = e.select(col("ck").as("b_ck"), col("sk"))
     a.join(b, Seq("sk"))
       .filter(col("a_ck") < col("b_ck"))
-      .join(Hints.hintIfSmall(aaW, supBound, maxBc), "sk")
+      .join(Hints.bcOrHash(aaW, supBound, maxBc), "sk")
       .groupBy(col("a_ck"), col("b_ck"))
       .agg(count(lit(1)).as("common"), sum(col("aa_w")).as("aa_micro"))
       .orderBy(col("aa_micro").desc, col("a_ck").asc, col("b_ck").asc)

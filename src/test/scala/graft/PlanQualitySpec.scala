@@ -537,6 +537,11 @@ class PlanQualitySpec extends SparkSpec {
         val degBc = "BroadcastHashJoin \\[(?:sk|a_ck|b_ck)#".r
         assert(degBc.findFirstIn(pg).isEmpty,
           s"$label: over-budget degree table must shuffle-join:\n$pg")
+        // Round 11: above the budget the degrade is a shuffled-HASH
+        // build on the degree side (Hints.bcOrHash), never a bare SMJ
+        // that re-sorts the wedge-pair stream.
+        assert(pg.contains("ShuffledHashJoin"),
+          s"$label: over-budget degrade must be shuffled-hash, not SMJ:\n$pg")
         assert(hinted.collect().toSeq == guarded.collect().toSeq,
           s"$label: guarded variant diverged")
       }
