@@ -498,7 +498,15 @@ object Dedup {
     * duplicated new doc. Results are identical by construction — the
     * parity MemoEvictionSpec/IncrStateSpec pin. */
   private def incrBestMatch(s: SparkSession, docs: DataFrame,
-      n: DataFrame, c: DataFrame): DataFrame = {
+      n: DataFrame, c: DataFrame): DataFrame =
+    incrBestMatchSides(s, docs, docs, n, c)
+
+  /** [[incrBestMatch]] with the verify texts supplied PER SIDE — the
+    * batch forms pass the fixture table twice (new/old ids partition it
+    * by construction); the streaming delta path passes the micro-batch
+    * as the new side and the corpus table as the old side. */
+  private[graft] def incrBestMatchSides(s: SparkSession, newDocs: DataFrame,
+      corpusDocs: DataFrame, n: DataFrame, c: DataFrame): DataFrame = {
     val cand = n.join(c,
         col("band_id") === col("band_o") && col("bucket") === col("bucket_o"))
       .withColumn("est", expr(
@@ -508,10 +516,10 @@ object Dedup {
       .repartition(s.sessionState.conf.numShufflePartitions,
         col("new_id"), col("old_id"))
       .distinct()
-    val withSets = withToks(Tables.spread(docs))
-      .withColumn("tset", expr(shingles(2)))
-    val a = withSets.select(col("doc_id").as("new_id"), col("tset").as("ta"))
-    val b = withSets.select(col("doc_id").as("old_id"), col("tset").as("tb"))
+    def sets(docs: DataFrame): DataFrame =
+      withToks(Tables.spread(docs)).withColumn("tset", expr(shingles(2)))
+    val a = sets(newDocs).select(col("doc_id").as("new_id"), col("tset").as("ta"))
+    val b = sets(corpusDocs).select(col("doc_id").as("old_id"), col("tset").as("tb"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("new_id"))
       .orderBy(col("jac").desc, col("old_id").asc)
     cand.join(a, "new_id").join(b, "old_id")
@@ -570,18 +578,42 @@ object Dedup {
     * — the recompute parity IncrStateSpec pins). Same output contract
     * and oracle as q_dedup_incr. */
   def dedupIncrStored(s: SparkSession, d: String): DataFrame = {
-    val path = sigStatePath(s, d)
-    val marker = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
-    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) writeSigState(s, d, path)
     val docs = Tables.documents(s, d)
     val n = minhashBuckets(docs.filter(col("doc_id") % 10 === 7), 2, 32, 2)
       .select(col("doc_id").as("new_id"), col("sig").as("nsig"),
         col("band_id"), col("bucket"))
-    val c = s.read.parquet(path)
+    incrBestMatchSides(s, docs, docs, n, storedCorpusBuckets(s, d))
+  }
+
+  /** The stored corpus signature/bucket table for fixture `d`, written
+    * on first touch of the corpus version (see [[writeSigState]]),
+    * renamed to the old-side join columns. */
+  private[graft] def storedCorpusBuckets(s: SparkSession, d: String): DataFrame = {
+    val path = sigStatePath(s, d)
+    val marker = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) writeSigState(s, d, path)
+    s.read.parquet(path)
       .select(col("doc_id").as("old_id"), col("sig").as("osig"),
         col("band_id").as("band_o"), col("bucket").as("bucket_o"))
-    incrBestMatch(s, docs, n, c)
+  }
+
+  /** Keep/drop verdicts for ONE delta micro-batch of documents against
+    * the STORED corpus signature state — the unit of work the streaming
+    * ingest path ([[graft.streaming.StreamIncrDedup]]) runs per trigger
+    * via foreachBatch: sign the batch (narrow, O(batch)), bucket-join it
+    * against the persisted corpus buckets, exact-verify against the
+    * corpus TEXT store, one best-match row per duplicated new doc. The
+    * plan is [[dedupIncrStored]]'s delta tail verbatim — "each day's
+    * delta streams through this exact plan" is now literal. */
+  def incrVerdictsFor(s: SparkSession, d: String,
+      deltaDocs: DataFrame): DataFrame = {
+    val n = minhashBuckets(deltaDocs, 2, 32, 2)
+      .select(col("doc_id").as("new_id"), col("sig").as("nsig"),
+        col("band_id"), col("bucket"))
+    incrBestMatchSides(s, deltaDocs,
+      Tables.documents(s, d).filter(col("doc_id") % 10 =!= 7),
+      n, storedCorpusBuckets(s, d))
   }
 
   /** Duplicate-cluster resolution — the step that turns near-dup PAIRS
