@@ -407,10 +407,46 @@ object Dedup {
     * On a natural (Zipfian, large-vocab) corpus wider bands (4 rows)
     * would cut false candidates; this synthetic corpus has high
     * background similarity, so recall gets the budget instead. */
+  /** Shared-leaf memo for the verify-stage shingle sets (see
+    * [[nearDupPairs]]'s setsLeafKey). */
+  private val setsMemo = Hints.registerMemo(
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+
+  /** Memo key for the (doc_id, tset) verify leaf — evictStale format:
+    * variant tag (incl. gram width) before the '@', fingerprint after. */
+  private def setsKey(s: SparkSession, d: String, nGram: Int): String =
+    System.identityHashCode(s.sparkContext) + ":" + d +
+      s":ndp-sets#g$nGram@" +
+      Tables.pathFingerprint(s, s"$d/documents.parquet")
+
   def nearDupPairs(docs: DataFrame, nGram: Int = 2, threshold: Double = 0.7,
-      numPerms: Int = 32, bandRows: Int = 2): DataFrame = {
-    val withSets = withToks(Tables.spread(docs))
+      numPerms: Int = 32, bandRows: Int = 2,
+      setsLeafKey: Option[String] = None): DataFrame = {
+    // The verify stage references the (doc_id, tset) stream TWICE (a/b
+    // legs below are different projections, so exchange reuse never
+    // fires) — without a leaf the tokenize+shingle+distinct derivation
+    // runs once per leg, corpus-linear each time. Fixture-backed callers
+    // pass setsLeafKey (memoPut: rebuilt per construction — honest
+    // bench — displaced entry unpersisted, swept by evictAllMemos);
+    // ad-hoc callers (property tests on synthetic frames) omit it and
+    // keep the stateless plan. Measured solo at 100×, same session
+    // (memoPut semantics — every rep pays ONE derivation + the cache
+    // write): q_dedup_neardup 35.5 → 24.7 s, q_dedup_clusters 39.2 →
+    // 26.3 s, q_graph_cc unchanged (35.2 → 34.2 s — its edges are
+    // co-purchase pairs, no shingle verify). An unmanaged inline
+    // persist measured 11.4 s but that is the WARM-rep artifact of
+    // CacheManager plan-matching across constructions, plus an
+    // unevictable cache entry — rejected for the leaf discipline.
+    val sets0 = withToks(Tables.spread(docs))
       .withColumn("tset", expr(shingles(nGram)))
+    val withSets = setsLeafKey match {
+      case Some(k) =>
+        val p = sets0.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        Hints.memoPut(setsMemo, k, p)
+        p
+      case None => sets0
+    }
     val a = withSets.select(col("doc_id").as("a_id"), col("tset").as("ta"))
     val b = withSets.select(col("doc_id").as("b_id"), col("tset").as("tb"))
     // The prefilter must track the verify threshold, not assume the 0.7
@@ -443,7 +479,8 @@ object Dedup {
     * quadratic). Bigrams are discriminative, so true near-dup pairs stay
     * near-linear in corpus size. */
   def dedupNeardup(s: SparkSession, d: String): DataFrame =
-    nearDupPairs(Tables.documents(s, d))
+    nearDupPairs(Tables.documents(s, d),
+        setsLeafKey = Some(setsKey(s, d, 2)))
       .orderBy(col("a_id").asc, col("b_id").asc)
 
   /** Incremental (delta-ingest) near-dup — the query a production corpus
@@ -784,7 +821,8 @@ object Dedup {
       Tables.pathFingerprint(s, s"$d/documents.parquet")
 
   private def buildLabels(s: SparkSession, d: String): DataFrame =
-    clusterLabels(nearDupPairs(Tables.documents(s, d))
+    clusterLabels(nearDupPairs(Tables.documents(s, d),
+        setsLeafKey = Some(setsKey(s, d, 2)))
       .select(col("a_id"), col("b_id")))
 
   /** Leakage-aware train/val/test split — the assignment step every
