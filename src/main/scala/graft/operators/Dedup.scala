@@ -419,6 +419,23 @@ object Dedup {
       s":ndp-sets#g$nGram@" +
       Tables.pathFingerprint(s, s"$d/documents.parquet")
 
+  /** Corpus size below which the verify leaf is NOT worth its cache
+    * write — footer-count-conditional, the adaptive-width discipline
+    * (annWidth/kgExtraWidth). Three measured anchors, same session:
+    * 5k docs (sf0.1) the leaf LOSES — persisting the shingle arrays
+    * costs more than the second derivation leg (bench 1.08 → 2.31 s, a
+    * measured gate trip, reverted); 50k docs (10×) a wash (7.40 leafed
+    * vs 7.19 stateless solo); 500k docs (100×) the leaf WINS 35.5 →
+    * 24.7 s (clusters 39.2 → 26.3 s). Boundary at the first decade
+    * above the measured wash. */
+  private[graft] val SetsLeafMinDocs = 100000L
+
+  private def setsKeyIfBig(s: SparkSession, d: String,
+      nGram: Int): Option[String] =
+    if (Tables.rowCount(s, d, "documents") >= SetsLeafMinDocs)
+      Some(setsKey(s, d, nGram))
+    else None
+
   def nearDupPairs(docs: DataFrame, nGram: Int = 2, threshold: Double = 0.7,
       numPerms: Int = 32, bandRows: Int = 2,
       setsLeafKey: Option[String] = None): DataFrame = {
@@ -480,7 +497,7 @@ object Dedup {
     * near-linear in corpus size. */
   def dedupNeardup(s: SparkSession, d: String): DataFrame =
     nearDupPairs(Tables.documents(s, d),
-        setsLeafKey = Some(setsKey(s, d, 2)))
+        setsLeafKey = setsKeyIfBig(s, d, 2))
       .orderBy(col("a_id").asc, col("b_id").asc)
 
   /** Incremental (delta-ingest) near-dup — the query a production corpus
@@ -822,7 +839,7 @@ object Dedup {
 
   private def buildLabels(s: SparkSession, d: String): DataFrame =
     clusterLabels(nearDupPairs(Tables.documents(s, d),
-        setsLeafKey = Some(setsKey(s, d, 2)))
+        setsLeafKey = setsKeyIfBig(s, d, 2))
       .select(col("a_id"), col("b_id")))
 
   /** Leakage-aware train/val/test split — the assignment step every
