@@ -558,7 +558,13 @@ object Dedup {
   /** [[incrBestMatch]] with the verify texts supplied PER SIDE — the
     * batch forms pass the fixture table twice (new/old ids partition it
     * by construction); the streaming delta path passes the micro-batch
-    * as the new side and the corpus table as the old side. */
+    * as the new side and the corpus table as the old side. The
+    * nearDupPairs sets-leaf treatment was A/B'd here and REJECTED with
+    * numbers (solo at 100×, same session: q_dedup_incr 33.6 → 33.8 s,
+    * q_dedup_incr_stored 14.0 → 14.5 s — a wash plus a cache write):
+    * unlike neardup's bucket-quadratic verify, the incr verify is
+    * delta-bounded, so the per-leg derivation is not the dominant cost
+    * and caching it buys nothing. */
   private[graft] def incrBestMatchSides(s: SparkSession, newDocs: DataFrame,
       corpusDocs: DataFrame, n: DataFrame, c: DataFrame): DataFrame = {
     val cand = n.join(c,
