@@ -40,20 +40,23 @@ object RecallProbe {
 
     dirs.foreach { d =>
       val nVec = spark.read.parquet(s"$d/embeddings.parquet").count()
-      def recallOf(approx: org.apache.spark.sql.DataFrame): (Double, Long) = {
+      def recallOf(approx: org.apache.spark.sql.DataFrame): (Double, Long, Int) = {
         val rows = operators.Sim.recallAt5(spark, d, approx).collect()
         // A fixture too small to yield truth/query rows (<10 embeddings
-        // or missing q_id rows) must not NaN/crash the sweep mid-run.
-        if (rows.isEmpty) (0.0, 0L)
+        // or missing q_id rows) must not NaN/crash the sweep mid-run —
+        // but the row COUNT rides in the output (n fields below), so a
+        // structurally broken probe (0 rows) is distinguishable from a
+        // fixture that genuinely measured zero recall.
+        if (rows.isEmpty) (0.0, 0L, 0)
         else {
           val tot = rows.map(_.getAs[Long]("recall_at_5")).sum
           (tot.toDouble / (5.0 * rows.length),
-            rows.map(_.getAs[Long]("recall_at_5")).min)
+            rows.map(_.getAs[Long]("recall_at_5")).min, rows.length)
         }
       }
-      val (r1, r1min) = recallOf(
+      val (r1, r1min, r1n) = recallOf(
         operators.Sim.simIvfSearch(spark, d).select("q_id", "c_id"))
-      val (r2, r2min) = recallOf(
+      val (r2, r2min, r2n) = recallOf(
         operators.Sim.simIvfProbe2(spark, d).select("q_id", "c_id"))
       val kg = SparkEntry.queries("q_sim_knn_graph_ann")(spark, d).collect()
       val (mut, edges) = (kg.map(_.getAs[Long]("n_mutual")).sum,
@@ -63,7 +66,7 @@ object RecallProbe {
         else (kg.map(_.getAs[Long]("recip_pm")).min,
           kg.map(_.getAs[Long]("recip_pm")).max)
       println(
-        f"""{"dir":"$d","n_vec":$nVec,"recall5_probe1":$r1%.3f,"recall5_probe1_min":$r1min,"recall5_probe2":$r2%.3f,"recall5_probe2_min":$r2min,"kg_recip_pm":${mut * 1000 / math.max(edges, 1L)},"kg_recip_pm_label_min":${pmRange._1},"kg_recip_pm_label_max":${pmRange._2},"kg_edges":$edges}""")
+        f"""{"dir":"$d","n_vec":$nVec,"recall5_probe1":$r1%.3f,"recall5_probe1_min":$r1min,"recall5_probe1_n":$r1n,"recall5_probe2":$r2%.3f,"recall5_probe2_min":$r2min,"recall5_probe2_n":$r2n,"kg_recip_pm":${mut * 1000 / math.max(edges, 1L)},"kg_recip_pm_label_min":${pmRange._1},"kg_recip_pm_label_max":${pmRange._2},"kg_edges":$edges}""")
     }
     spark.stop()
   }

@@ -596,34 +596,236 @@ object Dedup {
       .orderBy(col("new_id").asc)
   }
 
+  /** Signature-state FORMAT version: bump whenever the artifact schema
+    * or the reading semantics change. The version rides in the state
+    * key (below), so persisted cross-session state written by an older
+    * build is abandoned instead of silently reused with mismatched
+    * semantics — the failure mode a fingerprint-only key cannot catch,
+    * because the fixture is unchanged when the CODE changes. */
+  private[graft] val SigStateVersion = 2
+  /** The ingest-time signing parameters, named ONCE so the state key and
+    * every signing job (base write, delta append, streaming batch) read
+    * the same values — a future retune of the banding geometry changes
+    * the key and therefore re-signs, rather than bucket-joining fresh
+    * delta signatures against incompatible stored ones. */
+  private[graft] val SigGram = 2
+  private[graft] val SigPerms = 32
+  private[graft] val SigBands = 2
+
   /** Deterministic location of the STORED corpus signature/bucket state
-    * for fixture `d`: keyed by the documents fingerprint, so a
-    * regenerated fixture gets fresh state and an unchanged one reuses
-    * what an earlier run (even a different JVM) wrote — state survives
-    * the session, which is the point. */
+    * for fixture `d`: `graft-sigstate-<fixture-hash>-<version-hash>`,
+    * where the version hash folds the signing parameters, the state
+    * format version AND the documents fingerprint. A regenerated fixture
+    * or a parameter/format change gets fresh state; an unchanged one
+    * reuses what an earlier run (even a different JVM) wrote — state
+    * survives the session, which is the point. The fixture hash is a
+    * separate prefix so superseded versions of the SAME fixture are
+    * enumerable and reclaimable (see [[evictStaleSigState]]). */
   def sigStatePath(s: SparkSession, d: String): String = {
-    val key = d + "@" + Tables.pathFingerprint(s, s"$d/documents.parquet")
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"${sys.props("java.io.tmpdir")}/graft-sigstate-$md"
+    def md5(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ver = s"g${SigGram}p${SigPerms}b${SigBands}v$SigStateVersion@" +
+      Tables.pathFingerprint(s, s"$d/documents.parquet")
+    s"${sys.props("java.io.tmpdir")}/graft-sigstate-${md5(d)}-${md5(ver)}"
+  }
+
+  /** Committed segment dirs under a state root, ascending by number. A
+    * segment is visible only if its parquet commit marker exists — and
+    * since segments are PUBLISHED by atomic rename (below), a listed
+    * segment is always whole. */
+  private def sigSegments(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[(Int, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg="))
+      .map(st => (st.getPath.getName.stripPrefix("seg=").toInt, st.getPath))
+      .filter { case (_, p) =>
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
+      .sortBy(_._1)
+
+  /** Publish a staged directory by ATOMIC rename into `dest`. Staging +
+    * rename (instead of writing into the final path) is what makes the
+    * state safe under concurrent writers: two JVMs racing the same
+    * missing state each write a private `.stage-*` dir, exactly one
+    * rename wins, the loser deletes its stage — a reader can never
+    * observe a half-written or mid-overwrite directory. Returns whether
+    * THIS call's rename won. (Local-FS state ⇒ nio ATOMIC_MOVE is
+    * available; an object-store deployment would swap this for a
+    * rename-capable committer or a lock file, same contract.) */
+  private def publishDir(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      dest: org.apache.hadoop.fs.Path): Boolean =
+    try {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dest.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch { case _: java.io.IOException => fs.delete(tmp, true); false }
+
+  private def newStagePath(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      path + ".stage-" + java.util.UUID.randomUUID().toString.take(8))
+
+  /** One segment's rows: signatures + LSH buckets for `docs`, clustered
+    * by (band_id, bucket) so the delta join scans co-located collision
+    * groups, plus the tombstone flag (false for real signatures). */
+  private def sigRows(docs: DataFrame): DataFrame =
+    minhashBuckets(docs, SigGram, SigPerms, SigBands)
+      .withColumn("tomb", lit(false))
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("band_id"), col("bucket"))
+
+  /** Reclaim SUPERSEDED state for fixture `d`: every sibling
+    * `graft-sigstate-<fixture-hash>-*` dir whose version hash differs
+    * from the current key is a dead artifact (older fingerprint, older
+    * parameters or format) that nothing will ever read again — delete
+    * it, plus any orphaned `.stage-*` dirs a crashed writer left. This
+    * mirrors the memo evictStale discipline: without it every fixture
+    * regeneration and every parameter change would leak a full corpus
+    * signature table into java.io.tmpdir forever. */
+  private[graft] def evictStaleSigState(s: SparkSession, d: String,
+      current: String): Unit = {
+    val cur = new java.io.File(current)
+    val prefix = cur.getName.split("-").init.mkString("-") + "-"
+    Option(cur.getParentFile.listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        val n = f.getName
+        f.isDirectory && n != cur.getName &&
+          (n.startsWith(prefix) || n.startsWith(cur.getName + ".stage-"))
+      }
+      .foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
   }
 
   /** The INGEST-TIME signature job: computes the corpus side's minhash
-    * signatures + LSH buckets once and stores them as a parquet
-    * artifact, clustered by (band_id, bucket) so a later delta join
-    * scans co-located collision groups. At 100 TB this is the table a
-    * catalog serves (bucketBy into a warehouse table; parquet +
-    * repartition here keeps the artifact engine-neutral), and it is
-    * written once per corpus version — never per ingest batch. The
-    * parquet committer's _SUCCESS marker is the visibility gate: a
-    * crashed partial write leaves no marker and is rewritten whole
-    * (the TallySink two-phase discipline, via the built-in committer). */
-  def writeSigState(s: SparkSession, d: String, path: String): Unit =
-    minhashBuckets(Tables.documents(s, d).filter(col("doc_id") % 10 =!= 7),
-        2, 32, 2)
+    * signatures + LSH buckets once and stores them as the BASE segment
+    * (`seg=00000`) of a persisted parquet artifact. At 100 TB this is
+    * the table a catalog serves (bucketBy into a warehouse table;
+    * parquet + repartition here keeps the artifact engine-neutral), and
+    * it is written once per corpus version — never per ingest batch.
+    * Later ingest runs extend it with delta segments
+    * ([[appendSigState]]) and fold them back down ([[compactSigState]]).
+    * Visibility is two-phase: the job writes into a process-unique
+    * `.stage-*` dir and publishes by atomic rename ([[publishDir]]), so
+    * a crashed or racing writer leaves nothing a reader can trust. */
+  def writeSigState(s: SparkSession, d: String, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = newStagePath(path)
+    sigRows(Tables.documents(s, d).filter(col("doc_id") % 10 =!= 7))
+      .write.mode("overwrite").parquet(s"$tmp/seg=00000")
+    if (publishDir(fs, tmp, root)) evictStaleSigState(s, d, path)
+  }
+
+  /** Ingest ONE corpus delta into the stored state as a NEW segment —
+    * the multi-run lifecycle writeSigState alone lacks: `deltaDocs` are
+    * signed (narrow, O(delta) — the corpus is NOT re-read) and
+    * `tombstoneIds` land as tombstone rows, so a later read sees
+    * latest-segment-wins per doc_id ([[readSigState]]). Each append is
+    * O(delta) work publishing an immutable segment by atomic rename —
+    * the LSM discipline: ingest never rewrites the corpus-sized base,
+    * and read amplification from accumulated segments is reclaimed by
+    * [[compactSigState]], not by slowing down the write path. */
+  def appendSigState(s: SparkSession, d: String, deltaDocs: DataFrame,
+      tombstoneIds: Seq[Long] = Nil): Unit = {
+    val path = sigStatePath(s, d)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (sigSegments(fs, root).isEmpty) writeSigState(s, d, path)
+    val signed = sigRows(deltaDocs)
+    val seg =
+      if (tombstoneIds.isEmpty) signed
+      else {
+        import s.implicits._
+        signed.unionByName(tombstoneIds.toDF("doc_id")
+          .withColumn("sig", lit(null).cast(signed.schema("sig").dataType))
+          .withColumn("band_id", lit(null).cast("long"))
+          .withColumn("bucket", lit(null).cast("long"))
+          .withColumn("tomb", lit(true)))
+      }
+    // Publish under the next free segment number; on a lost race
+    // (concurrent appender took it) re-list and retry — appends commute,
+    // they only need distinct slots.
+    var attempts = 0
+    var published = false
+    while (!published && attempts < 5) {
+      val next = sigSegments(fs, root).last._1 + 1
+      val tmp = newStagePath(path)
+      seg.write.mode("overwrite").parquet(tmp.toString)
+      published = publishDir(fs, tmp,
+        new org.apache.hadoop.fs.Path(root, f"seg=$next%05d"))
+      attempts += 1
+    }
+    require(published, s"appendSigState lost $attempts publish races under $path")
+  }
+
+  /** Fold every live segment into ONE compacted segment and drop the
+    * dead ones — the state-growth bound for a corpus ingested across
+    * many runs: without it reads pay one parquet scan per historical
+    * append forever. The merged view ([[readSigState]]) is rewritten
+    * clustered by (band_id, bucket), published as the next segment with
+    * a `_COMPACT` marker (readers ignore everything older), then the
+    * superseded segments are deleted. Crash-safe at every step: the
+    * marker rides inside the atomically-renamed dir, so a crash before
+    * publish leaves the old segments authoritative, and a crash after
+    * publish merely delays the deletes to the next compaction.
+    * (A shared-reader deployment would defer the deletes by a grace
+    * period; this state is per-host tmpdir.) */
+  def compactSigState(s: SparkSession, d: String): Unit = {
+    val path = sigStatePath(s, d)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val segs = sigSegments(fs, root)
+    if (segs.size <= 1) return
+    val next = segs.last._1 + 1
+    val tmp = newStagePath(path)
+    readSigState(s, d).withColumn("tomb", lit(false))
       .repartition(s.sessionState.conf.numShufflePartitions,
         col("band_id"), col("bucket"))
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val lp = java.nio.file.Paths.get(tmp.toUri.getPath).resolve("_COMPACT")
+    java.nio.file.Files.createFile(lp)
+    if (publishDir(fs, tmp, new org.apache.hadoop.fs.Path(root, f"seg=$next%05d")))
+      segs.foreach { case (_, p) => fs.delete(p, true) }
+  }
+
+  /** The LIVE merged view of the stored signature state: segments from
+    * the last compaction point forward, latest-segment-wins per doc_id,
+    * tombstones dropped. The single-segment case (fresh state, or just
+    * compacted — the steady state) short-circuits to a plain clustered
+    * scan, plan-identical to the pre-segmented artifact, so the
+    * certified q_dedup_incr_stored cost is unchanged; only a state with
+    * UNcompacted appends pays the merge (per-doc max-segment join), and
+    * that read amplification is exactly what [[compactSigState]]
+    * reclaims. First touch of a corpus version writes the base segment
+    * (the one-time ingest job). */
+  private[graft] def readSigState(s: SparkSession, d: String): DataFrame = {
+    val path = sigStatePath(s, d)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (sigSegments(fs, root).isEmpty) writeSigState(s, d, path)
+    val segs = sigSegments(fs, root)
+    require(segs.nonEmpty, s"sig-state ingest failed to publish under $path")
+    val live = segs.drop(segs.lastIndexWhere { case (_, p) =>
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_COMPACT")) } max 0)
+    val cols = Seq(col("doc_id"), col("sig"), col("band_id"), col("bucket"))
+    if (live.size == 1)
+      s.read.parquet(live.head._2.toString)
+        .filter(!col("tomb")).select(cols: _*)
+    else {
+      val all = live.map { case (n, p) =>
+        s.read.parquet(p.toString).withColumn("seg", lit(n)) }
+        .reduce(_ unionByName _)
+      val latest = all.groupBy(col("doc_id").as("doc_id_l"))
+        .agg(max(col("seg")).as("seg_l"))
+      all.join(latest,
+          col("doc_id") === col("doc_id_l") && col("seg") === col("seg_l"))
+        .filter(!col("tomb")).select(cols: _*)
+    }
+  }
 
   /** Incremental near-dup from STORED state — [[dedupIncr]]'s production
     * form (round-11, VERDICT r10 item 2): the corpus-side signatures are
@@ -639,24 +841,20 @@ object Dedup {
     * and oracle as q_dedup_incr. */
   def dedupIncrStored(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val n = minhashBuckets(docs.filter(col("doc_id") % 10 === 7), 2, 32, 2)
+    val n = minhashBuckets(docs.filter(col("doc_id") % 10 === 7),
+        SigGram, SigPerms, SigBands)
       .select(col("doc_id").as("new_id"), col("sig").as("nsig"),
         col("band_id"), col("bucket"))
     incrBestMatchSides(s, docs, docs, n, storedCorpusBuckets(s, d))
   }
 
-  /** The stored corpus signature/bucket table for fixture `d`, written
-    * on first touch of the corpus version (see [[writeSigState]]),
-    * renamed to the old-side join columns. */
-  private[graft] def storedCorpusBuckets(s: SparkSession, d: String): DataFrame = {
-    val path = sigStatePath(s, d)
-    val marker = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
-    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) writeSigState(s, d, path)
-    s.read.parquet(path)
+  /** The stored corpus signature/bucket table for fixture `d` (live
+    * merged view — see [[readSigState]]), renamed to the old-side join
+    * columns. */
+  private[graft] def storedCorpusBuckets(s: SparkSession, d: String): DataFrame =
+    readSigState(s, d)
       .select(col("doc_id").as("old_id"), col("sig").as("osig"),
         col("band_id").as("band_o"), col("bucket").as("bucket_o"))
-  }
 
   /** Keep/drop verdicts for ONE delta micro-batch of documents against
     * the STORED corpus signature state — the unit of work the streaming
@@ -668,7 +866,7 @@ object Dedup {
     * delta streams through this exact plan" is now literal. */
   def incrVerdictsFor(s: SparkSession, d: String,
       deltaDocs: DataFrame): DataFrame = {
-    val n = minhashBuckets(deltaDocs, 2, 32, 2)
+    val n = minhashBuckets(deltaDocs, SigGram, SigPerms, SigBands)
       .select(col("doc_id").as("new_id"), col("sig").as("nsig"),
         col("band_id"), col("bucket"))
     incrBestMatchSides(s, deltaDocs,

@@ -33,14 +33,18 @@ import graft.operators.Dedup
   */
 object StreamIncrDedup {
 
-  /** An unbounded stream of delta documents from a staging directory
-    * (schema pinned from a batch read — readStream requires one). */
-  def deltaStream(spark: SparkSession, stageDir: String): DataFrame = {
-    val schema = spark.read.parquet(stageDir).schema
+  /** An unbounded stream of delta documents from a staging directory.
+    * The schema is an explicit PARAMETER (readStream requires one), not
+    * a batch read of the staging dir: a production staging dir's normal
+    * initial state is EMPTY — deltas arrive after the stream starts —
+    * and inferring from it would throw exactly then. [[run]] derives it
+    * from the corpus documents table, the contract a delta must match
+    * anyway. */
+  def deltaStream(spark: SparkSession, stageDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1") // one staged file per micro-batch
       .parquet(stageDir)
-  }
 
   /** Run the ingest stream over everything currently staged and stop
     * (Trigger.AvailableNow — the scheduled-ingest shape; a continuous
@@ -49,7 +53,8 @@ object StreamIncrDedup {
   def run(spark: SparkSession, d: String, stageDir: String,
       ckptDir: String, sinkDir: String): Long = {
     val processed = new java.util.concurrent.atomic.AtomicLong(0L)
-    val q = deltaStream(spark, stageDir).writeStream
+    val schema = graft.Tables.documents(spark, d).schema
+    val q = deltaStream(spark, stageDir, schema).writeStream
       .option("checkpointLocation", ckptDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
