@@ -379,6 +379,122 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native Catalyst expression for the language-ID hot loop: ALL per-
+  * language summed trigram profile scores of a document in ONE pass over
+  * the string — `[(lang, score), ...]` for exactly the languages with at
+  * least one profile hit (absent-not-zero, matching the explode+join+agg
+  * formulation it replaces row-for-row).
+  *
+  * Why a custom Expression: the declarative formulation explodes every
+  * 3-char window of the corpus (len−2 rows per doc — the corpus
+  * multiplied ~1000×), broadcast-joins a 20-row profile table and pays a
+  * corpus-wide partial aggregate, all to produce a ≤5-rows-per-doc
+  * result. Scoring is a per-document property — same argument as
+  * [[MinHashSigs]] — so this slides the window in a tight byte loop,
+  * binary-searches the (tiny, sorted) profile key table and accumulates
+  * per-language sums in registers: no gram explosion, no join, no
+  * aggregate. The downstream shuffle moves docs×≤5 rows instead.
+  *
+  * Byte windows, char-exact: the oracle-shared formulation windows by
+  * CHARACTER (`substring(text, i, 3)`). Profile trigrams are pure ASCII
+  * (< 0x80), and every byte of a multi-byte UTF-8 character is ≥ 0x80,
+  * so a byte window equals a char window wherever a profile can match
+  * and can never fabricate a match across a multi-byte character —
+  * scores are identical on ANY input (LidNativeSpec pins row parity
+  * against the explode+join path). Strings shorter than 3 bytes yield
+  * an empty array (explode drops the doc, as the CASE arm did). */
+case class LangTrigramScores(child: Expression,
+    profiles: Seq[(String, String, Long)]) extends UnaryExpression {
+
+  @transient private lazy val lut = LangTrigramScores.Lut(profiles)
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("lang", StringType, nullable = false),
+    StructField("score", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lang_trigram_scores expects string, got ${dt.simpleString}")
+    }
+
+  override protected def nullSafeEval(v: Any): Any =
+    LangTrigramScores.compute(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], lut)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lutRef = ctx.addReferenceObj("lidLut", lut,
+      classOf[LangTrigramScores.Lut].getName)
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.LangTrigramScores.compute($x, $lutRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LangTrigramScores {
+  /** Precompiled profile lookup: trigrams as sorted 24-bit byte keys with
+    * aligned (language index, weight) columns; duplicate keys (one
+    * trigram in several language profiles) sit adjacent and are walked
+    * at match time. Built once per plan, shipped as a codegen reference
+    * object. */
+  case class Lut(profiles: Seq[(String, String, Long)]) {
+    val langs: Array[org.apache.spark.unsafe.types.UTF8String] =
+      profiles.map(_._1).distinct.sorted
+        .map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+    private val langIdx = langs.zipWithIndex.map { case (l, i) => l.toString -> i }.toMap
+    private val sortedEntries = profiles.map { case (l, tg, w) =>
+      val b = tg.getBytes("UTF-8")
+      require(b.length == 3 && b.forall(x => (x & 0xff) < 0x80),
+        s"profile trigram must be 3 ASCII bytes, got '$tg'")
+      ((((b(0) & 0xff) << 16) | ((b(1) & 0xff) << 8) | (b(2) & 0xff),
+        langIdx(l), w))
+    }.sortBy(e => (e._1, e._2))
+    val keys: Array[Int] = sortedEntries.map(_._1).toArray
+    val keyLang: Array[Int] = sortedEntries.map(_._2).toArray
+    val keyW: Array[Long] = sortedEntries.map(_._3).toArray
+  }
+
+  /** Static entry shared by the interpreted and generated paths. */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String,
+      lut: Lut): ArrayData = {
+    val nb = s.numBytes()
+    val nLang = lut.langs.length
+    val scores = new Array[Long](nLang)
+    var any = false
+    var i = 0
+    while (i <= nb - 3) {
+      val key = ((s.getByte(i) & 0xff) << 16) |
+        ((s.getByte(i + 1) & 0xff) << 8) | (s.getByte(i + 2) & 0xff)
+      var lo = java.util.Arrays.binarySearch(lut.keys, key)
+      if (lo >= 0) {
+        while (lo > 0 && lut.keys(lo - 1) == key) lo -= 1
+        while (lo < lut.keys.length && lut.keys(lo) == key) {
+          scores(lut.keyLang(lo)) += lut.keyW(lo)
+          any = true
+          lo += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new scala.collection.mutable.ArrayBuffer[Any](nLang)
+      var l = 0
+      while (l < nLang) {
+        if (scores(l) > 0L)
+          out += org.apache.spark.sql.catalyst.InternalRow(lut.langs(l), scores(l))
+        l += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+  }
+}
+
 /** Custom Generator (the UDTF extension tier, SURVEY §2.12): emit every
   * character n-gram of a string as its own row WITHOUT materializing the
   * gram array per row first — `explode(transform(sequence(...)))` builds
@@ -500,6 +616,10 @@ object VectorExprs {
       exprs => HaversineKm(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_sig", exprs => SimHashSig(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lang_trigram_scores", exprs =>
+        LangTrigramScores(exprs(0), graft.operators.Text.langProfiles),
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "char_ngrams", { exprs =>
         val n = exprs(1) match {
