@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,6 +32,11 @@ import org.apache.spark.sql.functions._
   * the distribution trailer, and writes the complete per-query map to
   * target/headroom_full.json — the full measured answer to "which plan
   * shapes grow faster than the data".
+  *
+  * SPARK_GRAFT_SWEEP_GC=1 forces a full GC between queries (the
+  * in-sweep-inflation attribution experiment); the trailer always
+  * reports peak driver-heap occupancy (`peak_heap_gb`) so the 24 GB
+  * contract carries a measured number.
   */
 object Headroom {
 
@@ -128,6 +135,7 @@ object Headroom {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
     val all = sys.env.get("SPARK_GRAFT_HEADROOM_ALL").contains("1")
+    val sweepGc = sys.env.get("SPARK_GRAFT_SWEEP_GC").contains("1")
     // SPARK_GRAFT_HEADROOM_ONLY=a,b,c measures just that subset (new-query
     // spot checks without the full-surface sweep's cost)
     val only = sys.env.get("SPARK_GRAFT_HEADROOM_ONLY")
@@ -164,6 +172,13 @@ object Headroom {
       // via executor memory pressure. Within-query reps stay warm:
       // that is the same min-of-2 protocol the solo A/Bs run.
       operators.Hints.evictAllMemos()
+      // SPARK_GRAFT_SWEEP_GC=1 (round 12): force a full GC after the
+      // eviction, so the NEXT query starts from a compacted heap — the
+      // attribution experiment for the residual in-sweep-vs-solo
+      // inflation on leaf-free heavyweights (BASELINE.md round-11
+      // attributes it to JVM/GC/page-cache pressure; this flag tests
+      // the GC share of that claim directly).
+      if (sweepGc) { System.gc(); Thread.sleep(200) }
     }
     if (all) {
       val lines = results.map { case (n, s, b) =>
@@ -178,7 +193,15 @@ object Headroom {
     val sorted = results.map { case (_, s, b) => b / s }.sorted
     val median = sorted(sorted.size / 2)
     val p90 = sorted(((sorted.size - 1) * 9) / 10)
-    println(f"""{"metric":"headroom","reps":$reps,"n_queries":${sorted.size},"n_failed":${failedQ.size},"median_ratio":$median%.2f,"p90_ratio":$p90%.2f,"max_ratio":${sorted.last}%.2f}""")
+    // Measured driver-heap answer to the 24 GB contract (round 12): sum
+    // of per-pool PEAK usage over the heap pools. Pool peaks need not be
+    // simultaneous, so the sum is an upper BOUND on true peak occupancy
+    // — conservative in exactly the direction the contract wants.
+    val peakHeapGb = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .map(_.getPeakUsage.getUsed).sum / (1024.0 * 1024 * 1024)
+    println(f"""{"metric":"headroom","reps":$reps,"n_queries":${sorted.size},"n_failed":${failedQ.size},"median_ratio":$median%.2f,"p90_ratio":$p90%.2f,"max_ratio":${sorted.last}%.2f,"sweep_gc":$sweepGc,"peak_heap_gb":$peakHeapGb%.1f}""")
     if (failedQ.nonEmpty) println(s"""{"failed":${failedQ.mkString("[\"", "\",\"", "\"]")}}""")
     spark.stop()
   }

@@ -10,8 +10,9 @@ import org.apache.spark.sql.SparkSession
   * 8→15 at 200k vectors). This measures, per fixture dir:
   *
   *  - probe-1 recall@5 (exactly q_sim_recall — the oracled query) and
-  *    probe-2 recall@5 (the standard recall lever, evaluated against
-  *    the SAME brute-force truth via [[operators.Sim.recallAt5]]);
+  *    probe-2/probe-3 recall@5 (the standard recall lever at its next
+  *    two notches, evaluated against the SAME brute-force truth via
+  *    [[operators.Sim.recallAt5]]);
   *  - the k-NN graph mutuality rate (q_sim_knn_graph_ann's recip_pm),
   *    overall and per label — mutuality is the intrinsic quality signal
   *    an index build monitors when ground truth is unaffordable.
@@ -58,6 +59,10 @@ object RecallProbe {
         operators.Sim.simIvfSearch(spark, d).select("q_id", "c_id"))
       val (r2, r2min, r2n) = recallOf(
         operators.Sim.simIvfProbe2(spark, d).select("q_id", "c_id"))
+      val (r3, r3min, r3n) = recallOf(
+        operators.Sim.simIvfProbe3(spark, d).select("q_id", "c_id"))
+      val (rk, rkmin, rkn) = recallOf(
+        operators.Sim.simIvfKmProbe2(spark, d).select("q_id", "c_id"))
       val kg = SparkEntry.queries("q_sim_knn_graph_ann")(spark, d).collect()
       val (mut, edges) = (kg.map(_.getAs[Long]("n_mutual")).sum,
         kg.map(_.getAs[Long]("n_edges")).sum)
@@ -66,7 +71,7 @@ object RecallProbe {
         else (kg.map(_.getAs[Long]("recip_pm")).min,
           kg.map(_.getAs[Long]("recip_pm")).max)
       println(
-        f"""{"dir":"$d","n_vec":$nVec,"recall5_probe1":$r1%.3f,"recall5_probe1_min":$r1min,"recall5_probe1_n":$r1n,"recall5_probe2":$r2%.3f,"recall5_probe2_min":$r2min,"recall5_probe2_n":$r2n,"kg_recip_pm":${mut * 1000 / math.max(edges, 1L)},"kg_recip_pm_label_min":${pmRange._1},"kg_recip_pm_label_max":${pmRange._2},"kg_edges":$edges}""")
+        f"""{"dir":"$d","n_vec":$nVec,"recall5_probe1":$r1%.3f,"recall5_probe1_min":$r1min,"recall5_probe1_n":$r1n,"recall5_probe2":$r2%.3f,"recall5_probe2_min":$r2min,"recall5_probe2_n":$r2n,"recall5_probe3":$r3%.3f,"recall5_probe3_min":$r3min,"recall5_probe3_n":$r3n,"recall5_km_probe2":$rk%.3f,"recall5_km_probe2_min":$rkmin,"recall5_km_probe2_n":$rkn,"kg_recip_pm":${mut * 1000 / math.max(edges, 1L)},"kg_recip_pm_label_min":${pmRange._1},"kg_recip_pm_label_max":${pmRange._2},"kg_edges":$edges}""")
     }
     spark.stop()
   }

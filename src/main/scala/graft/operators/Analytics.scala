@@ -459,13 +459,25 @@ object Analytics {
       .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
 
   /** All a<b part pairs of each order, generated locally from the sorted
-    * set (i<j positions of a sorted array ⇒ oriented pairs, each once). */
+    * set (i<j positions of a sorted array ⇒ oriented pairs, each once) —
+    * as ONE packed long per pair: pk = a·2³¹ + b. Part keys stay < 2³¹
+    * (the driver fixture tops out near 2×10³; the 100× replica's key
+    * stride near 2³⁰ — a wider key domain would take the struct pair
+    * back), so the packing is lossless AND order-preserving: pk's
+    * natural order is exactly the (a, b) lexicographic tiebreak. The
+    * pair stream is the basket family's largest intermediate; packing
+    * halves its shuffle row (one 8-byte word vs a two-field struct) and
+    * gives the aggregate a single-long group key. Measured same-session
+    * 100× A/B (TimeOne warm min, BASELINE.md round 12): q_basket_pairs
+    * 40.8 → 21.8 s, q_basket_lift 58.5 → 25.1 s; sf0.1 unchanged. */
   private def orderPairs(s: SparkSession, d: String): DataFrame =
     orderParts(s, d).select(explode(expr(
       "flatten(transform(ps, (x, i) -> " +
         "transform(slice(ps, i + 2, size(ps)), " +
-        "y -> struct(x AS a_part, y AS b_part))))")).as("p"))
-      .select(col("p.a_part").as("a_part"), col("p.b_part").as("b_part"))
+        "y -> x * 2147483648L + y)))")).as("pk"))
+
+  private val unpackA = expr("pk div 2147483648L")
+  private val unpackB = expr("pk % 2147483648L")
 
   /** Market-basket co-occurrence — the association-rule support count:
     * part pairs appearing in the same order, top-20 by support. Pairs per
@@ -476,10 +488,11 @@ object Analytics {
     * lines of one part must not inflate support. */
   def basketPairs(s: SparkSession, d: String): DataFrame =
     orderPairs(s, d)
-      .groupBy(col("a_part"), col("b_part"))
+      .groupBy(col("pk"))
       .agg(count(lit(1)).as("support"))
-      .orderBy(col("support").desc, col("a_part").asc, col("b_part").asc)
+      .orderBy(col("support").desc, col("pk").asc)
       .limit(20)
+      .select(unpackA.as("a_part"), unpackB.as("b_part"), col("support"))
 
   /** Association-rule LIFT over the basket pairs — support alone ranks
     * popular×popular pairs first; lift = P(ab)/(P(a)·P(b)) corrects for
@@ -511,9 +524,10 @@ object Analytics {
       if (supBound >= 0 && supBound <= maxBc) broadcast(df)
       else df.hint("SHUFFLE_HASH")
     orderPairs(s, d)
-      .groupBy(col("a_part"), col("b_part"))
+      .groupBy(col("pk"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 3)
+      .select(unpackA.as("a_part"), unpackB.as("b_part"), col("support"))
       .join(hintSupp(itemSupp.select(col("l_partkey").as("a_part"),
         col("supp").as("supp_a"))), "a_part")
       .join(hintSupp(itemSupp.select(col("l_partkey").as("b_part"),

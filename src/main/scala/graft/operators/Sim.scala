@@ -372,8 +372,127 @@ object Sim {
     * vector lives in exactly one home list, and the two probed lists
     * differ — so no post-join dedup is needed; the probe fan-out
     * multiplies only the BROADCAST query side, never the corpus. */
-  def simIvfProbe2(s: SparkSession, d: String): DataFrame = {
-    val probes = ivfAssignK(s, d, 2).filter(col("vec_id") < 10)
+  def simIvfProbe2(s: SparkSession, d: String): DataFrame =
+    simIvfProbeK(s, d, 2)
+
+  /** Probe-3 twin (round 12): the next notch of the same lever, added
+    * because the honest SynthEmb fixtures measured probe-2 recall@5
+    * dipping to 0.98 at 100× (BASELINE.md round-11 recall table) — one
+    * more probed list buys the remaining tail misses. Extra cost is the
+    * sub-linear multi-probe shape: the fan-out multiplies only the
+    * 10-row broadcast query side by k, so the probed fraction of the
+    * corpus goes 2/nlist → 3/nlist while the corpus-sided work
+    * (assignment) is unchanged and shared. */
+  def simIvfProbe3(s: SparkSession, d: String): DataFrame =
+    simIvfProbeK(s, d, 3)
+
+  /** K-means-REFINED IVF (round 12): the honest quality fix the probe
+    * sweep demanded. On the non-replicated SynthEmb fixtures the
+    * seed-stub coarse quantizer (first 8 vectors as centroids) plateaus:
+    * recall@5 stays 0.98 at 100× through probe-4 and only hits 1.0 at
+    * probe-5 — 5 of 8 lists is 62% of the corpus, not ANN. More probes
+    * cannot fix BAD LIST GEOMETRY; one Lloyd round can. This family runs
+    * one integer-exact Lloyd refinement over the int8-quantized vectors
+    * (the q_sim_kmeans algebra, argmax-cosine instead of argmin-L2
+    * because search is cosine): assign to seed centroids, re-derive each
+    * list's centroid as the per-component BIGINT sum vector — the mean's
+    * count denominator CANCELS in cosine, so the refined centroid needs
+    * no division and stays hash-exact (sums < 2⁵³ through ~10⁸ vectors
+    * per list; beyond that production re-quantizes the mean). Scoring
+    * doubles derive from identical integers on both engines (exact
+    * int→double, correctly-rounded sqrt/div), so the whole index is
+    * oracled, not just sampled. */
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    vectors(s, d).withColumn("qv", expr(
+      "transform(embedding, x -> CAST(least(127, greatest(-128, " +
+        "floor(CAST(x AS DOUBLE) * 64.0D + 0.5D))) AS BIGINT))"))
+      .withColumn("qq", expr(
+        "aggregate(qv, CAST(0 AS BIGINT), (a, v) -> a + v * v)"))
+
+  /** Seed pass: every vector cosine-assigned to the nearest of the 8
+    * quantized seed vectors (cid0). */
+  private def ivfKmSeedAssign(s: SparkSession, d: String): DataFrame = {
+    val e = quantized(s, d)
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("qv").as("cqv"), col("qq").as("cc"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("cid").asc)
+    e.crossJoin(broadcast(seeds))
+      .withColumn("dotq", expr(
+        "aggregate(zip_with(qv, cqv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("score", col("dotq").cast("double") /
+        (sqrt(col("qq").cast("double")) * sqrt(col("cc").cast("double"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("qv"),
+        col("qq"), col("cid").as("cid0"))
+  }
+
+  /** Refined integer centroids: per seed-list per-component BIGINT sums
+    * (the rational mean × n — n cancels in cosine). */
+  private def ivfKmCents(s: SparkSession, d: String): DataFrame =
+    ivfKmSeedAssign(s, d)
+      .select(col("cid0"), posexplode(col("qv")).as(Seq("idx", "v")))
+      .groupBy(col("cid0"), col("idx"))
+      .agg(sum(col("v")).as("sv"))
+      .groupBy(col("cid0"))
+      .agg(expr("transform(sort_array(collect_list(struct(idx, sv))), p -> p.sv)")
+        .as("sarr"))
+      .select(col("cid0").as("cid"), col("sarr"),
+        expr("aggregate(sarr, CAST(0 AS BIGINT), (a, v) -> a + v * v)").as("cc"))
+
+  /** Top-k refined-centroid assignment; carries cid0 so the audit query
+    * can count list moves. */
+  private def ivfKmAssignK(s: SparkSession, d: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("cid").asc)
+    ivfKmSeedAssign(s, d).crossJoin(broadcast(ivfKmCents(s, d)))
+      .withColumn("dotq", expr(
+        "aggregate(zip_with(qv, sarr, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("score", col("dotq").cast("double") /
+        (sqrt(col("qq").cast("double")) * sqrt(col("cc").cast("double"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid0"),
+        col("cid").as("list_id"), col("rn").as("probe_rank"))
+  }
+
+  /** Refined-index audit: occupancy per list plus how many vectors the
+    * Lloyd round moved off their seed list — the rebalancing signal an
+    * index build monitors. */
+  def simIvfKmeans(s: SparkSession, d: String): DataFrame =
+    ivfKmAssignK(s, d, 1)
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("cid0") =!= col("list_id"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .orderBy(col("list_id").asc)
+
+  /** Probe-2 search over the REFINED lists — measured on SynthEmb
+    * base/10×/100×: recall@5 1.000/1.000/1.000 (min 5/5 per query) vs
+    * the seed index's probe-2 1.00/1.00/0.98 (BASELINE.md round-12
+    * recall table), at the same probed fraction (2/8 lists). */
+  def simIvfKmProbe2(s: SparkSession, d: String): DataFrame = {
+    val probes = ivfKmAssignK(s, d, 2).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_arr"),
+        col("nrm").as("q_nrm"), col("list_id").as("q_list"))
+    val cand = ivfKmAssignK(s, d, 1).select(col("vec_id").as("c_id"),
+      col("embedding").as("c_arr"), col("nrm").as("c_nrm"), col("list_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    broadcast(probes).join(cand,
+        col("q_list") === col("list_id") && col("q_id") =!= col("c_id"))
+      .withColumn("cos",
+        expr("vec_dot(q_arr, c_arr)") / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos_sim"),
+        col("rn"))
+      .orderBy(col("q_id").asc, col("rn").asc)
+  }
+
+  private def simIvfProbeK(s: SparkSession, d: String, k: Int): DataFrame = {
+    val probes = ivfAssignK(s, d, k).filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_arr"),
         col("nrm").as("q_nrm"), col("list_id").as("q_list"))
     val cand = ivfAssign(s, d).select(col("vec_id").as("c_id"),
@@ -980,6 +1099,9 @@ object Sim {
     "q_emb_prune_proto" -> embPruneProto,
     "q_sim_ivf"        -> simIvf,
     "q_sim_ivf_probe2" -> simIvfProbe2,
+    "q_sim_ivf_probe3" -> simIvfProbe3,
+    "q_sim_ivf_kmeans" -> simIvfKmeans,
+    "q_sim_ivf_km_probe2" -> simIvfKmProbe2,
     "q_emb_drift"      -> embDrift,
     "q_sim_ivf_search" -> simIvfSearch
   )
@@ -1081,6 +1203,56 @@ object Sim {
       |           list_transform(list_zip(q.embedding, c.embedding),
       |             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),
       |           (a, x) -> a + x) / (q.nrm * c.nrm)""".stripMargin
+
+  /** Shared CTE block for the k-means-refined IVF index (q_sim_ivf_kmeans
+    * / q_sim_ivf_km_probe2): quantize → cosine seed-assign → per-list
+    * BIGINT component sums → cosine refined-assign. kmD1 carries every
+    * (vector, refined centroid) rank; rn = 1 is the home list. */
+  private val kmIdxSql =
+    """kmQ AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(least(127, greatest(-128,
+      |           floor(CAST(x AS DOUBLE) * 64.0 + 0.5))) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |kmQQ AS (
+      |  SELECT vec_id, qv,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(qv, v -> v * v)), (a, x) -> a + x) AS qq
+      |  FROM kmQ),
+      |kmS AS (SELECT vec_id AS cid, qv AS cqv, qq AS cc FROM kmQQ WHERE vec_id < 8),
+      |kmD0 AS (
+      |  SELECT q.vec_id, q.qv, q.qq, s.cid,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(list_zip(q.qv, s.cqv), z -> z[1] * z[2])),
+      |           (a, x) -> a + x) AS dotq, s.cc
+      |  FROM kmQQ q CROSS JOIN kmS s),
+      |kmA0 AS (
+      |  SELECT vec_id, qv, qq, cid AS cid0 FROM (
+      |    SELECT vec_id, qv, qq, cid,
+      |           row_number() OVER (PARTITION BY vec_id
+      |             ORDER BY CAST(dotq AS DOUBLE) /
+      |               (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))) DESC,
+      |               cid ASC) AS rn
+      |    FROM kmD0) WHERE rn = 1),
+      |kmComp AS (
+      |  SELECT cid0, idx, CAST(sum(qv[idx]) AS BIGINT) AS sv
+      |  FROM kmA0, range(1, 65) r(idx)
+      |  GROUP BY cid0, idx),
+      |kmCC AS (
+      |  SELECT cid0 AS cid, sarr,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(sarr, v -> v * v)), (a, x) -> a + x) AS cc
+      |  FROM (SELECT cid0, list(sv ORDER BY idx ASC) AS sarr
+      |        FROM kmComp GROUP BY cid0)),
+      |kmD1 AS (
+      |  SELECT a.vec_id, a.cid0, c.cid,
+      |         row_number() OVER (PARTITION BY a.vec_id
+      |           ORDER BY CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(list_zip(a.qv, c.sarr), z -> z[1] * z[2])),
+      |             (acc, x) -> acc + x) AS DOUBLE) /
+      |             (sqrt(CAST(a.qq AS DOUBLE)) * sqrt(CAST(c.cc AS DOUBLE))) DESC,
+      |             c.cid ASC) AS rn
+      |  FROM kmA0 a CROSS JOIN kmCC c)""".stripMargin
 
   /** DuckDB sign-bit term for plane p at bit position `bit` (shared
     * planeWeight family). */
@@ -1796,6 +1968,68 @@ object Sim {
         |  FROM sc),
         |asgn AS (SELECT vec_id, cid AS list_id FROM rk WHERE rn = 1),
         |probes AS (SELECT vec_id, cid AS list_id FROM rk WHERE rn <= 2),
+        |p AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |         """ + dotSql + """ AS cos
+        |  FROM e q
+        |  JOIN probes qa ON q.vec_id = qa.vec_id
+        |  JOIN asgn ca ON ca.list_id = qa.list_id
+        |  JOIN e c ON c.vec_id = ca.vec_id AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |rr AS (
+        |  SELECT q_id, c_id, cos,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY cos DESC, c_id ASC) AS rn
+        |  FROM p)
+        |SELECT q_id, c_id, round(cos, 4) AS cos_sim, rn
+        |FROM rr WHERE rn <= 5
+        |ORDER BY q_id ASC, rn ASC""").stripMargin,
+    "q_sim_ivf_probe3" ->
+      (eCte + """,
+        |cc AS (
+        |  SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+        |  FROM e WHERE vec_id < 8),
+        |sc AS (
+        |  SELECT e.vec_id, cc.cid,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(list_zip(e.embedding, cc.cemb),
+        |             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),
+        |           (a, x) -> a + x) / (e.nrm * cc.cnrm) AS score
+        |  FROM e, cc),
+        |rk AS (
+        |  SELECT vec_id, cid,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY score DESC, cid ASC) AS rn
+        |  FROM sc),
+        |asgn AS (SELECT vec_id, cid AS list_id FROM rk WHERE rn = 1),
+        |probes AS (SELECT vec_id, cid AS list_id FROM rk WHERE rn <= 3),
+        |p AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |         """ + dotSql + """ AS cos
+        |  FROM e q
+        |  JOIN probes qa ON q.vec_id = qa.vec_id
+        |  JOIN asgn ca ON ca.list_id = qa.list_id
+        |  JOIN e c ON c.vec_id = ca.vec_id AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |rr AS (
+        |  SELECT q_id, c_id, cos,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY cos DESC, c_id ASC) AS rn
+        |  FROM p)
+        |SELECT q_id, c_id, round(cos, 4) AS cos_sim, rn
+        |FROM rr WHERE rn <= 5
+        |ORDER BY q_id ASC, rn ASC""").stripMargin,
+    "q_sim_ivf_kmeans" ->
+      ("WITH " + kmIdxSql + """
+        |SELECT cid AS list_id, count(*) AS n_vecs,
+        |       CAST(sum(CASE WHEN cid0 <> cid THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_moved
+        |FROM kmD1 WHERE rn = 1
+        |GROUP BY cid ORDER BY list_id ASC""").stripMargin,
+    "q_sim_ivf_km_probe2" ->
+      (eCte + ",\n" + kmIdxSql + """,
+        |asgn AS (SELECT vec_id, cid AS list_id FROM kmD1 WHERE rn = 1),
+        |probes AS (SELECT vec_id, cid AS list_id FROM kmD1 WHERE rn <= 2),
         |p AS (
         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
         |         """ + dotSql + """ AS cos
