@@ -36,6 +36,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Host-speed calibration (round 13): fixed CPU-bound probe before the
+    // warm-up and after the timed passes; the min rides the JSON line as
+    // calibration_s so cross-round absolutes can be drift-normalized.
+    val calibPre = Calibrate.measure("bench-pre")
     val names = SparkEntry.queries.keys.toSeq.sorted
     // Warm-up pass at the smallest SF: compiles every query's generated
     // code and warms the JIT so the timed passes measure steady-state
@@ -70,6 +74,7 @@ object Bench {
       }
     }
     names.foreach(n => if (best.getOrElse(n, -1.0) < 0) failed += n)
+    val calib = math.min(calibPre, Calibrate.measure("bench-post"))
     val load = try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
                catch { case _: Throwable => "" }
     def f3(d: Double): String = "%.3f".format(d)
@@ -85,7 +90,7 @@ object Bench {
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{""" +
         shown.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString(",") +
         s"""},"sf":"$sfDir","reps":$reps,"n_queries":${best.size},"n_failed":${failed.size},""" +
-        s""""omitted_fastest":${omitted.size},"omitted_sum":${f3(omitted.map(_._2).sum)},"loadavg":"$load"}"""
+        s""""omitted_fastest":${omitted.size},"omitted_sum":${f3(omitted.map(_._2).sum)},"calibration_s":${f3(calib)},"loadavg":"$load"}"""
     var cut = sorted.size
     while (cut > 0 && fixedFmt(sorted.take(cut), sorted.drop(cut)).length > budget) cut -= 1
     val line = fixedFmt(sorted.take(cut), sorted.drop(cut))

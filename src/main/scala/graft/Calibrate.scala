@@ -1,0 +1,55 @@
+package graft
+
+/** Fixed-work CPU calibration micro-task (round 13, VERDICT r12 item 3).
+  *
+  * Two rounds running, cross-round absolute bench comparisons were
+  * contaminated by shared-VM host drift (r12 measured a uniform 1.40×
+  * slowdown on byte-identical plans). This probe turns "the host was
+  * slow" from an inference into a recorded number: a single-threaded
+  * SplitMix64 loop over a FIXED iteration count — no allocation, no
+  * Spark, no I/O — whose wall time is proportional to the host's
+  * effective single-core speed at that moment. Bench/Headroom/TimeOne
+  * run it alongside the query timings and emit `calibration_s`; judges
+  * normalize cross-round per-query numbers by the calibration ratio
+  * instead of guessing.
+  *
+  * The loop body is the standard SplitMix64 finalizer (public-domain
+  * constant set, Steele et al., "Fast Splittable Pseudorandom Number
+  * Generators", OOPSLA 2014) — chosen because it is pure 64-bit ALU
+  * work with a serial dependency chain, so it measures cycles/op, not
+  * memory bandwidth or allocator health. The checksum is returned so
+  * the JIT cannot elide the loop.
+  */
+object Calibrate {
+  /** ~1.2e9 serial finalizer rounds: ~2 s on a healthy core, long
+    * enough that timer noise is <1%, short enough to run twice per
+    * bench without moving the total. */
+  final val Iters = 1200000000L
+
+  final case class Result(seconds: Double, checksum: Long)
+
+  def run(): Result = {
+    val t0 = System.nanoTime()
+    var z = 0x9E3779B97F4A7C15L
+    var acc = 0L
+    var i = 0L
+    while (i < Iters) {
+      z += 0x9E3779B97F4A7C15L
+      var x = z
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      acc ^= x ^ (x >>> 31)
+      i += 1
+    }
+    Result((System.nanoTime() - t0) / 1e9, acc)
+  }
+
+  /** min-of-2 with the checksum logged to stderr (keeps stdout clean
+    * for the drivers' JSON-tail parsing). */
+  def measure(tag: String): Double = {
+    val a = run(); val b = run()
+    System.err.println(
+      f"[calibrate] $tag rep1=${a.seconds}%.3f s rep2=${b.seconds}%.3f s checksum=${a.checksum}%x")
+    math.min(a.seconds, b.seconds)
+  }
+}

@@ -134,13 +134,41 @@ object Headroom {
     }
     val all = sys.env.get("SPARK_GRAFT_HEADROOM_ALL").contains("1")
     val sweepGc = sys.env.get("SPARK_GRAFT_SWEEP_GC").contains("1")
-    // 4 Hz whole-heap occupancy sampler (daemon): max sampled used-heap
-    // is the measured number behind the 24 GB driver contract.
+    // 4 Hz occupancy sampler (daemon). Round 13 (VERDICT r12 item 2 —
+    // "attribute the 23.7 GB peak"): the whole-heap sample alone cannot
+    // attribute anything, because under G1 the used-heap high-water mark
+    // includes GARBAGE not yet collected — a healthy allocation-heavy
+    // query drives it toward -Xmx by design. So the sampler now also
+    // reads the unified memory manager's execution/storage pools
+    // (DeveloperApi SparkEnv; the accessors are private[spark] at the
+    // Scala level but public in bytecode, so a measurement tool may read
+    // them reflectively) — what Spark is actually HOLDING — and the
+    // per-query reset lets headroom_full.json carry peak/exec/storage
+    // per query. The live set (post-GC used heap) is measured between
+    // queries under SPARK_GRAFT_SWEEP_GC=1.
     val peakHeap = new java.util.concurrent.atomic.AtomicLong(0L)
+    val qPeakHeap = new java.util.concurrent.atomic.AtomicLong(0L)
+    val qPeakExec = new java.util.concurrent.atomic.AtomicLong(0L)
+    val qPeakStor = new java.util.concurrent.atomic.AtomicLong(0L)
     val memBean = java.lang.management.ManagementFactory.getMemoryMXBean
+    val memMgr = {
+      val env = org.apache.spark.SparkEnv.get
+      val mm = env.getClass.getMethod("memoryManager").invoke(env)
+      val exec = mm.getClass.getMethod("executionMemoryUsed")
+      val stor = mm.getClass.getMethod("storageMemoryUsed")
+      () => (exec.invoke(mm).asInstanceOf[Long],
+             stor.invoke(mm).asInstanceOf[Long])
+    }
     val sampler = new Thread(() => {
       while (true) {
-        peakHeap.getAndUpdate(p => math.max(p, memBean.getHeapMemoryUsage.getUsed))
+        val used = memBean.getHeapMemoryUsage.getUsed
+        peakHeap.getAndUpdate(p => math.max(p, used))
+        qPeakHeap.getAndUpdate(p => math.max(p, used))
+        try {
+          val (e, st) = memMgr()
+          qPeakExec.getAndUpdate(p => math.max(p, e))
+          qPeakStor.getAndUpdate(p => math.max(p, st))
+        } catch { case _: Throwable => () }
         Thread.sleep(250)
       }
     })
@@ -161,9 +189,16 @@ object Headroom {
     }
     operators.Hints.evictAllMemos()
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    // per-query memory attribution: (peak heap, peak exec pool, peak
+    // storage pool) during the query's reps, and — under the GC flag —
+    // the post-GC LIVE SET after its leaves are evicted (what the query
+    // permanently added; a growing series here is the leak signature).
+    val memRows = scala.collection.mutable.Map.empty[String, (Double, Double, Double, Double)]
     val failedQ = scala.collection.mutable.ArrayBuffer.empty[String]
+    def gb(x: Long): Double = x / (1024.0 * 1024 * 1024)
     names.foreach { n =>
       val q = SparkEntry.queries(n)
+      qPeakHeap.set(0L); qPeakExec.set(0L); qPeakStor.set(0L)
       try {
         // min of 2 reps on each side, interleaved, small side first
         val s1 = time(q(spark, src).count()); val b1 = time(q(spark, out).count())
@@ -188,10 +223,13 @@ object Headroom {
       // attributes it to JVM/GC/page-cache pressure; this flag tests
       // the GC share of that claim directly).
       if (sweepGc) { System.gc(); Thread.sleep(200) }
+      val live = if (sweepGc) gb(memBean.getHeapMemoryUsage.getUsed) else -1.0
+      memRows(n) = (gb(qPeakHeap.get), gb(qPeakExec.get), gb(qPeakStor.get), live)
     }
     if (all) {
       val lines = results.map { case (n, s, b) =>
-        f"""  "$n": {"src_s":$s%.3f,"scaled_s":$b%.3f,"ratio":${b / s}%.2f}""" }
+        val (ph, pe, ps, lv) = memRows.getOrElse(n, (-1.0, -1.0, -1.0, -1.0))
+        f"""  "$n": {"src_s":$s%.3f,"scaled_s":$b%.3f,"ratio":${b / s}%.2f,"peak_gb":$ph%.2f,"exec_gb":$pe%.2f,"stor_gb":$ps%.2f,"live_gb":$lv%.2f}""" }
       val fw = new java.io.FileWriter("target/headroom_full.json")
       fw.write(lines.mkString("{\n", ",\n", "\n}\n")); fw.close()
       results.sortBy { case (_, s, b) => -(b / s) }.take(15).foreach {
@@ -208,7 +246,16 @@ object Headroom {
     // so that "peak" read 35.3 GB on a 24 GB heap; a sampled
     // whole-heap max cannot exceed the real occupancy.)
     val peakHeapGb = peakHeap.get() / (1024.0 * 1024 * 1024)
-    println(f"""{"metric":"headroom","reps":$reps,"n_queries":${sorted.size},"n_failed":${failedQ.size},"median_ratio":$median%.2f,"p90_ratio":$p90%.2f,"max_ratio":${sorted.last}%.2f,"sweep_gc":$sweepGc,"peak_heap_gb":$peakHeapGb%.1f}""")
+    // decomposed peaks across the sweep + the END live set (post full
+    // GC with all memos evicted): peak_heap − live_end is garbage +
+    // transient working set, the share a bigger heap only buffers;
+    // exec/stor are what Spark itself held at the worst moment.
+    val maxExec = if (memRows.isEmpty) -1.0 else memRows.values.map(_._2).max
+    val maxStor = if (memRows.isEmpty) -1.0 else memRows.values.map(_._3).max
+    System.gc(); Thread.sleep(300)
+    val liveEnd = memBean.getHeapMemoryUsage.getUsed / (1024.0 * 1024 * 1024)
+    val calib = Calibrate.measure("headroom-post")
+    println(f"""{"metric":"headroom","reps":$reps,"n_queries":${sorted.size},"n_failed":${failedQ.size},"median_ratio":$median%.2f,"p90_ratio":$p90%.2f,"max_ratio":${sorted.last}%.2f,"sweep_gc":$sweepGc,"peak_heap_gb":$peakHeapGb%.1f,"max_exec_gb":$maxExec%.2f,"max_stor_gb":$maxStor%.2f,"live_end_gb":$liveEnd%.2f,"calibration_s":$calib%.3f}""")
     if (failedQ.nonEmpty) println(s"""{"failed":${failedQ.mkString("[\"", "\",\"", "\"]")}}""")
     spark.stop()
   }

@@ -82,6 +82,56 @@ object Tables {
     })
   }
 
+  private val statRangeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[(Long, Long)]]()
+
+  /** Exact column (MIN, MAX) from parquet FOOTER statistics for an INT64
+    * column — driver-side footer reads, NO Spark job, memoized per
+    * (path, fingerprint) like [[rowCount]]. Returns None when any
+    * row-group lacks the stat (caller must then guard in-plan). Round
+    * 13: the zero-cost domain guard for packed-key encodings — a
+    * per-element assert in the hot path was measurable on the basket
+    * family at 100×, while the footer already knows the answer. */
+  private[graft] def longStatRange(spark: SparkSession, sfDir: String,
+      name: String, column: String): Option[(Long, Long)] = {
+    val path = s"$sfDir/$name.parquet"
+    val key = s"$path@$column@${pathFingerprint(spark, path)}"
+    statRangeCache.computeIfAbsent(key, { _ =>
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isFile) Seq(p)
+        else fs.listStatus(p).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath)
+      var min = Long.MaxValue
+      var max = Long.MinValue
+      var ok = true
+      files.foreach { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          r.getFooter.getBlocks.asScala
+            .flatMap(_.getColumns.asScala)
+            .filter(_.getPath.toDotString == column)
+            .foreach { c =>
+              val st = c.getStatistics
+              if (st == null || st.isEmpty || !st.hasNonNullValue) ok = false
+              else (st.genericGetMin, st.genericGetMax) match {
+                case (lo: java.lang.Long, hi: java.lang.Long) =>
+                  min = math.min(min, lo.longValue())
+                  max = math.max(max, hi.longValue())
+                case _ => ok = false
+              }
+            }
+        } finally r.close()
+      }
+      if (ok && max != Long.MinValue) Some((min, max)) else None
+    })
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Some fixture generations store events.ts as TIMESTAMP(NANOS), which
     // Spark's vectorized reader rejects unless nanos are read as long.

@@ -453,10 +453,34 @@ object Analytics {
     * exchanges of the same rows); pair generation then happens inside the
     * row, bounded by C(basket, 2) per order. collect_set order is
     * nondeterministic, so array_sort pins it before any generation. */
-  private def orderParts(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+  private def orderParts(s: SparkSession, d: String): DataFrame = {
+    // Runtime guard for the packed-pair-key domain (ADVICE r12): the
+    // pk = a·2³¹ + b packing in [[orderPairs]] is lossless only for keys
+    // in [0, 2³¹) — out-of-range keys must FAIL the construction, never
+    // wrap into a different pair silently. The guard is a driver-side
+    // parquet-footer max-stat read (job-free, memoized): the first cut
+    // guarded per element in-plan (`x + ifnull(assert_true(...), 0)`)
+    // and the round-13 solo A/B at 100× measured it on q_basket_lift
+    // (35.6 s best rep with the in-plan guard → 26.7 s with the footer
+    // guard — back at its r12 pre-guard 25.1 s level): orderParts feeds
+    // lift through four consumers, so the per-element branch ran 4× over
+    // the fact. Footer stats already know the answer; only a file with
+    // missing stats pays the in-plan fallback.
+    val range = Tables.longStatRange(s, d, "lineitem", "l_partkey")
+    range.foreach { case (lo, hi) =>
+      require(lo >= 0 && hi < (1L << 31),
+        s"basket pair packing needs part keys in [0, 2^31); footer range = [$lo, $hi]")
+    }
+    val base = Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+    if (range.isDefined) base
+    else base.select(col("l_orderkey"), expr(
+      "transform(ps, x -> x + ifnull(assert_true(" +
+        "x >= 0 AND x < 2147483648, " +
+        "'basket pair packing needs part keys in [0, 2^31)'), 0L))"
+    ).as("ps"))
+  }
 
   /** All a<b part pairs of each order, generated locally from the sorted
     * set (i<j positions of a sorted array ⇒ oriented pairs, each once) —

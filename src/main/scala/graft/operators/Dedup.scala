@@ -633,7 +633,7 @@ object Dedup {
     * segment is visible only if its parquet commit marker exists — and
     * since segments are PUBLISHED by atomic rename (below), a listed
     * segment is always whole. */
-  private def sigSegments(fs: org.apache.hadoop.fs.FileSystem,
+  private[operators] def sigSegments(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Seq[(Int, org.apache.hadoop.fs.Path)] =
     if (!fs.exists(root)) Nil
     else fs.listStatus(root).toSeq
@@ -652,7 +652,7 @@ object Dedup {
     * THIS call's rename won. (Local-FS state ⇒ nio ATOMIC_MOVE is
     * available; an object-store deployment would swap this for a
     * rename-capable committer or a lock file, same contract.) */
-  private def publishDir(fs: org.apache.hadoop.fs.FileSystem,
+  private[operators] def publishDir(fs: org.apache.hadoop.fs.FileSystem,
       tmp: org.apache.hadoop.fs.Path,
       dest: org.apache.hadoop.fs.Path): Boolean =
     try {
@@ -663,7 +663,7 @@ object Dedup {
       true
     } catch { case _: java.io.IOException => fs.delete(tmp, true); false }
 
-  private def newStagePath(path: String): org.apache.hadoop.fs.Path =
+  private[operators] def newStagePath(path: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(
       path + ".stage-" + java.util.UUID.randomUUID().toString.take(8))
 

@@ -44,59 +44,63 @@ object Graph {
         .distinct(),
       eager = true)
     // Round-10 locality A/B (all measured same-session on the 100×
-    // replica, 24g): pre-partitioning this symmetrized list by src and
-    // checkpointing THAT — so each round's join reuses the LogicalRDD's
-    // recorded partitioning exchange-free — LOST both ways (135.6 s with
-    // SMJ rounds, 136.8 s with shuffled-hash rounds, vs 95.0 s baseline):
-    // the extra 120M-row construction shuffle plus caching the DOUBLED
-    // list (instead of projecting it per use from the 60M-row e0 cache)
-    // costs more than the per-round exchanges it saves. The winning
-    // change was the state-side shuffled-hash build below (70.7 s).
-    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-    // deg is referenced once per power-iteration round plus the final
-    // readout; node-sized, so one checkpoint beats re-running its grouped
-    // count over the edge list at every reference. LAZY, folded into the
-    // nodeBound count below: that count is the first action on deg
-    // itself, so one job materializes the leaf AND measures it (the
-    // union branches above read the already-eager e0 cache, no
-    // double-compute race).
-    val deg = Hints.checkpoint(
-      edges.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("deg")),
+    // replica, 24g): pre-partitioning the symmetrized EDGE LIST by src
+    // and checkpointing THAT — so each round's join reuses the
+    // LogicalRDD's recorded partitioning exchange-free — LOST both ways
+    // (135.6 s with SMJ rounds, 136.8 s with shuffled-hash rounds, vs
+    // 95.0 s baseline): the extra 120M-row construction shuffle plus
+    // caching the DOUBLED list costs more than the per-round exchanges
+    // it saves. Round 13 revisits the same per-round-exchange target
+    // with the layout that does NOT double anything: an ADJACENCY-LIST
+    // leaf — one node-sized row per src with its dst array. The
+    // construction shuffle it pays (groupBy src) is the one the old
+    // `deg` leaf already paid (deg = size(dsts), free), the cache is
+    // node-count rows instead of 120M edge rows, and each round becomes
+    // ONE node-sized⋈node-sized join (adj partitioned by node from its
+    // construction shuffle — only the rank state moves) + a narrow
+    // explode + the partial-agged contribution shuffle. The old shape's
+    // per-round deg⋈rank join AND its 120M-row edge-side exchange both
+    // disappear. Measured same-session solo A/B at 100× (TimeOne, 24g,
+    // re-baselined host — BASELINE.md round-13): edge-shape best rep
+    // 136.1 s → adjacency best rep 59.7 s (2.3×); q_graph_bfs got the
+    // same layout, 102.0 → 45.2 s best rep (2.3×).
+    // LAZY, folded into the nodeBound count below: the count is the
+    // first action on adj itself, so one job materializes the leaf AND
+    // measures it (both union branches read the already-eager e0 cache,
+    // no double-compute race).
+    val adj = Hints.checkpoint(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .groupBy(col("src").as("node"))
+        .agg(collect_list(col("dst")).as("dsts")),
       eager = false)
-    // Node state is node-count-sized and the checkpointed leaves carry no
+    // Node state is node-count-sized and the checkpointed leaf carries no
     // size statistics; the measured node count (the job that also
-    // materializes deg) decides broadcast-vs-shuffle for every round's
-    // state join. Under the
-    // threshold this avoids the planner shuffle-joining a 16k-row state
-    // table per round; above it (a corpus whose node table outgrows
-    // broadcast) each round degrades to the standard shuffled PageRank
-    // join — algebra unchanged, no hand-edited hints.
-    val nodeBound = deg.count()
-    // Above the broadcast budget the state join must not fall back to
-    // SortMergeJoin: SMJ re-SORTS the full edge side every round (the
-    // dominant per-round cost at 100× — sorting 120M cached rows twice),
-    // while a shuffled-hash build on the NODE-SIZED state side streams
-    // the edge list sort-free. Measured on the 100× replica: 95.0 s SMJ
-    // → 70.7 s shuffled-hash (ratio 25.9× → 13.9×). The build side is
-    // bounded by the node count (rank/deg rows are a ~30-byte fixed
-    // shape), so the per-partition hash relation is executor-safe at any
-    // corpus scale where nodes-per-partition fits memory — the same
-    // bound the old shuffled SMJ's per-partition sort buffer already
-    // assumed.
+    // finalizes adj) decides broadcast-vs-shuffle for every round's
+    // state join. Under the threshold this avoids the planner
+    // shuffle-joining a 16k-row state table per round; above it each
+    // round degrades to a SHUFFLE_HASH build on the node-sized rank
+    // side (never SMJ — the round-10/11 family rule: an SMJ fallback
+    // re-sorts the streamed side for no reason), algebra unchanged.
+    val nodeBound = adj.count()
+    // e0's serialized edge blocks are dead weight once adj materializes
+    // (nothing below references them); e0 goes unreachable when this
+    // function returns, so the ContextCleaner reclaims the blocks at the
+    // next GC — an explicit unpersist() would be a no-op on a
+    // localCheckpoint leaf (only the cache-manager path honors it).
     def hint(df: DataFrame): DataFrame =
       if (nodeBound <= maxBc) broadcast(df) else df.hint("SHUFFLE_HASH")
-    var rank = deg.select(col("node"), lit(1000000L).as("pr"))
+    var rank = adj.select(col("node"), lit(1000000L).as("pr"))
     for (_ <- 1 to rounds) {
-      val st = deg.join(rank, "node")
-      rank = edges.join(hint(st), edges("src") === st("node"))
-        .select(col("dst"), expr("pr div deg").as("contrib"))
+      rank = adj.join(hint(rank), "node")
+        .select(expr("pr div size(dsts)").as("contrib"),
+          explode(col("dsts")).as("dst"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("in_sum"))
         .select(col("dst").as("node"),
           (lit(150000L) + expr("(850 * in_sum) div 1000")).as("pr"))
     }
-    rank.join(hint(deg), "node")
+    rank.join(hint(adj.select(col("node"),
+        expr("CAST(size(dsts) AS BIGINT)").as("deg"))), "node")
       .select(col("node"), col("pr"), col("deg"))
   }
 
@@ -150,9 +154,9 @@ object Graph {
 
   /** BFS reach from one node over the bipartite trade graph: hop-level
     * histogram (hop → node count) for 3 fixed levels. Each level is one
-    * equi-join of the checkpointed edge list against the frontier plus an
-    * anti-join against the visited set — the standard distributed BFS
-    * round. Frontier/visited are node-count-sized and broadcast only while
+    * equi-join of the checkpointed ADJACENCY leaf against the frontier
+    * plus an anti-join against the visited set — the standard
+    * distributed BFS round. Frontier/visited are node-count-sized and broadcast only while
     * a measured node bound stays under [[Hints.MaxBroadcastRows]] (same
     * statistics cliff as pagerank's rank state); past it both joins
     * degrade to shuffles automatically, algebra unchanged. Levels are
@@ -168,24 +172,26 @@ object Graph {
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst"))
         .distinct(),
-      // LAZY checkpoint folded into the node-bound count below — the
-      // count is the first action on e0 ITSELF (not through the union),
-      // so one job materializes the truncated leaf and measures it; the
-      // union branches then read the cache.
+      // EAGER: the adjacency construction below references e0 through
+      // both union branches inside ONE job — a lazy leaf would race its
+      // own materialization and compute the fact⋈fact join twice.
+      eager = true)
+    // Round-13 adjacency layout (same rework as [[pagerank]] — see the
+    // A/B discussion there): each level was an equi-join of the 120M-row
+    // edge list against the frontier, and above the broadcast budget the
+    // SHUFFLE_HASH fallback (round 11: 76.5 → 41.5 s at 100× vs the SMJ
+    // re-sort) still re-SHUFFLED the full edge side at every level. The
+    // node-sized adjacency leaf is partitioned by node from its
+    // construction shuffle, so a level is now frontier-exchange + narrow
+    // explode — the corpus-sized side never moves again. Frontier/visited
+    // joins keep the round-11 hint discipline (broadcast under the
+    // budget, SHUFFLE_HASH build above it, never bare SMJ).
+    val adj = Hints.checkpoint(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .groupBy(col("src").as("node"))
+        .agg(collect_list(col("dst")).as("dsts")),
       eager = false)
-    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-    // Frontier/visited are node-count-sized; node count ≤ 2·|edges|, so one
-    // cheap count over the checkpointed directed edge leaf bounds them for
-    // the whole traversal. Under the threshold the hints paper over the
-    // checkpoints' missing statistics; above it (round 11) the
-    // frontier/visited side degrades to a SHUFFLE_HASH build instead of
-    // falling bare: the SMJ fallback re-sorted the 120M-row edge side at
-    // EVERY level — the same waste q_graph_pagerank's round-10 A/B
-    // measured on its rounds (95.0→70.7 s there). Measured solo at 100×,
-    // same session: 76.5 → 41.5 s (ratio 31.2× → 16.8×); sf0.1 2.46 →
-    // 2.47 s (broadcast regime — the hint never fires under the budget).
-    // Algebra unchanged.
-    val nodeBound = 2L * e0.count()
+    val nodeBound = adj.count()
     def hint(df: DataFrame): DataFrame =
       Hints.bcOrHash(df, nodeBound, Hints.MaxBroadcastRows)
     // Per-level LAZY checkpoint of the (tiny, node-sized) frontier: each
@@ -204,10 +210,10 @@ object Graph {
     var frontier = visited.select(col("node"))
     for (h <- 1 to maxHop) {
       val next = Hints.checkpoint(
-        edges
+        adj
           .join(hint(frontier.select(col("node").as("fn"))),
-            edges("src") === col("fn"))
-          .select(col("dst").as("node")).distinct()
+            adj("node") === col("fn"))
+          .select(explode(col("dsts")).as("node")).distinct()
           .join(hint(visited.select(col("node").as("vn"))),
             col("node") === col("vn"), "left_anti")
           .withColumn("hop", lit(h.toLong)),

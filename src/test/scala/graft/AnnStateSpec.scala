@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sim
+
+/** Persisted ANN index artifact (round 13, VERDICT r12 item 4):
+  * q_sim_ivf_stored reads centroids + inverted-list assignments from a
+  * fingerprint-keyed parquet artifact instead of rebuilding the index
+  * per query. Pins: (1) stored search ≡ from-scratch km-probe-2 search,
+  * (2) write-once reuse across constructions, (3) the incremental
+  * assign path — appended vectors land on exactly the list a rebuild
+  * would give them, replays are idempotent under latest-segment-wins,
+  * and compaction preserves the merged view, (4) superseded state is
+  * reclaimed when the corpus fingerprint changes. */
+class AnnStateSpec extends SparkSpec {
+
+  private def rows(df: DataFrame): Seq[Row] =
+    df.collect().toSeq.sortBy(_.toString)
+
+  test("stored-index search is row-identical to the recompute form") {
+    val stored = rows(Sim.simIvfStored(spark, sf0001))
+    val rebuilt = rows(Sim.simIvfKmProbe2(spark, sf0001))
+    assert(stored.nonEmpty, "fixture must produce search results")
+    assert(stored === rebuilt)
+  }
+
+  test("index is built once per corpus version and reused across runs") {
+    Sim.simIvfStored(spark, sf0001).count()
+    val statePath = Sim.annStatePath(spark, sf0001)
+    val marker = new org.apache.hadoop.fs.Path(statePath + "/seg=00000/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(marker), "index build must leave the commit marker")
+    val mtime = fs.getFileStatus(marker).getModificationTime
+    Sim.simIvfStored(spark, sf0001).count()
+    assert(fs.getFileStatus(marker).getModificationTime === mtime,
+      "second construction must NOT rewrite the stored index")
+  }
+
+  private lazy val fixture: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annstate")
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir.toString
+  }
+
+  private def segDirs(): Seq[String] = {
+    val root = new java.io.File(Sim.annStatePath(spark, fixture))
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("seg="))
+      .map(_.getName).sorted.toSeq
+  }
+
+  test("incremental assign: delta lands where a rebuild would put it; " +
+      "replay idempotent; compaction preserves the view") {
+    val base = Sim.readAnnAssign(spark, fixture)
+      .select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(base.nonEmpty && segDirs() === Seq("seg=00000"))
+    // delta: 10 known vectors under NEW ids — identical embeddings, so
+    // the correct list for each is the original vector's home list
+    val delta = spark.read.parquet(s"$fixture/embeddings.parquet")
+      .filter(col("vec_id") >= 20 && col("vec_id") < 30)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    Sim.appendAnnState(spark, fixture, delta)
+    assert(segDirs() === Seq("seg=00000", "seg=00001"))
+    val afterAppend = Sim.readAnnAssign(spark, fixture)
+      .select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (20L until 30L).foreach { id =>
+      assert(afterAppend(id + 1000000L) === base(id),
+        s"appended twin of vec $id must land on the original's list")
+    }
+    assert(afterAppend.size === base.size + 10)
+    // replay the SAME delta: a new segment appears but latest-wins keeps
+    // one row per vec_id — the idempotent-ingest contract
+    Sim.appendAnnState(spark, fixture, delta)
+    assert(segDirs().size === 3)
+    val afterReplay = Sim.readAnnAssign(spark, fixture)
+      .select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(afterReplay === afterAppend)
+    // compaction folds to one live segment, view unchanged
+    Sim.compactAnnState(spark, fixture)
+    assert(segDirs().size === 1)
+    val afterCompact = Sim.readAnnAssign(spark, fixture)
+      .select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(afterCompact === afterAppend)
+  }
+
+  test("superseded state is reclaimed when the corpus fingerprint changes") {
+    Sim.readAnnAssign(spark, fixture).count()
+    val oldPath = Sim.annStatePath(spark, fixture)
+    assert(new java.io.File(oldPath).isDirectory)
+    // regenerate the fixture → new fingerprint → new key; the next build
+    // must delete the dead sibling
+    Thread.sleep(1100) // mtime granularity
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$fixture/embeddings.parquet")
+    val newPath = Sim.annStatePath(spark, fixture)
+    assert(newPath !== oldPath, "fingerprint change must change the key")
+    Sim.readAnnAssign(spark, fixture).count()
+    assert(new java.io.File(newPath).isDirectory)
+    assert(!new java.io.File(oldPath).exists(),
+      "stale state for the same fixture must be reclaimed")
+  }
+}

@@ -682,9 +682,9 @@ class PlanQualitySpec extends SparkSpec {
       "q_join_bucketed", "q_src_partitioned", "q_src_lattice",
       "q_src_zorder",
       // stored-state ingest: first touch of a corpus version writes the
-      // persisted signature artifact (the one-time ingest job); later
-      // constructions reuse it via the fingerprint check
-      "q_dedup_incr_stored",
+      // persisted signature/index artifact (the one-time ingest job);
+      // later constructions reuse it via the fingerprint check
+      "q_dedup_incr_stored", "q_sim_ivf_stored", "q_sim_ann_ingest",
       // iterative fixed-point: checkpointed rounds + data-dependent
       // convergence checks run inside fn by construction
       "q_dedup_clusters", "q_dedup_repr", "q_dedup_split", "q_geo_dbscan",

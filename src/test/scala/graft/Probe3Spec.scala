@@ -56,11 +56,23 @@ class Probe3Spec extends SparkSpec {
   }
 
   test("probe fan-out multiplies only the query side: 3 distinct lists per query") {
-    // every probed (q, list) pair is distinct and each query probes
-    // exactly 3 lists — the candidate corpus is never replicated
-    val probed = operators.Sim.simIvfProbe3(spark, sf0001)
-    val rows = probed.collect()
-    // <= 5 results per query, ranks 1..n dense
+    // the property itself (ADVICE r12): assert directly on the probe
+    // assignment — each of the 10 query vectors is assigned exactly 3
+    // DISTINCT probe lists with dense probe ranks 1..3, so the fan-out
+    // multiplies only the broadcast query side, never the corpus
+    val asg = operators.Sim.ivfAssignK(spark, sf0001, 3)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("list_id"), col("probe_rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(asg.map(_._1).distinct.length == 10)
+    asg.groupBy(_._1).foreach { case (q, g) =>
+      assert(g.map(_._2).distinct.length == 3,
+        s"query $q probes ${g.map(_._2).distinct.length} distinct lists, want 3")
+      assert(g.map(_._3).sorted.sameElements(1 to 3),
+        s"query $q probe ranks not dense: ${g.map(_._3).sorted.mkString(",")}")
+    }
+    // downstream: <= 5 results per query, ranks 1..n dense
+    val rows = operators.Sim.simIvfProbe3(spark, sf0001).collect()
     rows.groupBy(_.getLong(0)).foreach { case (q, g) =>
       val rns = g.map(_.getLong(3)).sorted
       assert(rns.length <= 5 && rns.sameElements(1L to rns.length),
