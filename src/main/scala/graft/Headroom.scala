@@ -109,6 +109,16 @@ object Headroom {
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The 100× sweep intentionally runs the driver heap near capacity;
+      // a G1 full-collection stall can exceed the 10 s default executor
+      // heartbeat and the local-mode executor then kills the JVM with
+      // ExecutorExitCode.HEARTBEAT_FAILURE (= 56 — observed round 13,
+      // 63 min into the GC-mode sweep). A measurement harness must
+      // survive the stall it is trying to measure: stretch the
+      // heartbeat/network tolerances the way an at-capacity production
+      // driver would.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Config contract, measured in round 8: the 100× replica's iterative
@@ -208,6 +218,10 @@ object Headroom {
         if (!all)
           println(f"""{"query":"$n","src_s":$s%.3f,"scaled_s":$b%.3f,"ratio":${b / s}%.2f}""")
       } catch { case _: Throwable => failedQ += n }
+      // Progress to stderr (stdout stays clean for the JSON contract):
+      // before round 13 the ALL sweep was silent until the trailer, so a
+      // mid-sweep crash left no cursor for WHERE it died.
+      System.err.println(s"[headroom] done $n (${results.size} ok, ${failedQ.size} failed)")
       // Cold-cache isolation between queries (round 11): drop every
       // memoized leaf a query persisted so the NEXT query measures from
       // the state its solo run would see — closes the documented

@@ -733,13 +733,26 @@ object Sim {
       .orderBy(col("new_id").asc)
   }
 
-  /** Semantic dedup at ingest, the oracled batch form: the fixture's
-    * vec_id % 10 = 7 slice plays the incoming delta; candidates are the
-    * stored lists with that slice held out (the delta must match against
-    * the CORPUS, not itself). One verdict row per delta vector. */
+  /** Semantic dedup at ingest, the oracled batch form: a BOUNDED batch
+    * of the fixture's vec_id % 10 = 7 slice (vec_id < 1000 — an ingest
+    * delta is a fixed-size batch, NOT a corpus fraction) plays the
+    * incoming delta; candidates are the stored lists with the full
+    * %10=7 slice held out (the delta must match against the CORPUS, not
+    * itself). One verdict row per delta vector.
+    *
+    * The batch bound is load-bearing at scale, caught by this round's
+    * own 100× sweep: with the delta as a 10% corpus slice, every delta
+    * vector brute-force-scans its 2 probed lists (dense — 1/4 of the
+    * corpus), which is Θ(|delta| · |corpus| / nlist) — ~10¹¹ cosine
+    * pairs at 100×, a hang. Probe cost must scale with the BATCH; the
+    * corpus-sized side stays in the index. (The dedup incr twins keep
+    * the unbounded %10=7 delta safely because LSH bucket joins are
+    * sparse — candidates per doc are banding collisions, not a fixed
+    * corpus fraction.) */
   def simAnnIngest(s: SparkSession, d: String): DataFrame =
     annIngestVerdicts(s, d,
-      Tables.embeddings(s, d).filter(col("vec_id") % 10 === 7),
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") % 10 === 7 && col("vec_id") < 1000),
       col("c_id") % 10 =!= 7)
 
   private def simIvfProbeK(s: SparkSession, d: String, k: Int): DataFrame = {
@@ -2330,7 +2343,7 @@ object Sim {
       (eCte + ",\n" + kmIdxSql + """,
         |asgn AS (SELECT vec_id, cid AS list_id FROM kmD1 WHERE rn = 1),
         |probes AS (SELECT vec_id, cid AS list_id FROM kmD1
-        |           WHERE rn <= 2 AND vec_id % 10 = 7),
+        |           WHERE rn <= 2 AND vec_id % 10 = 7 AND vec_id < 1000),
         |p AS (
         |  SELECT q.vec_id AS new_id, c.vec_id AS match_id,
         |         """ + dotSql + """ AS cos
@@ -2339,7 +2352,7 @@ object Sim {
         |  JOIN asgn ca ON ca.list_id = qa.list_id
         |  JOIN e c ON c.vec_id = ca.vec_id AND c.vec_id <> q.vec_id
         |               AND c.vec_id % 10 <> 7
-        |  WHERE q.vec_id % 10 = 7),
+        |  WHERE q.vec_id % 10 = 7 AND q.vec_id < 1000),
         |rr AS (
         |  SELECT new_id, match_id, cos,
         |         row_number() OVER (PARTITION BY new_id

@@ -27,7 +27,7 @@ class StreamAnnIngestSpec extends SparkSpec {
     // Stage the delta slice as TWO files so AvailableNow +
     // maxFilesPerTrigger=1 yields at least two micro-batches.
     spark.read.parquet(s"$sf0001/embeddings.parquet")
-      .filter("vec_id % 10 = 7")
+      .filter("vec_id % 10 = 7 AND vec_id < 1000")
       .repartition(2)
       .write.mode("overwrite").parquet(stage.toString)
     val nBatches = StreamAnnIngest.run(spark, sf0001, stage.toString,
