@@ -94,7 +94,10 @@ object Headroom {
     val out = args.lift(1).getOrElse("/tmp/graft-sf1")
     val reps = args.lift(2).map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // G1-stall heartbeat/network tolerances ride the shared helper
+    // ([[Harness.withStallTolerances]] — round-13 finding, now applied
+    // to all three measurement harnesses).
+    val spark = Harness.withStallTolerances(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -109,16 +112,6 @@ object Headroom {
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // The 100× sweep intentionally runs the driver heap near capacity;
-      // a G1 full-collection stall can exceed the 10 s default executor
-      // heartbeat and the local-mode executor then kills the JVM with
-      // ExecutorExitCode.HEARTBEAT_FAILURE (= 56 — observed round 13,
-      // 63 min into the GC-mode sweep). A measurement harness must
-      // survive the stall it is trying to measure: stretch the
-      // heartbeat/network tolerances the way an at-capacity production
-      // driver would.
-      .config("spark.executor.heartbeatInterval", "60s")
-      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Config contract, measured in round 8: the 100× replica's iterative
@@ -161,26 +154,32 @@ object Headroom {
     val qPeakExec = new java.util.concurrent.atomic.AtomicLong(0L)
     val qPeakStor = new java.util.concurrent.atomic.AtomicLong(0L)
     val memBean = java.lang.management.ManagementFactory.getMemoryMXBean
-    val memMgr = {
-      val env = org.apache.spark.SparkEnv.get
-      val mm = env.getClass.getMethod("memoryManager").invoke(env)
-      val exec = mm.getClass.getMethod("executionMemoryUsed")
-      val stor = mm.getClass.getMethod("storageMemoryUsed")
-      () => (exec.invoke(mm).asInstanceOf[Long],
-             stor.invoke(mm).asInstanceOf[Long])
+    // The pool accessors are private[spark] at the Scala level but public
+    // in bytecode; the LOOKUP is guarded too (ADVICE r13): a Spark version
+    // that renames these members degrades the sweep to -1 pool metrics
+    // instead of crashing it at startup.
+    val memMgr: () => (Long, Long) =
+      try {
+        val env = org.apache.spark.SparkEnv.get
+        val mm = env.getClass.getMethod("memoryManager").invoke(env)
+        val exec = mm.getClass.getMethod("executionMemoryUsed")
+        val stor = mm.getClass.getMethod("storageMemoryUsed")
+        () => (exec.invoke(mm).asInstanceOf[Long],
+               stor.invoke(mm).asInstanceOf[Long])
+      } catch { case _: Throwable => () => (-1L, -1L) }
+    def sampleOnce(): Unit = {
+      val used = memBean.getHeapMemoryUsage.getUsed
+      peakHeap.getAndUpdate(p => math.max(p, used))
+      qPeakHeap.getAndUpdate(p => math.max(p, used))
+      try {
+        val (e, st) = memMgr()
+        if (e >= 0) qPeakExec.getAndUpdate(p => math.max(p, e))
+        if (st >= 0) qPeakStor.getAndUpdate(p => math.max(p, st))
+      } catch { case _: Throwable => () }
+      ()
     }
     val sampler = new Thread(() => {
-      while (true) {
-        val used = memBean.getHeapMemoryUsage.getUsed
-        peakHeap.getAndUpdate(p => math.max(p, used))
-        qPeakHeap.getAndUpdate(p => math.max(p, used))
-        try {
-          val (e, st) = memMgr()
-          qPeakExec.getAndUpdate(p => math.max(p, e))
-          qPeakStor.getAndUpdate(p => math.max(p, st))
-        } catch { case _: Throwable => () }
-        Thread.sleep(250)
-      }
+      while (true) { sampleOnce(); Thread.sleep(250) }
     })
     sampler.setDaemon(true); sampler.start()
     // SPARK_GRAFT_HEADROOM_ONLY=a,b,c measures just that subset (new-query
@@ -206,18 +205,39 @@ object Headroom {
     val memRows = scala.collection.mutable.Map.empty[String, (Double, Double, Double, Double)]
     val failedQ = scala.collection.mutable.ArrayBuffer.empty[String]
     def gb(x: Long): Double = x / (1024.0 * 1024 * 1024)
+    // Between-REP reclaim (VERDICT r13 item 3): a finished rep's
+    // anonymous checkpoint leaves (BFS per-level frontiers, label
+    // rounds) are unreachable the moment its DataFrame drops, but the
+    // ContextCleaner only reclaims them after a GC enqueues the weak
+    // refs — so 4 interleaved reps held 4 generations of leaves
+    // (storage pool 6.9 GB full → spill + cleaner lag; bfs read
+    // 126.9 s in-sweep vs 45.2 s solo at 100×, r13). A forced GC + a
+    // short drain window between reps lets each rep start from the
+    // one-generation state a solo run sees. Memoized leaves are NOT
+    // touched (still strongly referenced), so warm-rep semantics for
+    // the memo queries are unchanged; the GC runs OUTSIDE the timed
+    // window.
+    def reclaim(): Unit = { System.gc(); Thread.sleep(250) }
     names.foreach { n =>
       val q = SparkEntry.queries(n)
       qPeakHeap.set(0L); qPeakExec.set(0L); qPeakStor.set(0L)
+      // one synchronous sample at reset (+ one after the reps below):
+      // queries shorter than the 250 ms sampler period otherwise record
+      // 0.00 peaks, and a tail sample from query N could land on N+1 —
+      // per-query rows carry ≤250 ms attribution skew either way.
+      sampleOnce()
       try {
         // min of 2 reps on each side, interleaved, small side first
-        val s1 = time(q(spark, src).count()); val b1 = time(q(spark, out).count())
-        val s2 = time(q(spark, src).count()); val b2 = time(q(spark, out).count())
+        val s1 = time(q(spark, src).count()); reclaim()
+        val b1 = time(q(spark, out).count()); reclaim()
+        val s2 = time(q(spark, src).count()); reclaim()
+        val b2 = time(q(spark, out).count())
         val (s, b) = (math.min(s1, s2), math.min(b1, b2))
         results += ((n, s, b))
         if (!all)
           println(f"""{"query":"$n","src_s":$s%.3f,"scaled_s":$b%.3f,"ratio":${b / s}%.2f}""")
       } catch { case _: Throwable => failedQ += n }
+      sampleOnce()
       // Progress to stderr (stdout stays clean for the JSON contract):
       // before round 13 the ALL sweep was silent until the trailer, so a
       // mid-sweep crash left no cursor for WHERE it died.

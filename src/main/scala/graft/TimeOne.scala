@@ -13,11 +13,12 @@ import org.apache.spark.sql.SparkSession
   * 100× runs want SPARK_DRIVER_MEM=24g like Headroom. */
 object TimeOne {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = Harness.withStallTolerances(
+      SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = SparkEntry.queries(args(0))
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")

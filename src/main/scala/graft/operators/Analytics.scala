@@ -453,7 +453,7 @@ object Analytics {
     * exchanges of the same rows); pair generation then happens inside the
     * row, bounded by C(basket, 2) per order. collect_set order is
     * nondeterministic, so array_sort pins it before any generation. */
-  private def orderParts(s: SparkSession, d: String): DataFrame = {
+  private[operators] def orderParts(s: SparkSession, d: String): DataFrame = {
     // Runtime guard for the packed-pair-key domain (ADVICE r12): the
     // pk = a·2³¹ + b packing in [[orderPairs]] is lossless only for keys
     // in [0, 2³¹) — out-of-range keys must FAIL the construction, never
@@ -494,14 +494,14 @@ object Analytics {
     * gives the aggregate a single-long group key. Measured same-session
     * 100× A/B (TimeOne warm min, BASELINE.md round 12): q_basket_pairs
     * 40.8 → 21.8 s, q_basket_lift 58.5 → 25.1 s; sf0.1 unchanged. */
-  private def orderPairs(s: SparkSession, d: String): DataFrame =
+  private[operators] def orderPairs(s: SparkSession, d: String): DataFrame =
     orderParts(s, d).select(explode(expr(
       "flatten(transform(ps, (x, i) -> " +
         "transform(slice(ps, i + 2, size(ps)), " +
         "y -> x * 2147483648L + y)))")).as("pk"))
 
-  private val unpackA = expr("pk div 2147483648L")
-  private val unpackB = expr("pk % 2147483648L")
+  private[operators] val unpackA = expr("pk div 2147483648L")
+  private[operators] val unpackB = expr("pk % 2147483648L")
 
   /** Market-basket co-occurrence — the association-rule support count:
     * part pairs appearing in the same order, top-20 by support. Pairs per

@@ -293,15 +293,13 @@ object Graph {
     * ⌊log2⌋ octaves via the same shared CASE both engines compile.
     * All-integer. */
   def graphDegree(s: SparkSession, d: String): DataFrame = {
-    val e0 = Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey"))
-      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(expr(
-        "flatten(transform(ps, (x, i) -> " +
-          "transform(slice(ps, i + 2, size(ps)), " +
-          "y -> struct(x AS pa, y AS pb))))")).as("p"))
-      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+    // Round 14: the pair stream and its distinct ride the PACKED long
+    // key (see [[copurchaseEdges]] — the distinct is this query's
+    // largest shuffle and the 8-byte key halves its rows); endpoints
+    // unpack after the dedup.
+    val e0 = Analytics.orderPairs(s, d)
       .distinct()
+      .select(Analytics.unpackA.as("pa"), Analytics.unpackB.as("pb"))
     // Both endpoints of each undirected edge in ONE pass over the pair
     // join (explode of a 2-element array) — a union of two projections
     // would plan the join+distinct subtree twice and lean on exchange
@@ -448,18 +446,126 @@ object Graph {
       .limit(20)
   }
 
+  /** Connected-component labels over an (a_pk, b_pk) edge list by
+    * MIN-LABEL PROPAGATION WITH POINTER JUMPING over a static
+    * adjacency-list leaf — the round-14 port of the round-13 layout
+    * that cut pagerank/bfs 2.3× (see [[pagerank]]'s A/B scaladoc).
+    *
+    * Why not keep [[Dedup.clusterLabels]] here (what rounds 9–13
+    * shipped): star contraction's STATE is the edge list itself, so
+    * every round re-shuffles an edge-shaped table twice (large-star's
+    * symmetric-view min + small-star's distinct) plus an edge-shaped
+    * convergence probe against the original pairs — on the 100×
+    * co-purchase graph that made q_graph_cc the #1 absolute row
+    * everywhere (77 s solo warm, 6.95 s bench). This loop's state is
+    * NODE-sized ((node, lbl) rows); the corpus-shaped adjacency leaf
+    * never moves after its construction shuffle, and a round is: one
+    * state join against the leaf (broadcast/hash per the measured
+    * bound), a narrow explode, a partial-agged min whose exchange
+    * carries node-sized partials, and two node-sized joins. The dedup
+    * family KEEPS star contraction: its near-dup pair lists are tiny
+    * clique-like edge sets that converge in one round, where the edge
+    * shape costs nothing and the adjacency construction would be pure
+    * overhead.
+    *
+    * POINTER JUMPING — the update is lbl' = min(lbl, min over
+    * neighbors' lbl, lbl(lbl(v))) — keeps the round bound logarithmic
+    * in component diameter (Shiloach & Vishkin 1982's shortcutting
+    * step, the standard remedy for plain propagation's O(diameter)
+    * worst case), so moving to node-sized rounds does not reopen the
+    * long-chain hostage problem that motivated star contraction in
+    * round 9.
+    *
+    * Convergence is read off the state, no separate probe: labels are
+    * monotone non-increasing (every update is a min including the
+    * current label) and only ever hold ids of nodes in the same
+    * component (neighbors' labels and lbl(lbl(v)) both stay inside the
+    * component), so a zero-change round means lbl(v) ≤ lbl(u) across
+    * every edge in both directions ⇒ labels constant per component;
+    * at the component minimum m, lbl(m) ≥ m (component ids only) and
+    * lbl(m) ≤ m (monotone from init m), so the constant is the
+    * component minimum — exactly the label function the oracle's
+    * recursive closure computes. The changed-count rides the round's
+    * one materializing aggregation, so convergence costs no extra job
+    * (star contraction needed the original-pair straddle probe because
+    * its EDGE SET mutates; here the adjacency is static and the
+    * fixpoint inequalities are read directly off the state). */
+  private[graft] def ccAdjacency(s: SparkSession, edges: DataFrame,
+      maxRounds: Int = 16,
+      maxBc: Long = Hints.MaxBroadcastRows): DataFrame = {
+    // EAGER e0: both union branches of the adjacency construction read
+    // it inside ONE job — a lazy leaf would race its own
+    // materialization and compute the edge derivation twice (the same
+    // note as [[graphBfs]]'s e0).
+    val e0 = Hints.checkpoint(edges.select(col("a_pk"), col("b_pk")),
+      eager = true)
+    val adj = Hints.checkpoint(
+      e0.union(e0.select(col("b_pk").as("a_pk"), col("a_pk").as("b_pk")))
+        .groupBy(col("a_pk").as("node"))
+        .agg(collect_list(col("b_pk")).as("dsts")),
+      eager = false)
+    // One job materializes the leaf AND measures the node bound that
+    // decides broadcast-vs-SHUFFLE_HASH for every round's node-sized
+    // join (the family hint discipline — never bare SMJ re-sorts).
+    val nodeBound = adj.count()
+    def hint(df: DataFrame): DataFrame = Hints.bcOrHash(df, nodeBound, maxBc)
+    var lbl = adj.select(col("node"), col("node").as("lbl"))
+    var r = 0
+    var changed = nodeBound > 0
+    while (changed) {
+      r += 1
+      if (r > maxRounds) throw new IllegalStateException(
+        s"ccAdjacency: label propagation did not converge in $maxRounds rounds")
+      // ONE action per round: the new state is LAZILY checkpointed and
+      // the changed-count aggregation is its materializing job.
+      val next = Hints.checkpoint(ccAdjRound(adj, lbl, hint), eager = false)
+      changed = next.agg(coalesce(sum(col("chg")), lit(0L)))
+        .head().getLong(0) > 0
+      lbl = next.select(col("node"), col("lbl"))
+    }
+    lbl
+  }
+
+  /** One [[ccAdjacency]] round: (node, lbl, chg). Exposed for
+    * PlanQualitySpec's round-shape pin. The neighbor-min leg is the
+    * only corpus-shaped work (explode over the static leaf); both
+    * joins that follow are node-sized. Left joins + coalesce are
+    * defensive totality (symmetric adjacency makes every node someone's
+    * dst and every label a live node id, so the fallbacks never bind on
+    * a well-formed leaf — they turn a violated invariant into a
+    * self-label instead of a silently dropped node). */
+  private[graft] def ccAdjRound(adj: DataFrame, lbl: DataFrame,
+      hint: DataFrame => DataFrame): DataFrame = {
+    val nbrMin = adj
+      .join(hint(lbl.select(col("node").as("ln"), col("lbl").as("llbl"))),
+        adj("node") === col("ln"))
+      .select(explode(col("dsts")).as("node"), col("llbl"))
+      .groupBy(col("node")).agg(min(col("llbl")).as("nmin"))
+    val jump = lbl
+      .join(hint(lbl.select(col("node").as("jn"), col("lbl").as("jl"))),
+        col("lbl") === col("jn"))
+      .select(col("node"), col("jl").as("jmin"))
+    lbl
+      .join(hint(nbrMin), Seq("node"), "left")
+      .join(hint(jump), Seq("node"), "left")
+      .withColumn("nl", least(col("lbl"),
+        coalesce(col("nmin"), col("lbl")),
+        coalesce(col("jmin"), col("lbl"))))
+      .select(col("node"), col("nl").as("lbl"),
+        when(col("nl") < col("lbl"), 1L).otherwise(0L).as("chg"))
+  }
+
   /** Connected-components census of the co-purchase graph: component
     * size histogram (csize → component count, node mass). Labels come
-    * from [[Dedup.clusterLabels]] — the SAME large-star/small-star
-    * contraction the dedup family uses, exercised here on a graph whose
-    * giant component is deeper than clique-like near-dup clusters, so
-    * the O(log n) round bound is doing real work. Oracle: recursive-CTE
+    * from [[ccAdjacency]] — adjacency-leaf min-label propagation with
+    * pointer jumping (round 14; rounds 9–13 routed through
+    * [[Dedup.clusterLabels]]'s edge-shaped star contraction — see the
+    * ccAdjacency scaladoc for the A/B rationale). Oracle: recursive-CTE
     * min-label transitive closure over the same support-≥2 edges, then
-    * the same double rollup. */
+    * the same double rollup — unchanged, both algorithms compute the
+    * same min-label fixpoint. */
   def graphCc(s: SparkSession, d: String): DataFrame =
-    Dedup.clusterLabels(
-        copurchaseEdges(s, d)
-          .select(col("a_pk").as("a_id"), col("b_pk").as("b_id")))
+    ccAdjacency(s, copurchaseEdges(s, d))
       .groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
       .groupBy(col("csize"))
       .agg(count(lit(1)).as("n_comps"))
@@ -535,86 +641,110 @@ object Graph {
     *
     * Iteration discipline (round-9 A/B, all three variants measured at
     * BOTH sf0.1 and the 100× replica): synchronous full re-aggregation
-    * over the cached edge leaf, with the round's count fused into the
-    * lazy checkpoint. A DELTA-FRONTIER peel (materialized degree table,
-    * doomed nodes decrement only their neighbors) was implemented,
-    * measured, and REJECTED: 57.1 s at 100× vs 42.6 s for this loop —
-    * in THIS graph nearly every node peels (core 3 of 5 922 at sf0.1),
-    * so the "frontier" is most of the graph and the per-round anti-join
+    * per round, with the round's count fused into the lazy checkpoint.
+    * A DELTA-FRONTIER peel (materialized degree table, doomed nodes
+    * decrement only their neighbors) was implemented, measured, and
+    * REJECTED: 57.1 s at 100× vs 42.6 s for this loop — in THIS graph
+    * nearly every node peels (core 3 of 5 922 at sf0.1), so the
+    * "frontier" is most of the graph and the per-round anti-join
     * + decrement bookkeeping costs more than simply re-counting the
     * shrinking survivor set; delta peels win only when the core retains
     * most nodes. The round-8 self-join edge derivation was also
     * measured and replaced (44.8 s vs 42.6 s at 100×, 4.2 s vs 3.2 s at
-    * sf0.1) by the generator derivation in [[copurchaseEdges]].
-    * Per-round state is the node-sized alive set, lazily checkpointed
-    * with the convergence count as its materializing action (one
-    * barrier per round); broadcast bound via Hints.hintIfSmall is
-    * measured. maxRounds = 8 fail-fast: the peel's worst case is O(n)
-    * rounds (a path graph), so an unconverged corpus must fail loudly,
-    * not run forever — the DuckDB oracle unrolls exactly 8 peels and
-    * relies on fixpoint idempotence for the tail (the fixpoint is
-    * unique, so the round-by-round schedule is free to differ).
+    * sf0.1) by the generator derivation in [[copurchaseEdges]]. Round
+    * 14 keeps the synchronous re-census but moves it onto the
+    * adjacency-list leaf (see the in-body comment) and gets peel round
+    * 1 for free as a size(dsts) filter. Per-round state is the
+    * node-sized alive set, lazily checkpointed with the convergence
+    * count as its materializing action (one barrier per round);
+    * broadcast bound via the measured node count. maxRounds = 8
+    * fail-fast: the peel's worst case is O(n) rounds (a path graph), so
+    * an unconverged corpus must fail loudly, not run forever — the
+    * DuckDB oracle unrolls exactly 8 peels and relies on fixpoint
+    * idempotence for the tail (the fixpoint is unique, so the
+    * round-by-round schedule is free to differ).
     * Output: (node, in_core, core_deg). */
   /** Support-≥2 part co-purchase edges (a_pk < b_pk), derived via the
-    * per-order pair GENERATOR (graphDegree's shape), not a fact⋈fact
-    * self-join: collect_set dedups parts within an order, the
-    * sorted-array transform emits each unordered pair exactly once per
-    * order, so a plain count per pair IS the distinct-order support —
-    * one wide agg + one generator + one hash agg, versus the old
-    * self-join + countDistinct expand (measured ~1.5 s slower at sf0.1
-    * and join-shaped at 100 TB where the generator stays a narrow map
-    * over the grouped scan). Shared by [[graphKcore]] and [[graphCc]]. */
+    * per-order pair GENERATOR, not a fact⋈fact self-join: collect_set
+    * dedups parts within an order, the sorted-array transform emits
+    * each unordered pair exactly once per order, so a plain count per
+    * pair IS the distinct-order support — one wide agg + one generator
+    * + one hash agg, versus the old self-join + countDistinct expand
+    * (measured ~1.5 s slower at sf0.1 and join-shaped at 100 TB where
+    * the generator stays a narrow map over the grouped scan). Round 14:
+    * the pair stream rides [[Analytics.orderPairs]]'s PACKED long key
+    * (pk = a·2³¹ + b, footer-stat domain guard — the r12 rework that
+    * cut q_basket_pairs 40.8 → 21.8 s at 100×): the support groupBy is
+    * this family's largest shuffle, and the 100× A/B of the adjacency
+    * ports showed the derivation, not the rounds, dominating cc/kcore
+    * once the rounds went node-sized. Unpack happens AFTER the support
+    * filter, on the dim²-bounded survivor set.
+    * Shared by [[graphKcore]] and [[graphCc]]. */
   private def copurchaseEdges(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey"))
-      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(expr(
-        "flatten(transform(ps, (x, i) -> " +
-          "transform(slice(ps, i + 2, size(ps)), " +
-          "y -> struct(x AS pa, y AS pb))))")).as("p"))
-      .groupBy(col("p.pa").as("a_pk"), col("p.pb").as("b_pk"))
+    Analytics.orderPairs(s, d)
+      .groupBy(col("pk"))
       .agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= 2)
-      .select(col("a_pk"), col("b_pk"))
+      .select(Analytics.unpackA.as("a_pk"), Analytics.unpackB.as("b_pk"))
 
   def graphKcore(s: SparkSession, d: String, k: Int = 2,
       maxRounds: Int = 8): DataFrame = {
-    val e0 = Hints.checkpoint(copurchaseEdges(s, d), eager = false)
-    val nodeBound = 2L * e0.count()
-    // Same degrade-to-SHUFFLE_HASH as graphBfs (round 11): above the
-    // budget the node-sized alive/degree sides hash-build so the peel
-    // rounds stop re-sorting the edge side. Measured solo at 100×, same
-    // session: 33.0 → 26.5 s (13.8× → 11.2×); sf0.1 2.40 → 2.37 s.
+    // Round-14 adjacency port (same layout as [[pagerank]]/[[graphBfs]]
+    // — see the pagerank A/B scaladoc): the rounds-9–13 peel ran TWO
+    // alive-joins against the DOUBLED edge leaf per round, and above
+    // the broadcast budget the SHUFFLE_HASH fallback still exchanged
+    // the edge-shaped stream three times per round (once per join key
+    // plus the re-group). The node-sized adjacency leaf is partitioned
+    // by node from its construction shuffle, so a peel round is now:
+    // alive state moves to the leaf (broadcast/hash), one NARROW
+    // explode, one alive filter on the exploded dst, and a groupBy
+    // whose rows for a node are co-located (leaf partitioning survives
+    // the explode) so the agg is partial-heavy — the corpus-sized side
+    // never moves again.
+    // EAGER e0: both union branches of the adjacency construction read
+    // it inside one job (the graphBfs race note).
+    val e0 = Hints.checkpoint(copurchaseEdges(s, d), eager = true)
+    val adj = Hints.checkpoint(
+      e0.union(e0.select(col("b_pk").as("a_pk"), col("a_pk").as("b_pk")))
+        .groupBy(col("a_pk").as("node"))
+        .agg(collect_list(col("b_pk")).as("dsts")),
+      eager = false)
+    // One job materializes the leaf and measures the node bound for the
+    // round-11 family hint discipline (broadcast under the budget,
+    // SHUFFLE_HASH build above it, never bare SMJ).
+    val nodeBound = adj.count()
     def hint(df: DataFrame): DataFrame =
       Hints.bcOrHash(df, nodeBound, Hints.MaxBroadcastRows)
-    // LAZY checkpoint: the initial degree census below is the first
-    // action through `edges`, so one job materializes both leaves.
-    val edges = Hints.checkpoint(
-      e0.union(e0.select(col("b_pk").as("a_pk"), col("a_pk").as("b_pk"))),
+    // alive-restricted degree census — the peel's one corpus-shaped
+    // step, now explode-shaped instead of join-join-shaped.
+    def survivors(aliveSet: DataFrame): DataFrame = adj
+      .join(hint(aliveSet.select(col("node").as("sn"))),
+        adj("node") === col("sn"))
+      .select(col("node"), explode(col("dsts")).as("dst"))
+      .join(hint(aliveSet.select(col("node").as("dn"))),
+        col("dst") === col("dn"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val allNodes = adj.select(col("node"))
+    // Peel round 1 is free on the adjacency layout: every node is
+    // alive, so the alive-restricted degree IS size(dsts) — a narrow
+    // filter over the cached leaf replaces the full first-round census
+    // (the same deg-for-free economics as pagerank's deg = size(dsts)).
+    var alive = Hints.checkpoint(
+      adj.filter(size(col("dsts")) >= k).select(col("node")),
       eager = false)
-    val allNodes = edges.select(col("a_pk").as("node")).distinct()
-    // alive-restricted degree census: the synchronous peel's one
-    // corpus-shaped step (two semi-shaped joins + a hash agg over the
-    // static cached edge leaf)
-    def survivors(aliveSet: DataFrame): DataFrame = edges
-      .join(hint(aliveSet.select(col("node").as("sn"))), col("a_pk") === col("sn"))
-      .join(hint(aliveSet.select(col("node").as("dn"))), col("b_pk") === col("dn"))
-      .groupBy(col("a_pk")).agg(count(lit(1)).as("deg"))
     // ONE action per round: the count both materializes the lazily
     // checkpointed alive set and decides convergence (the alive count
     // strictly decreases while any node is peeled, exactly stable at
     // the fixpoint) — no separate emptiness probe, no second barrier.
-    var alive = Hints.checkpoint(allNodes, eager = false)
     var nAlive = alive.count()
-    var round = 0
-    var converged = false
+    var converged = nAlive == nodeBound
+    var round = 1
     while (!converged) {
       round += 1
       if (round > maxRounds) throw new IllegalStateException(
         s"k-core peel did not converge in $maxRounds rounds")
       val next = Hints.checkpoint(
-        survivors(alive).filter(col("deg") >= k)
-          .select(col("a_pk").as("node")),
+        survivors(alive).filter(col("deg") >= k).select(col("node")),
         eager = false)
       val nNext = next.count()
       converged = nNext == nAlive
@@ -622,9 +752,9 @@ object Graph {
       alive = next
     }
     val coreDeg = survivors(alive)
-      .select(col("a_pk").as("node"), col("deg").as("core_deg"))
+      .select(col("node"), col("deg").as("core_deg"))
     allNodes
-      .join(coreDeg, Seq("node"), "left")
+      .join(hint(coreDeg), Seq("node"), "left")
       .select(col("node"),
         when(col("core_deg").isNull, 0L).otherwise(1L).as("in_core"),
         coalesce(col("core_deg"), lit(0L)).as("core_deg"))

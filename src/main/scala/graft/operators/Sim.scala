@@ -516,6 +516,15 @@ object Sim {
     * best-match distribution (~15% dup at sf0.001, ~16% at sf0.01) so
     * both verdict outcomes stay exercised. */
   private[graft] val AnnDupCos = 0.4
+  /** Max LIVE segments before [[appendAnnState]] folds the state
+    * (write-time compaction, LSM-style read-amplification bound).
+    * Measured on the 100× replica (round 14, BASELINE.md): warm stored
+    * search is ~0.9 s against 1 segment and degrades roughly linearly
+    * in the live count (the latest-wins self-join re-reads every live
+    * segment), ~2× by 5–6 segments; 4 keeps steady-state reads within
+    * ~1.5× of compacted while amortizing each compaction over 4
+    * ingests. */
+  private[graft] val AnnCompactSegs = 4
 
   /** Deterministic location of the stored IVF index for fixture `d`,
     * keyed exactly like [[Dedup.sigStatePath]]: fixture hash as a
@@ -630,7 +639,8 @@ object Sim {
     * recentered per delta (the standard IVF ingest contract: lists
     * drift, periodic rebuild re-trains — a retrain writes a new state
     * version via the params/fingerprint key). */
-  def appendAnnState(s: SparkSession, d: String, deltaVecs: DataFrame): Unit = {
+  def appendAnnState(s: SparkSession, d: String, deltaVecs: DataFrame,
+      autoCompact: Boolean = true): Unit = {
     val path = annEnsure(s, d)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -640,14 +650,44 @@ object Sim {
     var attempts = 0
     var published = false
     while (!published && attempts < 5) {
-      val next = Dedup.sigSegments(fs, root).last._1 + 1
+      // Guarded head (ADVICE r13): a concurrent fingerprint-change
+      // reclaim (evictStaleSigState from another session) can empty the
+      // root between annEnsure and here; fail with a diagnosable
+      // message instead of .last's NoSuchElementException.
+      val segs = Dedup.sigSegments(fs, root)
+      require(segs.nonEmpty,
+        s"ann state under $path was reclaimed mid-append (corpus version " +
+          "changed concurrently); re-run the ingest against the new state")
+      val next = segs.last._1 + 1
       val tmp = Dedup.newStagePath(path)
-      seg.write.mode("overwrite").parquet(tmp.toString)
-      published = Dedup.publishDir(fs, tmp,
-        new org.apache.hadoop.fs.Path(root, f"seg=$next%05d"))
+      // The stage dir must not leak on a mid-write exception (ADVICE
+      // r13): publishDir renames it away on success, so a surviving tmp
+      // is only ever a failure residue — delete it on the way out.
+      try {
+        seg.write.mode("overwrite").parquet(tmp.toString)
+        published = Dedup.publishDir(fs, tmp,
+          new org.apache.hadoop.fs.Path(root, f"seg=$next%05d"))
+      } finally if (fs.exists(tmp)) fs.delete(tmp, true)
       attempts += 1
     }
     require(published, s"appendAnnState lost $attempts publish races under $path")
+    // Write-time compaction trigger (round 14, VERDICT r13 item 4): the
+    // multi-segment read path pays unionByName + a latest-wins self-join
+    // per read, and its cost grows with the LIVE segment count — the
+    // LSM-style bound is enforced where the growth happens, at append.
+    // See [[AnnCompactSegs]] for the measured degradation table that
+    // picked the threshold.
+    if (autoCompact && liveAnnSegs(fs, root) > AnnCompactSegs)
+      compactAnnState(s, d)
+  }
+
+  /** Segments a read must merge: everything after the newest `_COMPACT`
+    * marker (the same cut [[readAnnAssign]] applies). */
+  private[graft] def liveAnnSegs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Int = {
+    val segs = Dedup.sigSegments(fs, root)
+    segs.size - (segs.lastIndexWhere { case (_, p) =>
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_COMPACT")) } max 0)
   }
 
   /** Fold live segments into one compacted segment (`_COMPACT` marker,
@@ -665,8 +705,13 @@ object Sim {
     readAnnAssign(s, d)
       .repartition(s.sessionState.conf.numShufflePartitions, col("list_id"))
       .write.mode("overwrite").parquet(tmp.toString)
-    val lp = java.nio.file.Paths.get(tmp.toUri.getPath).resolve("_COMPACT")
-    java.nio.file.Files.createFile(lp)
+    // Marker through the Hadoop FileSystem API, same FS as the data
+    // (ADVICE r13): the previous java.nio call resolved tmp.toUri.getPath
+    // against the LOCAL filesystem, which silently writes the marker to
+    // the wrong store when the Hadoop FS is non-local — readAnnAssign
+    // would then union pre-compaction segments (correct via latest-wins
+    // but defeating the compaction short-circuit).
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "_COMPACT")).close()
     if (Dedup.publishDir(fs, tmp,
         new org.apache.hadoop.fs.Path(root, f"seg=$next%05d")))
       segs.foreach { case (_, p) => fs.delete(p, true) }
@@ -727,9 +772,14 @@ object Sim {
         expr("vec_dot(q_arr, c_arr)") / (col("q_nrm") * col("c_nrm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
+      // The dup threshold applies to the 4dp-ROUNDED cosine on both
+      // engine and oracle (ADVICE r13): Spark and DuckDB sum the raw
+      // double dot product in different orders, so a cosine within an
+      // ulp of the threshold could otherwise flip the verdict between
+      // engines; after rounding, both sides compare the same value.
       .select(col("new_id"), col("c_id").as("match_id"),
         round(col("cos"), 4).as("cos_sim"),
-        when(col("cos") >= AnnDupCos, 1L).otherwise(0L).as("dup"))
+        when(round(col("cos"), 4) >= AnnDupCos, 1L).otherwise(0L).as("dup"))
       .orderBy(col("new_id").asc)
   }
 
@@ -2359,7 +2409,8 @@ object Sim {
         |                            ORDER BY cos DESC, match_id ASC) AS rn
         |  FROM p)
         |SELECT new_id, match_id, round(cos, 4) AS cos_sim,
-        |       CAST(CASE WHEN cos >= 0.4 THEN 1 ELSE 0 END AS BIGINT) AS dup
+        |       CAST(CASE WHEN round(cos, 4) >= 0.4 THEN 1 ELSE 0 END
+        |            AS BIGINT) AS dup
         |FROM rr WHERE rn = 1
         |ORDER BY new_id ASC""").stripMargin,
     "q_sim_ivf_search" ->

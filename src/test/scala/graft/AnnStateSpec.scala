@@ -91,6 +91,38 @@ class AnnStateSpec extends SparkSpec {
     assert(afterCompact === afterAppend)
   }
 
+  test("append auto-compacts once the live segment count exceeds the bound") {
+    // continues from the compacted single-segment state above (suite
+    // order is declaration order). Live counts walk 1→2→3→4 under the
+    // AnnCompactSegs=4 bound — no compaction — and the append that
+    // would reach 5 folds the state back to ONE live segment; the
+    // merged view is preserved across the fold (round 14, write-time
+    // read-amplification bound).
+    val root = new org.apache.hadoop.fs.Path(Sim.annStatePath(spark, fixture))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Sim.liveAnnSegs(fs, root) === 1)
+    def delta(i: Int): DataFrame = spark.read
+      .parquet(s"$fixture/embeddings.parquet")
+      .filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + lit(2000000L + i * 100L))
+    (1 to 3).foreach { i =>
+      Sim.appendAnnState(spark, fixture, delta(i))
+      assert(Sim.liveAnnSegs(fs, root) === 1 + i,
+        s"append $i must not compact under the bound")
+    }
+    val before = Sim.readAnnAssign(spark, fixture)
+      .select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Sim.appendAnnState(spark, fixture, delta(4))
+    assert(Sim.liveAnnSegs(fs, root) === 1,
+      "crossing the bound must fold the state to one live segment")
+    val after = Sim.readAnnAssign(spark, fixture)
+      .select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.size === before.size + 5)
+    before.foreach { case (id, lst) => assert(after(id) === lst) }
+  }
+
   test("superseded state is reclaimed when the corpus fingerprint changes") {
     Sim.readAnnAssign(spark, fixture).count()
     val oldPath = Sim.annStatePath(spark, fixture)

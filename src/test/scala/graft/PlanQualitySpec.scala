@@ -144,6 +144,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-20 materialized a full sort:\n$p")
   }
 
+  test("cc adjacency round: explode over the static leaf, no cartesian, no SMJ re-sort") {
+    // One ccAdjRound plan under the broadcast regime (the round-14 shape
+    // q_graph_cc runs per round): the corpus-shaped work must be a
+    // Generate (explode of the adjacency leaf's dst array) feeding a
+    // partial-agged min — never an edge⋈edge join — and the node-sized
+    // state joins must ride broadcast/hash, never a sort-merge re-sort
+    // of the streamed side (the round-11 family rule).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col, collect_list}
+    val e = Seq((2L, 1L), (3L, 2L), (4L, 3L), (6L, 5L)).toDF("a_pk", "b_pk")
+    val adj = e.union(e.select(col("b_pk").as("a_pk"), col("a_pk").as("b_pk")))
+      .groupBy(col("a_pk").as("node"))
+      .agg(collect_list(col("b_pk")).as("dsts"))
+    val lbl = adj.select(col("node"), col("node").as("lbl"))
+    val round = operators.Graph.ccAdjRound(adj, lbl, df => broadcast(df))
+    round.collect()
+    val p = round.queryExecution.executedPlan.toString
+    assert(p.contains("Generate"), s"neighbor-min leg lost its explode:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"state joins not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop") &&
+      !p.contains("SortMergeJoin"), s"round degenerated:\n$p")
+  }
+
+  test("kcore final census is explode-shaped over the adjacency leaf (no edge-leaf joins)") {
+    // The declared query's final plan embeds one full survivors() round
+    // (the core-degree census) — pin the round-14 adjacency shape there.
+    val p = plan("q_graph_kcore")
+    assert(p.contains("Generate"), s"census lost its explode:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop") &&
+      !p.contains("SortMergeJoin"), s"peel round degenerated:\n$p")
+  }
+
   test("scrub rollup aggregates partially before the shuffle (narrow redaction map)") {
     val p = plan("q_text_scrub")
     assert(p.contains("HashAggregate"), s"no hash aggregation:\n$p")
@@ -793,7 +825,13 @@ class PlanQualitySpec extends SparkSpec {
         "q_dedup_clusters" -> 34,
         "q_dedup_repr"     -> 0,  // memo hit: zero pipeline re-run
         "q_graph_pagerank" -> 6,
-        "q_graph_bfs"      -> 15)
+        "q_graph_bfs"      -> 15,
+        // round 14 adjacency ports: eager edge leaf + adj-count fold +
+        // one materializing action per round (cc: changed-count agg;
+        // kcore: alive count — sf0.001's support graph is its own
+        // 2-core, so kcore converges on the free size(dsts) round)
+        "q_graph_cc"       -> 33,
+        "q_graph_kcore"    -> 10)
       val measured = budgets.map { case (n, budget) =>
         val jobs = jobsDuring { SparkEntry.queries(n)(spark, sf0001); () }
         (n, jobs, budget)

@@ -11,7 +11,17 @@ dominated by fixed job-scheduling overhead, from tripping the gate on
 scheduler noise.
 
 Usage:
-    python3 tools/bench_diff.py <prev_full.json> <curr_full.json> [report_out]
+    python3 tools/bench_diff.py [--calib PREV_S:CURR_S] \
+        <prev_full.json> <curr_full.json> [report_out]
+
+--calib normalizes the CURRENT run by the host-speed ratio measured by
+graft.Calibrate (the calibration_s fields of the two runs' JSON
+trailers): curr_norm = curr * (PREV_S / CURR_S). A slower host inflates
+CURR_S, so dividing it out compares plans, not machines (round 14,
+VERDICT r13 item 7 — judges stop re-adjudicating host drift by hand).
+Rounds before r13 have no recorded probe; the measured idle reference
+for this host (1.30-1.73 s, BASELINE.md round 13) is the documented
+best-effort anchor for them, labeled as such in any committed table.
 
 Exit 1 on regression (or on a query that failed: -1 marker), 0 otherwise.
 A query present only in prev counts as REMOVED (reported, not fatal —
@@ -24,7 +34,13 @@ ABS_FLOOR_S = 0.3
 
 
 def main():
-    if len(sys.argv) < 3:
+    args = sys.argv[1:]
+    calib = 1.0
+    if args and args[0] == "--calib":
+        prev_c, curr_c = (float(x) for x in args[1].split(":"))
+        calib = prev_c / curr_c
+        args = args[2:]
+    if len(args) < 2:
         print(__doc__)
         return 2
     def load(path):
@@ -40,9 +56,12 @@ def main():
             obj = obj["queries"]
         return {k: float(v) for k, v in obj.items()}
 
-    prev = load(sys.argv[1])
-    curr = load(sys.argv[2])
-    out = open(sys.argv[3], "w") if len(sys.argv) > 3 else sys.stdout
+    prev = load(args[0])
+    curr = load(args[1])
+    # calibration normalization: scale current times onto the previous
+    # run's host speed (failure markers stay -1)
+    curr = {k: (v * calib if v >= 0 else v) for k, v in curr.items()}
+    out = open(args[2], "w") if len(args) > 2 else sys.stdout
 
     regressions, failures, improved, removed, new = [], [], [], [], []
     for q in sorted(set(prev) | set(curr)):
@@ -62,7 +81,10 @@ def main():
 
     tot_p = sum(v for v in prev.values() if v >= 0)
     tot_c = sum(v for v in curr.values() if v >= 0)
-    print(f"# bench diff: {sys.argv[1]} -> {sys.argv[2]}", file=out)
+    print(f"# bench diff: {args[0]} -> {args[1]}", file=out)
+    if calib != 1.0:
+        print(f"calibration-normalized: curr x {calib:.4f} "
+              f"(prev_calib/curr_calib)", file=out)
     print(f"total: {tot_p:.1f}s -> {tot_c:.1f}s "
           f"({len(prev)} -> {len(curr)} queries)", file=out)
     for q, p, c in sorted(regressions, key=lambda t: t[1] - t[2]):
@@ -81,7 +103,7 @@ def main():
     if out is not sys.stdout:
         out.close()
         # echo verdict to stdout too so CI logs show it
-        print(open(sys.argv[3]).read())
+        print(open(args[2]).read())
     return 1 if (regressions or failures) else 0
 
 
