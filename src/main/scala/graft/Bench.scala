@@ -76,6 +76,9 @@ object Bench {
     }
     names.foreach(n => if (best.getOrElse(n, -1.0) < 0) failed += n)
     val calib = math.min(calibPre, Calibrate.measure("bench-post"))
+    // all-core twin (round 14): catches aggregate-throughput drift the
+    // serial probe is blind to (see Calibrate.runParallel scaladoc)
+    val calibAll = Calibrate.runParallel()
     val load = try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
                catch { case _: Throwable => "" }
     def f3(d: Double): String = "%.3f".format(d)
@@ -91,7 +94,7 @@ object Bench {
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{""" +
         shown.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString(",") +
         s"""},"sf":"$sfDir","reps":$reps,"n_queries":${best.size},"n_failed":${failed.size},""" +
-        s""""omitted_fastest":${omitted.size},"omitted_sum":${f3(omitted.map(_._2).sum)},"calibration_s":${f3(calib)},"loadavg":"$load"}"""
+        s""""omitted_fastest":${omitted.size},"omitted_sum":${f3(omitted.map(_._2).sum)},"calibration_s":${f3(calib)},"calibration_all_s":${f3(calibAll)},"loadavg":"$load"}"""
     var cut = sorted.size
     while (cut > 0 && fixedFmt(sorted.take(cut), sorted.drop(cut)).length > budget) cut -= 1
     val line = fixedFmt(sorted.take(cut), sorted.drop(cut))

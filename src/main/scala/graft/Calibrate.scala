@@ -52,4 +52,43 @@ object Calibrate {
       f"[calibrate] $tag rep1=${a.seconds}%.3f s rep2=${b.seconds}%.3f s checksum=${a.checksum}%x")
     math.min(a.seconds, b.seconds)
   }
+
+  /** ALL-CORE twin of [[run]] (round 14): the serial probe normalizes
+    * single-core drift only — the round-13 re-baseline and the round-14
+    * normalized cross-round table both show totals drifting while the
+    * serial probe stays flat, i.e. the host loses AGGREGATE throughput
+    * (neighbor VMs, SMT contention, memory bandwidth) that one thread
+    * cannot see. 32 threads each run a fixed serial-chain workload; the
+    * WALL time of the slowest is the all-core capacity number. ~1 s on
+    * an unloaded 32-vCPU host; rises toward the serial ratio × thread
+    * oversubscription under contention. */
+  final val ParThreads = 32
+  final val ParIters = 400000000L
+
+  def runParallel(threads: Int = ParThreads): Double = {
+    val sink = new java.util.concurrent.atomic.AtomicLong(0L)
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        var z = 0x9E3779B97F4A7C15L * (t + 1)
+        var acc = 0L
+        var i = 0L
+        while (i < ParIters) {
+          z += 0x9E3779B97F4A7C15L
+          var x = z
+          x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+          x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+          acc ^= x ^ (x >>> 31)
+          i += 1
+        }
+        sink.getAndAccumulate(acc, _ ^ _)
+        ()
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    ts.foreach(_.join())
+    val s = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"[calibrate] all-core $s%.3f s checksum=${sink.get()}%x")
+    s
+  }
 }

@@ -23,6 +23,7 @@ object TimeOne {
     val fn = SparkEntry.queries(args(0))
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     println(f"calib_pre ${Calibrate.run().seconds}%.3f s")
+    println(f"calib_all_pre ${Calibrate.runParallel()}%.3f s")
     fn(spark, "/root/testdata/sf0.001").count()
     for (i <- 1 to 3) {
       val t0 = System.nanoTime()
@@ -30,6 +31,7 @@ object TimeOne {
       println(f"rep$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     println(f"calib_post ${Calibrate.run().seconds}%.3f s")
+    println(f"calib_all_post ${Calibrate.runParallel()}%.3f s")
     spark.stop()
   }
 }

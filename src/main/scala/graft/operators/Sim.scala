@@ -518,12 +518,17 @@ object Sim {
   private[graft] val AnnDupCos = 0.4
   /** Max LIVE segments before [[appendAnnState]] folds the state
     * (write-time compaction, LSM-style read-amplification bound).
-    * Measured on the 100× replica (round 14, BASELINE.md): warm stored
-    * search is ~0.9 s against 1 segment and degrades roughly linearly
-    * in the live count (the latest-wins self-join re-reads every live
-    * segment), ~2× by 5–6 segments; 4 keeps steady-state reads within
-    * ~1.5× of compacted while amortizing each compaction over 4
-    * ingests. */
+    * Measured on the 100× replica (graft.AnnSegProbe, round 14 —
+    * BASELINE.md table): the step cost is CROSSING from 1 segment to
+    * any multi-segment state (warm stored search 0.73 s compacted →
+    * 1.26–1.52 s, ≈2×: the latest-wins self-join replaces the plain
+    * clustered scan), while additional bounded deltas are nearly flat
+    * (1k-row segments; the base segment dominates the merge). The
+    * threshold therefore trades the fixed ~3 s compaction job against
+    * restoring the 2× read short-circuit and bounding file-listing/
+    * union growth for corpus-fraction-sized deltas (where per-segment
+    * cost is NOT flat): 4 amortizes one compaction over 4 ingests while
+    * the steady state spends most reads compacted. */
   private[graft] val AnnCompactSegs = 4
 
   /** Deterministic location of the stored IVF index for fixture `d`,
