@@ -480,7 +480,10 @@ object Graph {
     * monotone non-increasing (every update is a min including the
     * current label) and only ever hold ids of nodes in the same
     * component (neighbors' labels and lbl(lbl(v)) both stay inside the
-    * component), so a zero-change round means lbl(v) ≤ lbl(u) across
+    * component). Under the frontier-delta rounds every label CHANGE is
+    * pushed to the neighbors exactly once (min is idempotent, so the
+    * already-pushed contributions of settled nodes persist in the
+    * state), hence a zero-change round means lbl(v) ≤ lbl(u) across
     * every edge in both directions ⇒ labels constant per component;
     * at the component minimum m, lbl(m) ≥ m (component ids only) and
     * lbl(m) ≤ m (monotone from init m), so the constant is the
@@ -510,43 +513,65 @@ object Graph {
     val nodeBound = adj.count()
     def hint(df: DataFrame): DataFrame = Hints.bcOrHash(df, nodeBound, maxBc)
     var lbl = adj.select(col("node"), col("node").as("lbl"))
+    // FRONTIER-DELTA rounds (round-14 A/B, measured at 100× same
+    // session, 2 interleaved reps per variant per run): only nodes
+    // whose label CHANGED last round re-explode their adjacency rows —
+    // an unchanged node's neighbor-min contribution was already taken
+    // (min is idempotent), so the label trajectory is IDENTICAL to
+    // full re-propagation round for round (the promotion probe
+    // cross-checked label-map equality before timing). Full variant
+    // 46.9/46.2 s best-rep vs delta 36.4/40.8 s on q_graph_cc's
+    // co-purchase edges — ~25% off the round share once the ~26 s
+    // shared derivation is subtracted. Note the round-9 k-core
+    // delta-peel REJECTION does not transfer here: the peel's frontier
+    // was "nodes about to die" (most of the graph, every round), while
+    // propagation's frontier is "labels still falling", which pointer
+    // jumping collapses fast and which excludes every already-settled
+    // small component. The jump leg stays full — node-sized, and it is
+    // what keeps the round bound logarithmic.
+    var frontier = lbl
+    var n = nodeBound
     var r = 0
-    var changed = nodeBound > 0
-    while (changed) {
+    while (n > 0) {
       r += 1
       if (r > maxRounds) throw new IllegalStateException(
         s"ccAdjacency: label propagation did not converge in $maxRounds rounds")
       // ONE action per round: the new state is LAZILY checkpointed and
-      // the changed-count aggregation is its materializing job.
-      val next = Hints.checkpoint(ccAdjRound(adj, lbl, hint), eager = false)
-      changed = next.agg(coalesce(sum(col("chg")), lit(0L)))
-        .head().getLong(0) > 0
+      // the changed-count (which is also next round's frontier bound)
+      // is its materializing job.
+      val next = Hints.checkpoint(ccAdjRound(adj, lbl, frontier, hint),
+        eager = false)
+      n = next.filter(col("chg") === 1).count()
+      frontier = next.filter(col("chg") === 1)
+        .select(col("node"), col("lbl"))
       lbl = next.select(col("node"), col("lbl"))
     }
     lbl
   }
 
   /** One [[ccAdjacency]] round: (node, lbl, chg). Exposed for
-    * PlanQualitySpec's round-shape pin. The neighbor-min leg is the
-    * only corpus-shaped work (explode over the static leaf); both
-    * joins that follow are node-sized. Left joins + coalesce are
-    * defensive totality (symmetric adjacency makes every node someone's
-    * dst and every label a live node id, so the fallbacks never bind on
-    * a well-formed leaf — they turn a violated invariant into a
-    * self-label instead of a silently dropped node). */
+    * PlanQualitySpec's round-shape pin. The push leg is the only
+    * corpus-shaped work (explode over the static leaf, restricted to
+    * the FRONTIER — the nodes whose labels changed last round; round 1
+    * passes the full state); the joins that follow are node-sized, and
+    * the push/jump legs are LEFT joins + coalesce because the delta
+    * restriction makes them legitimately partial (a node whose
+    * neighbors all settled receives no push; the jump fallback also
+    * covers the defensive-totality case — a violated leaf invariant
+    * becomes a self-label, never a silently dropped node). */
   private[graft] def ccAdjRound(adj: DataFrame, lbl: DataFrame,
-      hint: DataFrame => DataFrame): DataFrame = {
-    val nbrMin = adj
-      .join(hint(lbl.select(col("node").as("ln"), col("lbl").as("llbl"))),
-        adj("node") === col("ln"))
-      .select(explode(col("dsts")).as("node"), col("llbl"))
-      .groupBy(col("node")).agg(min(col("llbl")).as("nmin"))
+      frontier: DataFrame, hint: DataFrame => DataFrame): DataFrame = {
+    val push = adj
+      .join(hint(frontier.select(col("node").as("fn"), col("lbl").as("flbl"))),
+        adj("node") === col("fn"))
+      .select(explode(col("dsts")).as("node"), col("flbl"))
+      .groupBy(col("node")).agg(min(col("flbl")).as("nmin"))
     val jump = lbl
       .join(hint(lbl.select(col("node").as("jn"), col("lbl").as("jl"))),
         col("lbl") === col("jn"))
       .select(col("node"), col("jl").as("jmin"))
     lbl
-      .join(hint(nbrMin), Seq("node"), "left")
+      .join(hint(push), Seq("node"), "left")
       .join(hint(jump), Seq("node"), "left")
       .withColumn("nl", least(col("lbl"),
         coalesce(col("nmin"), col("lbl")),
@@ -680,7 +705,7 @@ object Graph {
     * once the rounds went node-sized. Unpack happens AFTER the support
     * filter, on the dim²-bounded survivor set.
     * Shared by [[graphKcore]] and [[graphCc]]. */
-  private def copurchaseEdges(s: SparkSession, d: String): DataFrame =
+  private[graft] def copurchaseEdges(s: SparkSession, d: String): DataFrame =
     Analytics.orderPairs(s, d)
       .groupBy(col("pk"))
       .agg(count(lit(1)).as("sup"))

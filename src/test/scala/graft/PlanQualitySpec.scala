@@ -158,7 +158,7 @@ class PlanQualitySpec extends SparkSpec {
       .groupBy(col("a_pk").as("node"))
       .agg(collect_list(col("b_pk")).as("dsts"))
     val lbl = adj.select(col("node"), col("node").as("lbl"))
-    val round = operators.Graph.ccAdjRound(adj, lbl, df => broadcast(df))
+    val round = operators.Graph.ccAdjRound(adj, lbl, lbl, df => broadcast(df))
     round.collect()
     val p = round.queryExecution.executedPlan.toString
     assert(p.contains("Generate"), s"neighbor-min leg lost its explode:\n$p")
