@@ -30,19 +30,39 @@ object Graph {
   /** (node, pr_micro, deg) after `rounds` iterations; node ids are
     * 'c<custkey>' / 's<suppkey>' strings so both halves share one rank
     * column. */
-  def pagerank(s: SparkSession, d: String, rounds: Int = 2,
-      maxBc: Long = Hints.MaxBroadcastRows): DataFrame = {
-    // Checkpoint the DIRECTED edge list, then symmetrize: a checkpoint of
-    // the union would execute the fact⋈fact join + distinct twice (once
-    // per union branch); over the cached leaf the swap projection is free.
-    val e0 = Hints.checkpoint(
+  /** Symmetrized ADJACENCY leaf of the bipartite customer↔supplier
+    * trade graph, built in ONE pass (round 14): the fact⋈fact join's
+    * (c, s) rows emit both directed edges through a narrow 2-element
+    * generator, and the groupBy's collect_set folds the old separate
+    * DISTINCT into the same shuffle's set-dedup. The rounds-1–13 shape
+    * (eager 120M-row distinct edge checkpoint `e0`, then
+    * union-of-swap → groupBy collect_list) paid one extra corpus-scale
+    * shuffle (the distinct) plus writing AND re-reading a 120M-row
+    * serialized cache whose only consumer was the adjacency groupBy —
+    * with the distinct folded in, the cache has no second reader and
+    * both costs vanish. collect_set order is nondeterministic, but
+    * every consumer is order-free (size(dsts), explode→sum). Measured
+    * same-session solo A/B at 100× (BASELINE.md round 14): pagerank
+    * 70.4 → 41.7 s, bfs 61.2 → 25.7 s warm best — both all-time
+    * records for this host. LAZY: the caller's
+    * node-bound count is the first action, so one job materializes the
+    * leaf and measures it. */
+  private def tradeAdjacency(s: SparkSession, d: String): DataFrame =
+    Hints.checkpoint(
       Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
         .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
-        .distinct(),
-      eager = true)
+        .select(concat(lit("c"), col("o_custkey")).as("cn"),
+          concat(lit("s"), col("l_suppkey")).as("sn"))
+        .select(explode(expr(
+          "array(struct(cn AS src, sn AS dst), struct(sn AS src, cn AS dst))"))
+          .as("e"))
+        .groupBy(col("e.src").as("node"))
+        .agg(collect_set(col("e.dst")).as("dsts")),
+      eager = false)
+
+  def pagerank(s: SparkSession, d: String, rounds: Int = 2,
+      maxBc: Long = Hints.MaxBroadcastRows): DataFrame = {
     // Round-10 locality A/B (all measured same-session on the 100×
     // replica, 24g): pre-partitioning the symmetrized EDGE LIST by src
     // and checkpointing THAT — so each round's join reuses the
@@ -50,29 +70,15 @@ object Graph {
     // (135.6 s with SMJ rounds, 136.8 s with shuffled-hash rounds, vs
     // 95.0 s baseline): the extra 120M-row construction shuffle plus
     // caching the DOUBLED list costs more than the per-round exchanges
-    // it saves. Round 13 revisits the same per-round-exchange target
-    // with the layout that does NOT double anything: an ADJACENCY-LIST
-    // leaf — one node-sized row per src with its dst array. The
-    // construction shuffle it pays (groupBy src) is the one the old
-    // `deg` leaf already paid (deg = size(dsts), free), the cache is
-    // node-count rows instead of 120M edge rows, and each round becomes
-    // ONE node-sized⋈node-sized join (adj partitioned by node from its
-    // construction shuffle — only the rank state moves) + a narrow
-    // explode + the partial-agged contribution shuffle. The old shape's
-    // per-round deg⋈rank join AND its 120M-row edge-side exchange both
-    // disappear. Measured same-session solo A/B at 100× (TimeOne, 24g,
-    // re-baselined host — BASELINE.md round-13): edge-shape best rep
-    // 136.1 s → adjacency best rep 59.7 s (2.3×); q_graph_bfs got the
-    // same layout, 102.0 → 45.2 s best rep (2.3×).
-    // LAZY, folded into the nodeBound count below: the count is the
-    // first action on adj itself, so one job materializes the leaf AND
-    // measures it (both union branches read the already-eager e0 cache,
-    // no double-compute race).
-    val adj = Hints.checkpoint(
-      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .groupBy(col("src").as("node"))
-        .agg(collect_list(col("dst")).as("dsts")),
-      eager = false)
+    // it saves. Round 13 hit the same per-round-exchange target with
+    // the ADJACENCY-LIST leaf — one node-sized row per src with its dst
+    // array, deg = size(dsts) free, each round ONE node⋈node join (adj
+    // partitioned by node from its construction shuffle — only the rank
+    // state moves) + a narrow explode + the partial-agged contribution
+    // shuffle; edge-shape best rep 136.1 s → 59.7 s (2.3×) at 100×,
+    // bfs 102.0 → 45.2 s. Round 14 then removed the remaining
+    // construction waste — see [[tradeAdjacency]].
+    val adj = tradeAdjacency(s, d)
     // Node state is node-count-sized and the checkpointed leaf carries no
     // size statistics; the measured node count (the job that also
     // finalizes adj) decides broadcast-vs-shuffle for every round's
@@ -82,11 +88,6 @@ object Graph {
     // side (never SMJ — the round-10/11 family rule: an SMJ fallback
     // re-sorts the streamed side for no reason), algebra unchanged.
     val nodeBound = adj.count()
-    // e0's serialized edge blocks are dead weight once adj materializes
-    // (nothing below references them); e0 goes unreachable when this
-    // function returns, so the ContextCleaner reclaims the blocks at the
-    // next GC — an explicit unpersist() would be a no-op on a
-    // localCheckpoint leaf (only the cache-manager path honors it).
     def hint(df: DataFrame): DataFrame =
       if (nodeBound <= maxBc) broadcast(df) else df.hint("SHUFFLE_HASH")
     var rank = adj.select(col("node"), lit(1000000L).as("pr"))
@@ -165,17 +166,6 @@ object Graph {
     * (the oracle unrolls the same 3 levels). */
   def graphBfs(s: SparkSession, d: String, maxHop: Int = 3): DataFrame = {
     import s.implicits._
-    val e0 = Hints.checkpoint(
-      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
-        .distinct(),
-      // EAGER: the adjacency construction below references e0 through
-      // both union branches inside ONE job — a lazy leaf would race its
-      // own materialization and compute the fact⋈fact join twice.
-      eager = true)
     // Round-13 adjacency layout (same rework as [[pagerank]] — see the
     // A/B discussion there): each level was an equi-join of the 120M-row
     // edge list against the frontier, and above the broadcast budget the
@@ -183,14 +173,12 @@ object Graph {
     // re-sort) still re-SHUFFLED the full edge side at every level. The
     // node-sized adjacency leaf is partitioned by node from its
     // construction shuffle, so a level is now frontier-exchange + narrow
-    // explode — the corpus-sized side never moves again. Frontier/visited
-    // joins keep the round-11 hint discipline (broadcast under the
-    // budget, SHUFFLE_HASH build above it, never bare SMJ).
-    val adj = Hints.checkpoint(
-      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .groupBy(col("src").as("node"))
-        .agg(collect_list(col("dst")).as("dsts")),
-      eager = false)
+    // explode — the corpus-sized side never moves again. Round 14 folds
+    // the edge distinct + eager 120M-row cache into the leaf's one
+    // groupBy ([[tradeAdjacency]]). Frontier/visited joins keep the
+    // round-11 hint discipline (broadcast under the budget, SHUFFLE_HASH
+    // build above it, never bare SMJ).
+    val adj = tradeAdjacency(s, d)
     val nodeBound = adj.count()
     def hint(df: DataFrame): DataFrame =
       Hints.bcOrHash(df, nodeBound, Hints.MaxBroadcastRows)
