@@ -94,7 +94,7 @@ object Bench {
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{""" +
         shown.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString(",") +
         s"""},"sf":"$sfDir","reps":$reps,"n_queries":${best.size},"n_failed":${failed.size},""" +
-        s""""omitted_fastest":${omitted.size},"omitted_sum":${f3(omitted.map(_._2).sum)},"calibration_s":${f3(calib)},"calibration_all_s":${f3(calibAll)},"loadavg":"$load"}"""
+        s""""omitted_fastest":${omitted.size},"omitted_sum":${f3(omitted.map(_._2).sum)},"calibration_s":${f3(calib)},"calibration_all_s":${f3(calibAll)},"calib_threads":${Calibrate.defaultParThreads},"loadavg":"$load"}"""
     var cut = sorted.size
     while (cut > 0 && fixedFmt(sorted.take(cut), sorted.drop(cut)).length > budget) cut -= 1
     val line = fixedFmt(sorted.take(cut), sorted.drop(cut))

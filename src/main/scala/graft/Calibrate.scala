@@ -61,11 +61,23 @@ object Calibrate {
     * cannot see. 32 threads each run a fixed serial-chain workload; the
     * WALL time of the slowest is the all-core capacity number. ~1 s on
     * an unloaded 32-vCPU host; rises toward the serial ratio × thread
-    * oversubscription under contention. */
-  final val ParThreads = 32
+    * oversubscription under contention.
+    *
+    * Thread count (ADVICE r14): the harness's executor-thread budget —
+    * SPARK_GRAFT_CPUS when set (what Bench/Headroom pass to local[n]),
+    * else the host's available processors. The old hardcoded 32
+    * measured oversubscription, not all-core capacity, on any
+    * non-32-vCPU host; the count used is logged with the number so
+    * cross-host values stay interpretable. */
   final val ParIters = 400000000L
 
-  def runParallel(threads: Int = ParThreads): Double = {
+  def defaultParThreads: Int =
+    sys.env.get("SPARK_GRAFT_CPUS")
+      .flatMap(c => scala.util.Try(c.trim.toInt).toOption)
+      .filter(_ > 0)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
+
+  def runParallel(threads: Int = defaultParThreads): Double = {
     val sink = new java.util.concurrent.atomic.AtomicLong(0L)
     val t0 = System.nanoTime()
     val ts = (0 until threads).map { t =>
@@ -88,7 +100,8 @@ object Calibrate {
     }
     ts.foreach(_.join())
     val s = (System.nanoTime() - t0) / 1e9
-    System.err.println(f"[calibrate] all-core $s%.3f s checksum=${sink.get()}%x")
+    System.err.println(
+      f"[calibrate] all-core $s%.3f s threads=$threads checksum=${sink.get()}%x")
     s
   }
 }

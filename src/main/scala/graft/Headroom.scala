@@ -290,7 +290,7 @@ object Headroom {
     val liveEnd = memBean.getHeapMemoryUsage.getUsed / (1024.0 * 1024 * 1024)
     val calib = Calibrate.measure("headroom-post")
     val calibAll = Calibrate.runParallel()
-    println(f"""{"metric":"headroom","reps":$reps,"n_queries":${sorted.size},"n_failed":${failedQ.size},"median_ratio":$median%.2f,"p90_ratio":$p90%.2f,"max_ratio":${sorted.last}%.2f,"sweep_gc":$sweepGc,"peak_heap_gb":$peakHeapGb%.1f,"max_exec_gb":$maxExec%.2f,"max_stor_gb":$maxStor%.2f,"live_end_gb":$liveEnd%.2f,"calibration_s":$calib%.3f,"calibration_all_s":$calibAll%.3f}""")
+    println(f"""{"metric":"headroom","reps":$reps,"n_queries":${sorted.size},"n_failed":${failedQ.size},"median_ratio":$median%.2f,"p90_ratio":$p90%.2f,"max_ratio":${sorted.last}%.2f,"sweep_gc":$sweepGc,"peak_heap_gb":$peakHeapGb%.1f,"max_exec_gb":$maxExec%.2f,"max_stor_gb":$maxStor%.2f,"live_end_gb":$liveEnd%.2f,"calibration_s":$calib%.3f,"calibration_all_s":$calibAll%.3f,"calib_threads":${Calibrate.defaultParThreads}}""")
     if (failedQ.nonEmpty) println(s"""{"failed":${failedQ.mkString("[\"", "\",\"", "\"]")}}""")
     spark.stop()
   }

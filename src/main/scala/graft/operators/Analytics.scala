@@ -503,6 +503,60 @@ object Analytics {
   private[operators] val unpackA = expr("pk div 2147483648L")
   private[operators] val unpackB = expr("pk % 2147483648L")
 
+  /** Session-scoped memo for the co-purchase pair-SUPPORT leaf — the
+    * `(pk, sup)` table (packed pair key → distinct-order support) that
+    * SIX declared queries derive identically and, until round 15, each
+    * re-derived from scratch: [[basketPairs]], [[basketLift]],
+    * Graph.graphDegree, and Graph.copurchaseEdges (feeding q_graph_cc,
+    * q_graph_kcore). PERF.md finding 33 measured that derivation (pair
+    * explode + support groupBy) as each consumer's DOMINANT stage at
+    * 100× (~26 s of every family query), so a suite/session ran the
+    * same ~300M-row shuffle six times. Same discipline as
+    * Dedup.labelMemo: keyed on `<scId>:<dir>@<lineitem fingerprint>`
+    * (a fixture regeneration invalidates, [[Hints.memoInsert]] evicts
+    * the stale sibling), dropped wholesale by measurement harnesses via
+    * Hints.evictAllMemos so sweep/solo numbers stay cold-cache honest.
+    * Accounting mirrors the dedup family's asymmetric convention:
+    * [[basketPairs]] — the canonical support query — always REBUILDS
+    * and refreshes the memo (its bench time keeps measuring the full
+    * derivation honestly); the other five consume the shared leaf and
+    * pay only their own filter/join/agg. */
+  private val pairSupportMemo = Hints.registerMemo(
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+
+  private def pairSupportKey(s: SparkSession, d: String): String =
+    System.identityHashCode(s.sparkContext) + ":" + d + "@" +
+      Tables.pathFingerprint(s, s"$d/lineitem.parquet")
+
+  /** LAZY checkpoint — the declared queries' lazy-construction contract
+    * (PlanQualitySpec: zero jobs at plan-construction time) holds for
+    * the basket/degree consumers, and the first consumer's ACTION
+    * materializes the leaf inside its own timed window. The ccAdjacency
+    * e0 race note does not apply: every consumer's plan reads the leaf
+    * exactly ONCE per job (kcore/cc's union-of-swap runs against their
+    * own EAGER e0 checkpoint, whose build scans this leaf once). */
+  private def buildPairSupport(s: SparkSession, d: String): DataFrame =
+    Hints.checkpoint(
+      orderPairs(s, d).groupBy(col("pk")).agg(count(lit(1)).as("sup")),
+      eager = false)
+
+  /** The shared leaf: distinct co-purchase pairs (packed key) with
+    * their support counts. `pairSupport.select(pk)` IS the distinct
+    * pair set (keys of the support groupBy), so the graph consumers
+    * need no separate distinct. */
+  private[graft] def pairSupport(s: SparkSession, d: String): DataFrame =
+    Hints.memoInsert(pairSupportMemo, pairSupportKey(s, d),
+      buildPairSupport(s, d))
+
+  /** [[basketPairs]]' rebuild-always entry: refresh the memo so later
+    * consumers in the same session reuse the fresh leaf (memoPut
+    * unpersists the displaced entry — no block leak). */
+  private def rebuildPairSupport(s: SparkSession, d: String): DataFrame = {
+    val leaf = buildPairSupport(s, d)
+    Hints.memoPut(pairSupportMemo, pairSupportKey(s, d), leaf)
+    leaf
+  }
+
   /** Market-basket co-occurrence — the association-rule support count:
     * part pairs appearing in the same order, top-20 by support. Pairs per
     * order grow C(lines, 2) — a natural bounded block (an order's line
@@ -511,21 +565,22 @@ object Analytics {
     * fact⋈fact join. Distinct parts within the order first: duplicate
     * lines of one part must not inflate support. */
   def basketPairs(s: SparkSession, d: String): DataFrame =
-    orderPairs(s, d)
-      .groupBy(col("pk"))
-      .agg(count(lit(1)).as("support"))
-      .orderBy(col("support").desc, col("pk").asc)
+    rebuildPairSupport(s, d)
+      .orderBy(col("sup").desc, col("pk").asc)
       .limit(20)
-      .select(unpackA.as("a_part"), unpackB.as("b_part"), col("support"))
+      .select(unpackA.as("a_part"), unpackB.as("b_part"),
+        col("sup").as("support"))
 
   /** Association-rule LIFT over the basket pairs — support alone ranks
     * popular×popular pairs first; lift = P(ab)/(P(a)·P(b)) corrects for
     * item popularity. Integer-exact as in q_text_colloc: lift_ppm =
     * support·n_orders·10⁶ div (supp_a·supp_b) compares the exact
     * rational (lift is monotone in it). Pair supports, item supports and
-    * the order count all derive from ONE [[orderParts]] stage (one
-    * shuffle of the fact); the order count rides a 1-row broadcast — the
-    * query stays one lazy plan with no driver-side action. Support floor
+    * the order count share their derivation: pair supports come from
+    * the memoized [[pairSupport]] leaf (round 15 — the six-consumer
+    * shared derivation, see the memo scaladoc); item supports and the
+    * order count from one [[orderParts]] stage (one fact shuffle); the
+    * order count rides a 1-row broadcast. Support floor
     * ≥ 3 applies the standard small-sample guard.
     *
     * The item-support table has one row per distinct ordered part —
@@ -547,11 +602,10 @@ object Analytics {
     def hintSupp(df: DataFrame): DataFrame =
       if (supBound >= 0 && supBound <= maxBc) broadcast(df)
       else df.hint("SHUFFLE_HASH")
-    orderPairs(s, d)
-      .groupBy(col("pk"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= 3)
-      .select(unpackA.as("a_part"), unpackB.as("b_part"), col("support"))
+    pairSupport(s, d)
+      .filter(col("sup") >= 3)
+      .select(unpackA.as("a_part"), unpackB.as("b_part"),
+        col("sup").as("support"))
       .join(hintSupp(itemSupp.select(col("l_partkey").as("a_part"),
         col("supp").as("supp_a"))), "a_part")
       .join(hintSupp(itemSupp.select(col("l_partkey").as("b_part"),

@@ -633,7 +633,7 @@ object Dedup {
     * segment is visible only if its parquet commit marker exists — and
     * since segments are PUBLISHED by atomic rename (below), a listed
     * segment is always whole. */
-  private[operators] def sigSegments(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def sigSegments(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Seq[(Int, org.apache.hadoop.fs.Path)] =
     if (!fs.exists(root)) Nil
     else fs.listStatus(root).toSeq
@@ -752,11 +752,21 @@ object Dedup {
     var attempts = 0
     var published = false
     while (!published && attempts < 5) {
-      val next = sigSegments(fs, root).last._1 + 1
+      // Guarded head + stage-dir cleanup: the ADVICE-r13/r14 hardening
+      // applied to the ANN twin (Sim.appendAnnState), carried here —
+      // a concurrent fingerprint-change reclaim can empty the root
+      // mid-append, and a mid-write exception must not leak .stage-*.
+      val segs = sigSegments(fs, root)
+      require(segs.nonEmpty,
+        s"sig state under $path was reclaimed mid-append (corpus version " +
+          "changed concurrently); re-run the ingest against the new state")
+      val next = segs.last._1 + 1
       val tmp = newStagePath(path)
-      seg.write.mode("overwrite").parquet(tmp.toString)
-      published = publishDir(fs, tmp,
-        new org.apache.hadoop.fs.Path(root, f"seg=$next%05d"))
+      try {
+        seg.write.mode("overwrite").parquet(tmp.toString)
+        published = publishDir(fs, tmp,
+          new org.apache.hadoop.fs.Path(root, f"seg=$next%05d"))
+      } finally if (fs.exists(tmp)) fs.delete(tmp, true)
       attempts += 1
     }
     require(published, s"appendSigState lost $attempts publish races under $path")
@@ -782,14 +792,20 @@ object Dedup {
     if (segs.size <= 1) return
     val next = segs.last._1 + 1
     val tmp = newStagePath(path)
-    readSigState(s, d).withColumn("tomb", lit(false))
-      .repartition(s.sessionState.conf.numShufflePartitions,
-        col("band_id"), col("bucket"))
-      .write.mode("overwrite").parquet(tmp.toString)
-    val lp = java.nio.file.Paths.get(tmp.toUri.getPath).resolve("_COMPACT")
-    java.nio.file.Files.createFile(lp)
-    if (publishDir(fs, tmp, new org.apache.hadoop.fs.Path(root, f"seg=$next%05d")))
-      segs.foreach { case (_, p) => fs.delete(p, true) }
+    // Marker through the Hadoop FileSystem API + stage-dir cleanup on
+    // any mid-compaction failure — the ADVICE-r13/r14 hardening applied
+    // to the ANN twin (Sim.compactAnnState), carried here: the java.nio
+    // call resolved against the LOCAL filesystem (wrong store when the
+    // Hadoop FS is non-local), and a mid-write exception leaked .stage-*.
+    try {
+      readSigState(s, d).withColumn("tomb", lit(false))
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("band_id"), col("bucket"))
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.create(new org.apache.hadoop.fs.Path(tmp, "_COMPACT")).close()
+      if (publishDir(fs, tmp, new org.apache.hadoop.fs.Path(root, f"seg=$next%05d")))
+        segs.foreach { case (_, p) => fs.delete(p, true) }
+    } finally if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 
   /** The LIVE merged view of the stored signature state: segments from

@@ -27,9 +27,6 @@ import graft.Tables
   */
 object Graph {
 
-  /** (node, pr_micro, deg) after `rounds` iterations; node ids are
-    * 'c<custkey>' / 's<suppkey>' strings so both halves share one rank
-    * column. */
   /** Symmetrized ADJACENCY leaf of the bipartite customer↔supplier
     * trade graph, built in ONE pass (round 14): the fact⋈fact join's
     * (c, s) rows emit both directed edges through a narrow 2-element
@@ -61,8 +58,77 @@ object Graph {
         .agg(collect_set(col("e.dst")).as("dsts")),
       eager = false)
 
+  /** Degree cap for one adjacency row (round 15, VERDICT r14 item 5 —
+    * the hub guard). The collect_set/collect_list leaves emit ONE row
+    * per node; on the driver fixtures degree is bounded (q_graph_degree
+    * max_deg measures it), but at true 100-TB scale a power-law hub
+    * makes a single unbounded row — a 100M-neighbor hub is an ~800 MB
+    * aggregation-buffer state and shuffle row that no task memory
+    * survives. 2²¹ entries ≈ 16 MB of longs (strings ~2-3×) keeps the
+    * worst single row an order of magnitude under the 128 MB partition
+    * budget while never firing on any driver fixture (100× max_deg is
+    * ~10³). Above the cap the leaf is rebuilt DEGREE-CAPPED: each
+    * node's dsts hash-split into ceil(maxDeg/[[HubSegWidth]]) segments
+    * (one row per non-empty (node, segment)); every consumer's
+    * contribution algebra is segment-associative (pagerank's sum — each
+    * dst lives in exactly one segment of its src, so per-dst sums are
+    * disjoint unions; bfs/cc's min; kcore's count), so rounds run
+    * UNCHANGED over the segmented leaf and only total-degree reads
+    * (deg column) come from the node-sized degree table instead of
+    * size(dsts). HubGuardSpec pins force-segmented ≡ unsegmented
+    * output equality for all four iterative queries (integer algebra —
+    * exact, not approximate). */
+  private[graft] val HubDegCap = 1 << 21
+  /** Target entries per segment row after a hub split: 2¹⁶ ≈ 512 KB of
+    * longs per row — small enough that post-split skew is task-grain,
+    * large enough that a split leaf stays ~node-sized, not edge-sized. */
+  private[graft] val HubSegWidth = 1 << 16
+
+  /** Materializes a lazily-checkpointed `(node, dsts)` leaf with ONE
+    * job that also measures (rowCount, maxDeg) — the max-degree probe
+    * rides the same action that previously was a bare count, so the
+    * guard is free in the un-hubbed case. Returns
+    * `(adj(node, dsts, deg), nodes(node, deg), nodeBound)`; above the
+    * cap, adj is the degree-capped segmented rebuild (built FROM the
+    * materialized leaf — no second corpus shuffle) and `deg`/`nodes`
+    * read the node-sized degree table. */
+  private[graft] def hubGuard(raw: DataFrame, cap: Int = HubDegCap,
+      width: Int = HubSegWidth,
+      maxBc: Long = Hints.MaxBroadcastRows): (DataFrame, DataFrame, Long) = {
+    val st = raw.agg(count(lit(1)).as("n"),
+      max(size(col("dsts"))).as("md")).head()
+    val rows = st.getLong(0)
+    val maxDeg = if (st.isNullAt(1)) 0 else st.getInt(1)
+    if (maxDeg <= cap) {
+      val deg = size(col("dsts")).cast("long")
+      (raw.withColumn("deg", deg), raw.select(col("node"), deg.as("deg")),
+        rows)
+    } else {
+      val nSegs = (maxDeg.toLong + width - 1) / width
+      val seg = Hints.checkpoint(
+        raw.select(col("node"), explode(col("dsts")).as("dst"))
+          .groupBy(col("node"),
+            pmod(xxhash64(col("dst")), lit(nSegs)).as("sg"))
+          .agg(collect_list(col("dst")).as("dsts")),
+        eager = true)
+      val nodes = Hints.checkpoint(
+        seg.groupBy(col("node")).agg(sum(size(col("dsts"))).as("deg")),
+        eager = false)
+      val nodeBound = nodes.count()
+      val adj = seg.join(Hints.bcOrHash(nodes, nodeBound, maxBc), "node")
+        .select(col("node"), col("dsts"), col("deg"))
+      (adj, nodes, nodeBound)
+    }
+  }
+
+  /** (node, pr_micro, deg) after `rounds` iterations; node ids are
+    * 'c<custkey>' / 's<suppkey>' strings so both halves share one rank
+    * column. (ADVICE r14: doc block moved here from above
+    * [[tradeAdjacency]], where the round-14 leaf extraction had left it
+    * dangling on the wrong symbol.) */
   def pagerank(s: SparkSession, d: String, rounds: Int = 2,
-      maxBc: Long = Hints.MaxBroadcastRows): DataFrame = {
+      maxBc: Long = Hints.MaxBroadcastRows,
+      hubCap: Int = HubDegCap): DataFrame = {
     // Round-10 locality A/B (all measured same-session on the 100×
     // replica, 24g): pre-partitioning the symmetrized EDGE LIST by src
     // and checkpointing THAT — so each round's join reuses the
@@ -78,30 +144,33 @@ object Graph {
     // shuffle; edge-shape best rep 136.1 s → 59.7 s (2.3×) at 100×,
     // bfs 102.0 → 45.2 s. Round 14 then removed the remaining
     // construction waste — see [[tradeAdjacency]].
-    val adj = tradeAdjacency(s, d)
     // Node state is node-count-sized and the checkpointed leaf carries no
     // size statistics; the measured node count (the job that also
-    // finalizes adj) decides broadcast-vs-shuffle for every round's
-    // state join. Under the threshold this avoids the planner
+    // finalizes adj — and, round 15, measures the hub guard's max
+    // degree in the same action) decides broadcast-vs-shuffle for every
+    // round's state join. Under the threshold this avoids the planner
     // shuffle-joining a 16k-row state table per round; above it each
     // round degrades to a SHUFFLE_HASH build on the node-sized rank
     // side (never SMJ — the round-10/11 family rule: an SMJ fallback
     // re-sorts the streamed side for no reason), algebra unchanged.
-    val nodeBound = adj.count()
+    val (adj, nodes, nodeBound) = hubGuard(tradeAdjacency(s, d), hubCap)
     def hint(df: DataFrame): DataFrame =
       if (nodeBound <= maxBc) broadcast(df) else df.hint("SHUFFLE_HASH")
-    var rank = adj.select(col("node"), lit(1000000L).as("pr"))
+    var rank = nodes.select(col("node"), lit(1000000L).as("pr"))
     for (_ <- 1 to rounds) {
+      // `deg` is size(dsts) on the un-hubbed leaf and the node total on
+      // a segmented one; each dst lives in exactly ONE segment of its
+      // src, so the per-dst contribution sums are disjoint unions —
+      // integer-identical either way.
       rank = adj.join(hint(rank), "node")
-        .select(expr("pr div size(dsts)").as("contrib"),
+        .select(expr("pr div deg").as("contrib"),
           explode(col("dsts")).as("dst"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("in_sum"))
         .select(col("dst").as("node"),
           (lit(150000L) + expr("(850 * in_sum) div 1000")).as("pr"))
     }
-    rank.join(hint(adj.select(col("node"),
-        expr("CAST(size(dsts) AS BIGINT)").as("deg"))), "node")
+    rank.join(hint(nodes), "node")
       .select(col("node"), col("pr"), col("deg"))
   }
 
@@ -164,7 +233,8 @@ object Graph {
     * FIXED so the declared output is a deterministic snapshot; the hop-3
     * frontier is whatever the third expansion reaches, converged or not
     * (the oracle unrolls the same 3 levels). */
-  def graphBfs(s: SparkSession, d: String, maxHop: Int = 3): DataFrame = {
+  def graphBfs(s: SparkSession, d: String, maxHop: Int = 3,
+      hubCap: Int = HubDegCap): DataFrame = {
     import s.implicits._
     // Round-13 adjacency layout (same rework as [[pagerank]] — see the
     // A/B discussion there): each level was an equi-join of the 120M-row
@@ -178,8 +248,10 @@ object Graph {
     // groupBy ([[tradeAdjacency]]). Frontier/visited joins keep the
     // round-11 hint discipline (broadcast under the budget, SHUFFLE_HASH
     // build above it, never bare SMJ).
-    val adj = tradeAdjacency(s, d)
-    val nodeBound = adj.count()
+    // The explode+distinct level is segment-agnostic, so bfs needs only
+    // the guarded leaf (a hub node appearing as several rows expands to
+    // the same frontier set — distinct folds it).
+    val (adj, _, nodeBound) = hubGuard(tradeAdjacency(s, d), hubCap)
     def hint(df: DataFrame): DataFrame =
       Hints.bcOrHash(df, nodeBound, Hints.MaxBroadcastRows)
     // Per-level LAZY checkpoint of the (tiny, node-sized) frontier: each
@@ -281,12 +353,13 @@ object Graph {
     * ⌊log2⌋ octaves via the same shared CASE both engines compile.
     * All-integer. */
   def graphDegree(s: SparkSession, d: String): DataFrame = {
-    // Round 14: the pair stream and its distinct ride the PACKED long
-    // key (see [[copurchaseEdges]] — the distinct is this query's
-    // largest shuffle and the 8-byte key halves its rows); endpoints
-    // unpack after the dedup.
-    val e0 = Analytics.orderPairs(s, d)
-      .distinct()
+    // Round 15: the distinct pair set IS the key set of the shared
+    // memoized support leaf (Analytics.pairSupport — the groupBy keys
+    // are exactly orderPairs.distinct()), so this query's formerly
+    // largest shuffle is now a narrow projection of a checkpointed
+    // node... pair-sized leaf shared with the basket/cc/kcore family;
+    // endpoints unpack after the leaf read.
+    val e0 = Analytics.pairSupport(s, d)
       .select(Analytics.unpackA.as("pa"), Analytics.unpackB.as("pb"))
     // Both endpoints of each undirected edge in ONE pass over the pair
     // join (explode of a 2-element array) — a union of two projections
@@ -483,24 +556,28 @@ object Graph {
     * fixpoint inequalities are read directly off the state). */
   private[graft] def ccAdjacency(s: SparkSession, edges: DataFrame,
       maxRounds: Int = 16,
-      maxBc: Long = Hints.MaxBroadcastRows): DataFrame = {
+      maxBc: Long = Hints.MaxBroadcastRows,
+      hubCap: Int = HubDegCap): DataFrame = {
     // EAGER e0: both union branches of the adjacency construction read
     // it inside ONE job — a lazy leaf would race its own
     // materialization and compute the edge derivation twice (the same
     // note as [[graphBfs]]'s e0).
     val e0 = Hints.checkpoint(edges.select(col("a_pk"), col("b_pk")),
       eager = true)
-    val adj = Hints.checkpoint(
+    val adjRaw = Hints.checkpoint(
       e0.union(e0.select(col("b_pk").as("a_pk"), col("a_pk").as("b_pk")))
         .groupBy(col("a_pk").as("node"))
         .agg(collect_list(col("b_pk")).as("dsts")),
       eager = false)
     // One job materializes the leaf AND measures the node bound that
     // decides broadcast-vs-SHUFFLE_HASH for every round's node-sized
-    // join (the family hint discipline — never bare SMJ re-sorts).
-    val nodeBound = adj.count()
+    // join (the family hint discipline — never bare SMJ re-sorts) — and,
+    // round 15, the hub guard's max degree in the same action. The
+    // push leg ([[ccAdjRound]]) is min-aggregated, so a hub split into
+    // segment rows contributes identically.
+    val (adj, nodes, nodeBound) = hubGuard(adjRaw, hubCap)
     def hint(df: DataFrame): DataFrame = Hints.bcOrHash(df, nodeBound, maxBc)
-    var lbl = adj.select(col("node"), col("node").as("lbl"))
+    var lbl = nodes.select(col("node"), col("node").as("lbl"))
     // FRONTIER-DELTA rounds (round-14 A/B, measured at 100× same
     // session, 2 interleaved reps per variant per run): only nodes
     // whose label CHANGED last round re-explode their adjacency rows —
@@ -691,17 +768,19 @@ object Graph {
     * this family's largest shuffle, and the 100× A/B of the adjacency
     * ports showed the derivation, not the rounds, dominating cc/kcore
     * once the rounds went node-sized. Unpack happens AFTER the support
-    * filter, on the dim²-bounded survivor set.
+    * filter, on the dim²-bounded survivor set. Round 15: the
+    * `(pk, sup)` derivation itself is the SHARED MEMOIZED leaf
+    * (Analytics.pairSupport) — cc/kcore/degree/basket all read the one
+    * checkpointed support table instead of re-running the ~26 s/100×
+    * explode+groupBy per query (PERF.md finding 33).
     * Shared by [[graphKcore]] and [[graphCc]]. */
   private[graft] def copurchaseEdges(s: SparkSession, d: String): DataFrame =
-    Analytics.orderPairs(s, d)
-      .groupBy(col("pk"))
-      .agg(count(lit(1)).as("sup"))
+    Analytics.pairSupport(s, d)
       .filter(col("sup") >= 2)
       .select(Analytics.unpackA.as("a_pk"), Analytics.unpackB.as("b_pk"))
 
   def graphKcore(s: SparkSession, d: String, k: Int = 2,
-      maxRounds: Int = 8): DataFrame = {
+      maxRounds: Int = 8, hubCap: Int = HubDegCap): DataFrame = {
     // Round-14 adjacency port (same layout as [[pagerank]]/[[graphBfs]]
     // — see the pagerank A/B scaladoc): the rounds-9–13 peel ran TWO
     // alive-joins against the DOUBLED edge leaf per round, and above
@@ -717,15 +796,18 @@ object Graph {
     // EAGER e0: both union branches of the adjacency construction read
     // it inside one job (the graphBfs race note).
     val e0 = Hints.checkpoint(copurchaseEdges(s, d), eager = true)
-    val adj = Hints.checkpoint(
+    val adjRaw = Hints.checkpoint(
       e0.union(e0.select(col("b_pk").as("a_pk"), col("a_pk").as("b_pk")))
         .groupBy(col("a_pk").as("node"))
         .agg(collect_list(col("b_pk")).as("dsts")),
       eager = false)
     // One job materializes the leaf and measures the node bound for the
     // round-11 family hint discipline (broadcast under the budget,
-    // SHUFFLE_HASH build above it, never bare SMJ).
-    val nodeBound = adj.count()
+    // SHUFFLE_HASH build above it, never bare SMJ) — plus, round 15,
+    // the hub guard's max degree in the same action. The census
+    // groupBy(node) merges a split hub's segment rows, so the peel is
+    // segment-associative by construction.
+    val (adj, nodes, nodeBound) = hubGuard(adjRaw, hubCap)
     def hint(df: DataFrame): DataFrame =
       Hints.bcOrHash(df, nodeBound, Hints.MaxBroadcastRows)
     // alive-restricted degree census — the peel's one corpus-shaped
@@ -737,13 +819,14 @@ object Graph {
       .join(hint(aliveSet.select(col("node").as("dn"))),
         col("dst") === col("dn"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val allNodes = adj.select(col("node"))
+    val allNodes = nodes.select(col("node"))
     // Peel round 1 is free on the adjacency layout: every node is
-    // alive, so the alive-restricted degree IS size(dsts) — a narrow
-    // filter over the cached leaf replaces the full first-round census
-    // (the same deg-for-free economics as pagerank's deg = size(dsts)).
+    // alive, so the alive-restricted degree IS the leaf degree — a
+    // narrow filter over the cached leaf (node-sized degree table when
+    // hub-segmented) replaces the full first-round census (the same
+    // deg-for-free economics as pagerank's deg column).
     var alive = Hints.checkpoint(
-      adj.filter(size(col("dsts")) >= k).select(col("node")),
+      nodes.filter(col("deg") >= k).select(col("node")),
       eager = false)
     // ONE action per round: the count both materializes the lazily
     // checkpointed alive set and decides convergence (the alive count

@@ -123,6 +123,47 @@ class AnnStateSpec extends SparkSpec {
     before.foreach { case (id, lst) => assert(after(id) === lst) }
   }
 
+  test("compaction gate is byte-aware: tiny deltas over a large base defer " +
+      "the rewrite until the hard count cap (ADVICE r14)") {
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mkRoot(): org.apache.hadoop.fs.Path = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("graft-anngate").toString)
+    def mkSeg(root: org.apache.hadoop.fs.Path, i: Int, bytes: Int,
+        compact: Boolean = false): Unit = {
+      val p = new org.apache.hadoop.fs.Path(root, f"seg=$i%05d")
+      fs.mkdirs(p)
+      val out = fs.create(new org.apache.hadoop.fs.Path(p, "part-0"))
+      out.write(new Array[Byte](bytes)); out.close()
+      fs.create(new org.apache.hadoop.fs.Path(p, "_SUCCESS")).close()
+      if (compact)
+        fs.create(new org.apache.hadoop.fs.Path(p, "_COMPACT")).close()
+    }
+    // count floor: ≤ AnnCompactSegs live segments never folds,
+    // whatever the bytes
+    val r1 = mkRoot()
+    mkSeg(r1, 0, 100, compact = true)
+    (1 to 3).foreach(i => mkSeg(r1, i, 1 << 20))
+    assert(!Sim.annCompactDue(fs, r1),
+      "under the count floor even corpus-sized deltas must not fold")
+    // byte leg: 8 tiny deltas over a 1 MB base stay below ratio×base —
+    // the pure-count trigger would have rewritten the base at 5
+    val r2 = mkRoot()
+    mkSeg(r2, 0, 1 << 20, compact = true)
+    (1 to 8).foreach(i => mkSeg(r2, i, 100))
+    assert(!Sim.annCompactDue(fs, r2),
+      "tiny deltas over a large base must defer the full rewrite")
+    // one ratio-crossing delta opens the gate
+    mkSeg(r2, 9, (1 << 20) / 8)
+    assert(Sim.annCompactDue(fs, r2))
+    // hard cap: listing/union width alone forces the fold
+    val r3 = mkRoot()
+    mkSeg(r3, 0, 1 << 20, compact = true)
+    (1 to Sim.AnnCompactMaxSegs).foreach(i => mkSeg(r3, i, 100))
+    assert(Sim.annCompactDue(fs, r3),
+      "the hard count cap must fold regardless of delta bytes")
+  }
+
   test("superseded state is reclaimed when the corpus fingerprint changes") {
     Sim.readAnnAssign(spark, fixture).count()
     val oldPath = Sim.annStatePath(spark, fixture)
