@@ -503,57 +503,64 @@ object Analytics {
   private[operators] val unpackA = expr("pk div 2147483648L")
   private[operators] val unpackB = expr("pk % 2147483648L")
 
-  /** Session-scoped memo for the co-purchase pair-SUPPORT leaf — the
-    * `(pk, sup)` table (packed pair key → distinct-order support) that
-    * SIX declared queries derive identically and, until round 15, each
-    * re-derived from scratch: [[basketPairs]], [[basketLift]],
-    * Graph.graphDegree, and Graph.copurchaseEdges (feeding q_graph_cc,
-    * q_graph_kcore). PERF.md finding 33 measured that derivation (pair
-    * explode + support groupBy) as each consumer's DOMINANT stage at
-    * 100× (~26 s of every family query), so a suite/session ran the
-    * same ~300M-row shuffle six times. Same discipline as
-    * Dedup.labelMemo: keyed on `<scId>:<dir>@<lineitem fingerprint>`
-    * (a fixture regeneration invalidates, [[Hints.memoInsert]] evicts
-    * the stale sibling), dropped wholesale by measurement harnesses via
-    * Hints.evictAllMemos so sweep/solo numbers stay cold-cache honest.
-    * Accounting mirrors the dedup family's asymmetric convention:
-    * [[basketPairs]] — the canonical support query — always REBUILDS
-    * and refreshes the memo (its bench time keeps measuring the full
-    * derivation honestly); the other five consume the shared leaf and
-    * pay only their own filter/join/agg. */
-  private val pairSupportMemo = Hints.registerMemo(
+  /** The co-purchase pair-SUPPORT plan — `(pk, sup)`: packed pair key →
+    * distinct-order support, ONE fact shuffle (the [[orderPairs]]
+    * generator feeding this groupBy). A plan builder, deliberately NOT
+    * materialized: the full support table is pair-stream-sized
+    * (~100M rows at 100×), and the round-15 first-cut that memoized a
+    * checkpoint of it was a measured scale failure — the serialized
+    * cache write added ~45 s per build at 100× (q_basket_pairs rebuild
+    * 21.8 → 65–74 s warm; cold consumers 157–267 s vs r14's ~38 s
+    * solo; BASELINE.md round 15). [[basketPairs]] (top-20) and
+    * Graph.graphDegree (distinct keys) stream it; only the SUPPORT-
+    * FILTERED survivor set — dim²-bounded, exactly the artifact r14's
+    * cc/kcore already eagerly checkpointed per query — is worth
+    * materializing, and that is the [[supportedPairs]] memo leaf. */
+  private[graft] def pairSupport(s: SparkSession, d: String): DataFrame =
+    orderPairs(s, d).groupBy(col("pk")).agg(count(lit(1)).as("sup"))
+
+  /** Session-scoped memo for the SUPPORT-≥2 co-purchase pair leaf —
+    * the `(pk, sup)` survivor set that FOUR declared queries derive
+    * identically and, until round 15, each re-derived from scratch
+    * (the derivation — pair explode + support groupBy — is each one's
+    * dominant stage at 100×, ~26 s, PERF.md finding 33): q_graph_cc,
+    * q_graph_kcore (via [[Graph.copurchaseEdges]]' ≥2 filter) and
+    * q_basket_lift (its ≥3 floor is a subset). The leaf is EAGERLY
+    * checkpointed — it is dim²-bounded (support ≥ 2 collapses the pair
+    * stream to the co-purchase survivor set), so the cache write is
+    * noise where a full-support checkpoint was a measured 45 s/100×
+    * tax (see [[pairSupport]]). Same discipline as Dedup.labelMemo:
+    * keyed on `<scId>:<dir>@<lineitem fingerprint>`, stale siblings
+    * evicted on insert, dropped wholesale by measurement harnesses via
+    * Hints.evictAllMemos. Accounting mirrors the dedup convention:
+    * q_graph_cc — the family's heaviest consumer — always REBUILDS and
+    * refreshes the memo (its bench time keeps measuring the full
+    * derivation honestly); kcore and lift consume the shared leaf.
+    * Measured solo at 100× (TimeOne, BASELINE.md round 15): warm
+    * consumers drop to their own round cost — kcore 37.7 → ~5.6 s,
+    * cc rounds ~10 s — while cold cost is unchanged from r14 (the
+    * eager survivor-set checkpoint existed there per query). */
+  private val supportedPairsMemo = Hints.registerMemo(
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
 
-  private def pairSupportKey(s: SparkSession, d: String): String =
+  private def supportedPairsKey(s: SparkSession, d: String): String =
     System.identityHashCode(s.sparkContext) + ":" + d + "@" +
       Tables.pathFingerprint(s, s"$d/lineitem.parquet")
 
-  /** LAZY checkpoint — the declared queries' lazy-construction contract
-    * (PlanQualitySpec: zero jobs at plan-construction time) holds for
-    * the basket/degree consumers, and the first consumer's ACTION
-    * materializes the leaf inside its own timed window. The ccAdjacency
-    * e0 race note does not apply: every consumer's plan reads the leaf
-    * exactly ONCE per job (kcore/cc's union-of-swap runs against their
-    * own EAGER e0 checkpoint, whose build scans this leaf once). */
-  private def buildPairSupport(s: SparkSession, d: String): DataFrame =
-    Hints.checkpoint(
-      orderPairs(s, d).groupBy(col("pk")).agg(count(lit(1)).as("sup")),
-      eager = false)
+  private def buildSupportedPairs(s: SparkSession, d: String): DataFrame =
+    Hints.checkpoint(pairSupport(s, d).filter(col("sup") >= 2),
+      eager = true)
 
-  /** The shared leaf: distinct co-purchase pairs (packed key) with
-    * their support counts. `pairSupport.select(pk)` IS the distinct
-    * pair set (keys of the support groupBy), so the graph consumers
-    * need no separate distinct. */
-  private[graft] def pairSupport(s: SparkSession, d: String): DataFrame =
-    Hints.memoInsert(pairSupportMemo, pairSupportKey(s, d),
-      buildPairSupport(s, d))
+  private[graft] def supportedPairs(s: SparkSession, d: String): DataFrame =
+    Hints.memoInsert(supportedPairsMemo, supportedPairsKey(s, d),
+      buildSupportedPairs(s, d))
 
-  /** [[basketPairs]]' rebuild-always entry: refresh the memo so later
+  /** q_graph_cc's rebuild-always entry: refresh the memo so later
     * consumers in the same session reuse the fresh leaf (memoPut
     * unpersists the displaced entry — no block leak). */
-  private def rebuildPairSupport(s: SparkSession, d: String): DataFrame = {
-    val leaf = buildPairSupport(s, d)
-    Hints.memoPut(pairSupportMemo, pairSupportKey(s, d), leaf)
+  private[graft] def rebuildSupportedPairs(s: SparkSession, d: String): DataFrame = {
+    val leaf = buildSupportedPairs(s, d)
+    Hints.memoPut(supportedPairsMemo, supportedPairsKey(s, d), leaf)
     leaf
   }
 
@@ -565,7 +572,7 @@ object Analytics {
     * fact⋈fact join. Distinct parts within the order first: duplicate
     * lines of one part must not inflate support. */
   def basketPairs(s: SparkSession, d: String): DataFrame =
-    rebuildPairSupport(s, d)
+    pairSupport(s, d)
       .orderBy(col("sup").desc, col("pk").asc)
       .limit(20)
       .select(unpackA.as("a_part"), unpackB.as("b_part"),
@@ -577,10 +584,10 @@ object Analytics {
     * support·n_orders·10⁶ div (supp_a·supp_b) compares the exact
     * rational (lift is monotone in it). Pair supports, item supports and
     * the order count share their derivation: pair supports come from
-    * the memoized [[pairSupport]] leaf (round 15 — the six-consumer
-    * shared derivation, see the memo scaladoc); item supports and the
-    * order count from one [[orderParts]] stage (one fact shuffle); the
-    * order count rides a 1-row broadcast. Support floor
+    * the memoized [[supportedPairs]] leaf (round 15 — the lift floor
+    * ≥ 3 is a subset of the leaf's ≥ 2, see the memo scaladoc); item
+    * supports and the order count from one [[orderParts]] stage (one
+    * fact shuffle); the order count rides a 1-row broadcast. Support floor
     * ≥ 3 applies the standard small-sample guard.
     *
     * The item-support table has one row per distinct ordered part —
@@ -602,7 +609,7 @@ object Analytics {
     def hintSupp(df: DataFrame): DataFrame =
       if (supBound >= 0 && supBound <= maxBc) broadcast(df)
       else df.hint("SHUFFLE_HASH")
-    pairSupport(s, d)
+    supportedPairs(s, d)
       .filter(col("sup") >= 3)
       .select(unpackA.as("a_part"), unpackB.as("b_part"),
         col("sup").as("support"))

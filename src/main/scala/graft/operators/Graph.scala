@@ -353,13 +353,15 @@ object Graph {
     * ⌊log2⌋ octaves via the same shared CASE both engines compile.
     * All-integer. */
   def graphDegree(s: SparkSession, d: String): DataFrame = {
-    // Round 15: the distinct pair set IS the key set of the shared
-    // memoized support leaf (Analytics.pairSupport — the groupBy keys
-    // are exactly orderPairs.distinct()), so this query's formerly
-    // largest shuffle is now a narrow projection of a checkpointed
-    // node... pair-sized leaf shared with the basket/cc/kcore family;
-    // endpoints unpack after the leaf read.
-    val e0 = Analytics.pairSupport(s, d)
+    // Round 14: the pair stream and its distinct ride the PACKED long
+    // key (see [[copurchaseEdges]] — the distinct is this query's
+    // largest shuffle and the 8-byte key halves its rows); endpoints
+    // unpack after the dedup. Round 15 kept this STREAMING (not read
+    // from the supportedPairs memo leaf): degree needs support-1 pairs
+    // too, and materializing the full pair set was the measured 45 s/
+    // 100× failure recorded at Analytics.pairSupport.
+    val e0 = Analytics.orderPairs(s, d)
+      .distinct()
       .select(Analytics.unpackA.as("pa"), Analytics.unpackB.as("pb"))
     // Both endpoints of each undirected edge in ONE pass over the pair
     // join (explode of a 2-element array) — a union of two projections
@@ -557,13 +559,21 @@ object Graph {
   private[graft] def ccAdjacency(s: SparkSession, edges: DataFrame,
       maxRounds: Int = 16,
       maxBc: Long = Hints.MaxBroadcastRows,
-      hubCap: Int = HubDegCap): DataFrame = {
+      hubCap: Int = HubDegCap,
+      checkpointEdges: Boolean = true): DataFrame = {
     // EAGER e0: both union branches of the adjacency construction read
     // it inside ONE job — a lazy leaf would race its own
     // materialization and compute the edge derivation twice (the same
-    // note as [[graphBfs]]'s e0).
-    val e0 = Hints.checkpoint(edges.select(col("a_pk"), col("b_pk")),
-      eager = true)
+    // note as [[graphBfs]]'s e0). Callers whose edges ALREADY read from
+    // an eagerly-materialized leaf (graphCc via the supportedPairs
+    // memo, round 15) pass checkpointEdges = false: re-caching a
+    // narrow projection of a checkpointed leaf is a pure copy tax, and
+    // the race note does not apply to a materialized source.
+    val e0 =
+      if (checkpointEdges)
+        Hints.checkpoint(edges.select(col("a_pk"), col("b_pk")),
+          eager = true)
+      else edges.select(col("a_pk"), col("b_pk"))
     val adjRaw = Hints.checkpoint(
       e0.union(e0.select(col("b_pk").as("a_pk"), col("a_pk").as("b_pk")))
         .groupBy(col("a_pk").as("node"))
@@ -655,7 +665,8 @@ object Graph {
     * the same double rollup — unchanged, both algorithms compute the
     * same min-label fixpoint. */
   def graphCc(s: SparkSession, d: String): DataFrame =
-    ccAdjacency(s, copurchaseEdges(s, d))
+    ccAdjacency(s, copurchaseEdges(s, d, rebuild = true),
+      checkpointEdges = false)
       .groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
       .groupBy(col("csize"))
       .agg(count(lit(1)).as("n_comps"))
@@ -768,15 +779,19 @@ object Graph {
     * this family's largest shuffle, and the 100× A/B of the adjacency
     * ports showed the derivation, not the rounds, dominating cc/kcore
     * once the rounds went node-sized. Unpack happens AFTER the support
-    * filter, on the dim²-bounded survivor set. Round 15: the
-    * `(pk, sup)` derivation itself is the SHARED MEMOIZED leaf
-    * (Analytics.pairSupport) — cc/kcore/degree/basket all read the one
-    * checkpointed support table instead of re-running the ~26 s/100×
-    * explode+groupBy per query (PERF.md finding 33).
+    * filter, on the dim²-bounded survivor set. Round 15: that survivor
+    * set is the SHARED MEMOIZED leaf (Analytics.supportedPairs) —
+    * cc/kcore/lift read one eagerly-checkpointed artifact instead of
+    * re-running the ~26 s/100× explode+groupBy per query (PERF.md
+    * finding 33; measured consumer warm cost at 100×: kcore
+    * 37.7 → 5.6 s). `rebuild = true` (the q_graph_cc path) re-derives
+    * and refreshes the memo — the honest-bench convention from
+    * Dedup.dedupClusters.
     * Shared by [[graphKcore]] and [[graphCc]]. */
-  private[graft] def copurchaseEdges(s: SparkSession, d: String): DataFrame =
-    Analytics.pairSupport(s, d)
-      .filter(col("sup") >= 2)
+  private[graft] def copurchaseEdges(s: SparkSession, d: String,
+      rebuild: Boolean = false): DataFrame =
+    (if (rebuild) Analytics.rebuildSupportedPairs(s, d)
+     else Analytics.supportedPairs(s, d))
       .select(Analytics.unpackA.as("a_pk"), Analytics.unpackB.as("b_pk"))
 
   def graphKcore(s: SparkSession, d: String, k: Int = 2,
@@ -793,9 +808,12 @@ object Graph {
     // whose rows for a node are co-located (leaf partitioning survives
     // the explode) so the agg is partial-heavy — the corpus-sized side
     // never moves again.
-    // EAGER e0: both union branches of the adjacency construction read
-    // it inside one job (the graphBfs race note).
-    val e0 = Hints.checkpoint(copurchaseEdges(s, d), eager = true)
+    // e0 reads the eagerly-materialized supportedPairs leaf (round 15)
+    // — no second checkpoint needed: the graphBfs race note is about a
+    // LAZY leaf read by two branches in one job, and this source is
+    // already materialized (the same reasoning as graphCc's
+    // checkpointEdges = false).
+    val e0 = copurchaseEdges(s, d)
     val adjRaw = Hints.checkpoint(
       e0.union(e0.select(col("b_pk").as("a_pk"), col("a_pk").as("b_pk")))
         .groupBy(col("a_pk").as("node"))

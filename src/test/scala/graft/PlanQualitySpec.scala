@@ -727,13 +727,11 @@ class PlanQualitySpec extends SparkSpec {
       // construction, same family as the loops above (q_emb_project
       // embeds the same power iteration to derive its loadings)
       "q_emb_pca_power", "q_emb_project",
-      // shared pair-support memo leaf (round 15): the lazy checkpoint
-      // still materializes its AQE shuffle stages at construction
-      // (same mechanism as the loops above); q_basket_pairs REBUILDS
-      // the leaf every construction by the honest-accounting
-      // convention, the other consumers pay it only on a memo miss.
-      // Their construction budgets are pinned in the next test.
-      "q_basket_pairs", "q_basket_lift", "q_graph_degree")
+      // shared supported-pairs memo leaf (round 15): on a memo miss the
+      // construction eagerly checkpoints the support-≥2 survivor set
+      // (q_basket_lift consumes it; cc/kcore are already exempt as
+      // iterative). Budget pinned in the next test.
+      "q_basket_lift")
     val sentinels = new java.util.concurrent.atomic.AtomicInteger(0)
     val others = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
@@ -839,13 +837,11 @@ class PlanQualitySpec extends SparkSpec {
         // 2-core, so kcore converges on the free size(dsts) round)
         "q_graph_cc"       -> 36,
         "q_graph_kcore"    -> 13,
-        // round 15 shared pair-support leaf: q_basket_pairs rebuilds it
-        // (AQE stage jobs of the lazy checkpoint's shuffle), the
-        // consumers pay at most a memo-miss build (cc/kcore budgets
-        // above carry +3 headroom for the same miss case)
-        "q_basket_pairs"   -> 4,
-        "q_basket_lift"    -> 4,
-        "q_graph_degree"   -> 4)
+        // round 15 shared supported-pairs leaf: cc REBUILDS it at
+        // construction (eager checkpoint of the support-≥2 survivor
+        // set — cc/kcore budgets above carry +3 headroom vs r14 for
+        // that build); lift pays at most a memo-miss build
+        "q_basket_lift"    -> 6)
       val measured = budgets.map { case (n, budget) =>
         val jobs = jobsDuring { SparkEntry.queries(n)(spark, sf0001); () }
         (n, jobs, budget)
@@ -857,31 +853,25 @@ class PlanQualitySpec extends SparkSpec {
     } finally sc.removeSparkListener(listener)
   }
 
-  test("co-purchase pair-support leaf is memo-shared across its six " +
-      "consumers; q_basket_pairs refreshes it (round 15)") {
+  test("supported-pairs leaf is memo-shared across cc/kcore/lift; " +
+      "q_graph_cc refreshes it (round 15)") {
     import graft.operators.Analytics
     // memo hit: repeated derivations return the SAME checkpointed leaf
-    val a = Analytics.pairSupport(spark, sf0001)
-    val b = Analytics.pairSupport(spark, sf0001)
-    assert(a eq b, "pairSupport must be a memo hit on the second call")
-    // consumers read the leaf, not the fact table: once checkpointed,
-    // no lineitem parquet scan appears anywhere in their plans
-    for (n <- Seq("q_graph_degree", "q_basket_lift")) {
-      val df = SparkEntry.queries(n)(spark, sf0001)
-      val leafSide = n == "q_graph_degree" // lift's item-supp leg still scans the fact
-      val p = df.queryExecution.executedPlan.toString
-      if (leafSide)
-        assert(!p.contains("lineitem"),
-          s"$n must consume the memoized leaf, not re-derive from lineitem:\n$p")
-      assert(p.contains("ExistingRDD"),
-        s"$n must read the checkpointed pair-support leaf:\n$p")
-    }
-    // rebuild-always accounting: q_basket_pairs displaces the memo entry
+    val a = Analytics.supportedPairs(spark, sf0001)
+    val b = Analytics.supportedPairs(spark, sf0001)
+    assert(a eq b, "supportedPairs must be a memo hit on the second call")
+    // the consumer's pair side reads the checkpointed leaf (lift's
+    // item-supp leg still scans the fact table by design)
+    val p = SparkEntry.queries("q_basket_lift")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ExistingRDD"),
+      s"q_basket_lift must read the checkpointed supported-pairs leaf:\n$p")
+    // rebuild-always accounting: q_graph_cc displaces the memo entry
     // with a fresh leaf (the dedupClusters/labelMemo convention)
-    SparkEntry.queries("q_basket_pairs")(spark, sf0001).count()
-    val c = Analytics.pairSupport(spark, sf0001)
+    SparkEntry.queries("q_graph_cc")(spark, sf0001).count()
+    val c = Analytics.supportedPairs(spark, sf0001)
     assert(!(c eq a),
-      "q_basket_pairs must refresh the memo with its rebuilt leaf")
-    assert(c eq Analytics.pairSupport(spark, sf0001))
+      "q_graph_cc must refresh the memo with its rebuilt leaf")
+    assert(c eq Analytics.supportedPairs(spark, sf0001))
   }
 }
