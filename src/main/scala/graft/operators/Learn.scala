@@ -84,10 +84,26 @@ object Learn {
     val toksCol = split(col("text"), " ")
     val docs = Tables.documents(s, d)
     val train = docs.filter(col("doc_id") % 2 === 0)
-    val ct = Tables.spread(train)
-      .select(col("lang"), explode(toksCol).as("tok"))
-      .groupBy(col("lang"), col("tok"))
-      .agg(count(lit(1)).as("ct"))
+    // Round 15 (guide §2.3/§2.4): the (lang, token) count table is the
+    // model — VOCABULARY-sized (|langs|·V rows), yet the old plan
+    // re-derived it from the corpus-scale token stream FOUR times
+    // (vocab / langStats / ctL / the second langC broadcast): 8 parquet
+    // scans, 23 Exchanges, zero ReusedExchange (the consumers prune
+    // different columns, so the subtrees never hash equal —
+    // plans/r15/q_ml_naivebayes_before.txt). One lazily-checkpointed
+    // leaf + the count that materializes it (the clusterLabels
+    // memberBound pattern) collapses the train side to ONE token pass,
+    // and the exact row count licenses broadcasting the model under
+    // every downstream join (§3.1) — the old test-side join fell to
+    // SortMergeJoin and shuffled the 5×-fanned test token stream on
+    // (cl, tok) to probe a table that fits in a task's hand.
+    val ct = Hints.checkpoint(
+      Tables.spread(train)
+        .select(col("lang"), explode(toksCol).as("tok"))
+        .groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("ct")),
+      eager = false)
+    val ctRows = ct.count()
     val vocab = ct.agg(countDistinct(col("tok")).as("vn"))
     val langStats = ct.groupBy(col("lang")).agg(sum(col("ct")).as("nl"))
       .crossJoin(broadcast(vocab))
@@ -103,19 +119,29 @@ object Learn {
       .groupBy(col("doc_id"), col("true_lang"), col("tok"))
       .agg(count(lit(1)).as("c"))
     val scored = testToks
-      .crossJoin(broadcast(langC.select(col("cl"))))
-      .join(ctL, Seq("cl", "tok"), "left")
+      // class fan-out from the cached leaf (not langC): langC's dl
+      // aggregate re-scans documents, and this arm only needs the
+      // distinct class labels — one dl scan total, not two
+      .crossJoin(broadcast(ct.select(col("lang").as("cl")).distinct()))
+      .join(Hints.bcOrHash(ctL, ctRows), Seq("cl", "tok"), "left")
       .withColumn("term", col("c") * coalesce(col("lg_ct1"), lit(0L)))
       .groupBy(col("doc_id"), col("true_lang"), col("cl"))
       .agg(sum(col("term")).as("s_term"), sum(col("c")).as("n_toks"))
       .join(broadcast(langC), Seq("cl"))
       .withColumn("score",
         col("lg_dl") + col("s_term") - col("n_toks") * col("lg_nv"))
+    // Argmax as a map-side-combinable aggregate instead of a
+    // row_number window (§2.3 "aggregate before you shuffle"): the
+    // window shuffled every (doc, class) row by doc_id and sorted; the
+    // min_by struct ordering ((-score, cl) lexicographic) picks the
+    // identical winner — max score, ties to the ascending class —
+    // with partial aggregation absorbing the 5× class fan-out before
+    // the exchange. Scores are micro-nat longs ≪ 2⁶², so the negation
+    // is overflow-free.
     scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id"))
-          .orderBy(col("score").desc, col("cl").asc)))
-      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"), col("true_lang"))
+      .agg(min_by(col("cl"),
+        struct((-col("score")).as("ns"), col("cl"))).as("cl"))
       .groupBy(col("true_lang"), col("cl"))
       .agg(count(lit(1)).as("n_docs"))
       .select(col("true_lang"), col("cl").as("pred_lang"), col("n_docs"))
