@@ -50,12 +50,15 @@ object SigSegProbe {
     Dedup.dedupIncrStored(spark, dir).count() // first touch writes the base
     println(f"build+first_read ${(System.nanoTime() - t0) / 1e9}%.3f s")
     println(f"segs=1 read ${timeRead()}%.3f s  [${segBytes()}]")
-    // bounded deltas: 1000 existing doc_ids per segment, disjoint slices
+    // bounded deltas: disjoint residue-class slices of the EXISTING
+    // corpus ids (round-15 fix: the first probe run sliced absolute id
+    // ranges that run past the fixture's id domain — segments 7-8 came
+    // out EMPTY, 0k in the log; a modulus slice is nonempty for any
+    // corpus with ≥ maxSegs·997 coverage of the residue ring)
     for (i <- 2 to maxSegs) {
-      val lo = (i - 2) * 1000L
       val delta = Tables.documents(spark, dir)
         .filter(col("doc_id") % 10 =!= 7)
-        .filter(col("doc_id") >= lo && col("doc_id") < lo + 1000)
+        .filter(col("doc_id") % 997 === (i - 2).toLong)
       Dedup.appendSigState(spark, dir, delta)
       println(f"segs=$i read ${timeRead()}%.3f s  [${segBytes()}]")
     }

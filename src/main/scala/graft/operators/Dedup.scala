@@ -770,6 +770,17 @@ object Dedup {
       attempts += 1
     }
     require(published, s"appendSigState lost $attempts publish races under $path")
+    // Round 15 (VERDICT r14 item 7): write-time auto-compaction, the ANN
+    // twin's byte-aware gate verbatim (Sim.annCompactDue — live count
+    // above the small bound AND delta bytes justifying a base rewrite,
+    // or the hard listing-width cap): SigSegProbe at 100× measured the
+    // multi-segment read paying a corpus shuffle per action before the
+    // anti-join read path landed; after it, reads are flat in segment
+    // count while deltas stay broadcastable, so compaction's remaining
+    // job is bounding listing width and delta accumulation — exactly
+    // what the ratio gate expresses. Probe-scale deltas (0.3% of base)
+    // never trigger a rewrite; a backfill-scale delta stream does.
+    if (Sim.annCompactDue(fs, root)) compactSigState(s, d)
   }
 
   /** Fold every live segment into ONE compacted segment and drop the
@@ -832,16 +843,54 @@ object Dedup {
       s.read.parquet(live.head._2.toString)
         .filter(!col("tomb")).select(cols: _*)
     else {
-      val all = live.map { case (n, p) =>
-        s.read.parquet(p.toString).withColumn("seg", lit(n)) }
-        .reduce(_ unionByName _)
-      val latest = all.groupBy(col("doc_id").as("doc_id_l"))
-        .agg(max(col("seg")).as("seg_l"))
-      all.join(latest,
-          col("doc_id") === col("doc_id_l") && col("seg") === col("seg_l"))
-        .filter(!col("tomb")).select(cols: _*)
+      // Round 15 (guide §3.2; SigSegProbe at 100×): the old latest-wins
+      // — union all live segments, groupBy doc_id → max(seg), join back
+      // — SHUFFLES THE CORPUS-SIZED BASE twice because 3 MB of delta
+      // arrived (probe: base 1.29 GB, deltas 3.5 MB; multi-segment reads
+      // 22–34 s vs 26.6 s compacted at heavy noise, and the probe run
+      // itself filled the disk with the reads' shuffle files). Deltas
+      // are broadcastable by construction (bounded ingest batches), so
+      // while their BYTES stay under [[SigDeltaBcBytes]] the merged view
+      // is: each segment anti-joined against a broadcast of the NEWER
+      // segments' doc_ids — the base streams with zero exchanges, and
+      // the decision data that moves is keys, not payloads (§8's rule).
+      // Oversized deltas (a backfill bigger than the gate) fall back to
+      // the shuffle plan, and the byte-aware auto-compaction on append
+      // (the ANN twin's gate) keeps that regime rare and bounded.
+      def bytes(p: org.apache.hadoop.fs.Path): Long =
+        fs.getContentSummary(p).getLength
+      val deltaBytes = live.tail.map(e => bytes(e._2)).sum
+      val merged =
+        if (deltaBytes <= SigDeltaBcBytes) {
+          val reads = live.map { case (_, p) => s.read.parquet(p.toString) }
+          reads.zipWithIndex.map { case (df, i) =>
+            val newer = reads.drop(i + 1)
+            if (newer.isEmpty) df
+            else df.join(
+              broadcast(newer.map(_.select(col("doc_id"))).reduce(_ union _)),
+              Seq("doc_id"), "left_anti")
+          }.reduce(_ unionByName _)
+        } else {
+          val all = live.map { case (n, p) =>
+            s.read.parquet(p.toString).withColumn("seg", lit(n)) }
+            .reduce(_ unionByName _)
+          val latest = all.groupBy(col("doc_id").as("doc_id_l"))
+            .agg(max(col("seg")).as("seg_l"))
+          all.join(latest,
+            col("doc_id") === col("doc_id_l") && col("seg") === col("seg_l"))
+        }
+      merged.filter(!col("tomb")).select(cols: _*)
     }
   }
+
+  /** Byte gate for the anti-join read path above: 64 MB of delta
+    * parquet is ≲1M doc_id keys at the ≥64 B/row the signature schema
+    * floors (8-perm sig array + band/bucket), i.e. a key broadcast
+    * comfortably inside the [[Hints.DimMaxBroadcastRows]] discipline;
+    * beyond it the latest-wins shuffle plan is the honest cost. An
+    * ABSOLUTE bound on purpose — broadcastability is a memory
+    * constraint, it does not scale with the base. */
+  private[graft] val SigDeltaBcBytes: Long = 64L << 20
 
   /** Incremental near-dup from STORED state — [[dedupIncr]]'s production
     * form (round-11, VERDICT r10 item 2): the corpus-side signatures are
