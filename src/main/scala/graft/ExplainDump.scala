@@ -26,10 +26,22 @@ object ExplainDump {
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_EXPLAIN_FINAL=1 executes the query first so the dump
+    // shows the POST-AQE final plan (isFinalPlan=true) — the evidence tier
+    // for claims like "AQE converts this static SMJ to broadcast at
+    // runtime", which the initial plan cannot show.
+    val runFinal = sys.env.get("SPARK_GRAFT_EXPLAIN_FINAL").contains("1")
     names.foreach { n =>
       val fn = SparkEntry.queries.getOrElse(n,
         sys.error(s"unknown query: $n"))
-      val plan = fn(spark, dir).queryExecution.explainString(
+      val df = fn(spark, dir)
+      // collect(), not count(): count() builds a NEW QueryExecution (the
+      // grouped count plan), leaving df's own AQE plan un-executed; only
+      // an action routed through df.queryExecution mutates its
+      // AdaptiveSparkPlanExec into the final plan. Declared-query results
+      // are compare-sized, so collect() is safe here.
+      if (runFinal) df.collect()
+      val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       val f = new java.io.File(outDir, s"${n}_$suffix.txt")
       val w = new java.io.PrintWriter(f, "UTF-8")

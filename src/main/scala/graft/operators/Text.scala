@@ -964,9 +964,14 @@ object Text {
     * join's coalesce-to-0). Log arithmetic lives in the VOCAB-sized
     * count tables (lg joins against 128 rows there, not on the token
     * stream); the stream then takes two vocab-keyed left joins + a 1-row
-    * scalar fold and one grouped sum — the posting-join discipline of
-    * q_text_rarity, where AQE broadcasts the vocab side at fixture scale
-    * and shuffles it when a 100 TB vocabulary won't fit. All values are
+    * scalar fold and one grouped sum. Round 15 measured the old "AQE
+    * broadcasts the vocab side at fixture scale" claim FALSE for 2 of 6
+    * vocab joins (plans/r15/q_text_lm_ppl_final.txt: the scored
+    * corpus-scale stream kept an SMJ Exchange+Sort), so the count
+    * tables are now checkpointed leaves whose materializing count()
+    * gates an explicit broadcast, degrading to SHUFFLE_HASH when a
+    * 100 TB vocabulary exceeds the row bound (the q_ml_naivebayes
+    * pattern). All values are
     * negated into positive nll before the integer div, so Spark `div`
     * (truncate) and DuckDB `//` (floor) agree. Output: (doc_id, n_bi,
     * nll_micro, nll_per_bi) for the scored half. */
@@ -983,18 +988,37 @@ object Text {
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
     val btrain = occ.filter(col("doc_id") % 2 === 0)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val uniLg = withLgMicro(withLgMicro(utrain, "c1", "lgc1"),
-      "c1 + 1", "lgc1p")
-    val biSc = withLgMicro(btrain, "c12", "lg12")
-      .join(uniLg.select(col("w").as("w1"), col("lgc1")), "w1")
-      .select(col("w1"), col("w2"), (col("lg12") - col("lgc1")).as("sc_bi"))
+    // Round-15 (the q_ml_naivebayes pattern, guide §3.1): the two
+    // vocabulary-sized count tables are checkpointed once and their
+    // materializing count() doubles as a measured broadcast gate. The
+    // pre-change POST-AQE plan (plans/r15/q_text_lm_ppl_final.txt)
+    // showed the scaladoc's "AQE broadcasts the vocab side at fixture
+    // scale" claim held for only 4 of 6 vocab joins: the scored
+    // corpus-scale bigram stream still paid an Exchange + double Sort
+    // for a SortMergeJoin against the 128-row unigram table, and the
+    // bigram⋈unigram build joined as SMJ too. bcOrHash keeps the plan
+    // scale-safe: a 100 TB vocabulary over the row gate degrades to
+    // SHUFFLE_HASH (build = vocab side, stream sort-free), never a bare
+    // SMJ re-sort.
+    val uniLg = Hints.checkpoint(
+      withLgMicro(withLgMicro(utrain, "c1", "lgc1"), "c1 + 1", "lgc1p"),
+      eager = true)
+    val nVocab = uniLg.count()
+    def vGate(df: DataFrame) = Hints.bcOrHash(df, nVocab, Hints.MaxBroadcastRows)
+    val biSc = Hints.checkpoint(
+      withLgMicro(btrain, "c12", "lg12")
+        .join(vGate(uniLg.select(col("w").as("w1"), col("lgc1"))), "w1")
+        .select(col("w1"), col("w2"), (col("lg12") - col("lgc1")).as("sc_bi")),
+      eager = true)
+    val nBi = biSc.count()
     val totals = withLgMicro(
         uniLg.agg(sum(col("c1")).as("nn"), count(lit(1)).as("vv")),
         "nn + vv", "lgnv")
       .select((col("lgnv") + 916291L).as("base"))
     occ.filter(col("doc_id") % 2 === 1)
-      .join(biSc, Seq("w1", "w2"), "left")
-      .join(uniLg.select(col("w").as("w2"), col("lgc1p")), Seq("w2"), "left")
+      .join(Hints.bcOrHash(biSc, nBi, Hints.MaxBroadcastRows),
+        Seq("w1", "w2"), "left")
+      .join(vGate(uniLg.select(col("w").as("w2"), col("lgc1p"))), Seq("w2"), "left")
       .crossJoin(broadcast(totals))
       .withColumn("sc", coalesce(col("sc_bi"),
         coalesce(col("lgc1p"), lit(0L)) - col("base")))
